@@ -1,0 +1,55 @@
+"""Vectorized event validation / normalization (ingest gate).
+
+Analog of the reference's two ingest gates: the Pydantic ``TripEvent``
+model with ranges/defaults (``streaming/api/schemas.py:7-34``) and the
+row-level-skip bulk load ``ON_ERROR='CONTINUE'``
+(``airflow/dags/nyc_taxi_sync_dag.py:47``).  Instead of per-row model
+validation, a single Arrow boolean mask per batch marks invalid rows;
+they are routed to a per-partition dead-letter file (``rejects-*.parquet``)
+by the apply stage and counted in the manifest.
+
+Rules (keep in sync with ``state.oracle.is_valid_event``):
+  conv_id non-null & non-empty; turn_idx non-null & >= 0; ts and lsn
+  non-null; op in {insert,update,delete}; role in
+  {user,assistant,system,tool} unless op = delete.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nyc_taxi_data_pipeline_ray import schemas
+
+VALID_COL = "_valid"
+
+
+def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    conv = batch["conv_id"]
+    ok = pc.and_kleene(conv.is_valid(), pc.not_equal(pc.fill_null(conv, ""), ""))
+    turn = batch["turn_idx"]
+    ok = pc.and_(ok, pc.and_(turn.is_valid(), pc.greater_equal(pc.fill_null(turn, -1), 0)))
+    ok = pc.and_(ok, batch["ts"].is_valid())
+    ok = pc.and_(ok, batch["lsn"].is_valid())
+    op = pc.fill_null(batch["op"], "?")
+    ok = pc.and_(ok, pc.is_in(op, value_set=pa.array(schemas.OPS)))
+    role_ok = pc.is_in(pc.fill_null(batch["role"], "?"), value_set=pa.array(schemas.ROLES))
+    ok = pc.and_(ok, pc.or_(pc.equal(op, "delete"), role_ok))
+    return pc.fill_null(ok, False)
+
+
+def tag_valid(batch: pa.Table) -> pa.Table:
+    """map_batches stage: appends the ``_valid`` boolean column."""
+    if VALID_COL in batch.schema.names:
+        batch = batch.drop_columns([VALID_COL])
+    return batch.append_column(VALID_COL, validity_mask(batch))
+
+
+def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(valid_rows, reject_rows), both without the marker column."""
+    if VALID_COL not in batch.schema.names:
+        batch = tag_valid(batch)
+    mask = batch[VALID_COL]
+    good = batch.filter(mask).drop_columns([VALID_COL])
+    bad = batch.filter(pc.invert(mask)).drop_columns([VALID_COL])
+    return good, bad
