@@ -85,12 +85,15 @@ class _PrepareBatch:
         if self.target_schema is not None:
             batch = mg.conform(batch, self.target_schema)
         good, bad = validate_mod.split_valid(batch)
-        # combiner: one surviving row per key per batch (keeps tombstones)
+        # combiner: one surviving row per key per batch (keeps tombstones);
+        # _nsrc preserves exact source-row lineage across the collapse
+        good = good.append_column(mg.NSRC, pa.array(np.ones(good.num_rows, np.int64)))
         good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
         good = good.drop_columns([mg.RUN_SEQ])
         pid = hash_partition_ids(good["conv_id"], self.num_partitions)
         good = good.append_column(PID_COL, pa.array(pid, pa.int32()))
         if bad.num_rows:
+            bad = bad.append_column(mg.NSRC, pa.array(np.ones(bad.num_rows, np.int64)))
             bad_pid = np.zeros(bad.num_rows, np.int32)
             bad = bad.append_column(PID_COL, pa.array(bad_pid, pa.int32()))
             bad = bad.append_column(validate_mod.VALID_COL, pa.array(np.zeros(bad.num_rows, bool)))
@@ -360,7 +363,9 @@ def _apply_partition(
     if not new_epochs:
         return _report_row(pid, skipped=True)
     # a retry after partial commit: only count/apply uncommitted epochs
-    group = group.filter(pc.is_in(group["epoch"], value_set=pa.array(new_epochs, pa.int32())))
+    group = group.filter(
+        pc.is_in(group["epoch"], value_set=pa.array(new_epochs, group["epoch"].type))
+    )
     if group.num_rows == 0:
         # still record the commit so this partition never re-scans the epoch
         _write_manifest(lake_path, pid, group_id, new_epochs, counters={"rows_in": 0})
@@ -370,19 +375,25 @@ def _apply_partition(
     good = group.filter(mask).drop_columns([validate_mod.VALID_COL])
     bad = group.filter(pc.invert(mask)).drop_columns([validate_mod.VALID_COL])
 
+    # exact lineage despite the pre-shuffle combiner: _nsrc sums source rows
+    n_valid_src = int(pc.sum(good[mg.NSRC]).as_py() or 0) if good.num_rows else 0
+    n_bad_src = int(pc.sum(bad[mg.NSRC]).as_py() or 0) if bad.num_rows else 0
+
     if bad.num_rows:
-        _atomic_write_parquet(mf.rejects_path(lake_path, pid, group_id), bad)
+        _atomic_write_parquet(
+            mf.rejects_path(lake_path, pid, group_id), bad.drop_columns([mg.NSRC])
+        )
 
     delta = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
-    delta = delta.drop_columns([mg.RUN_SEQ])
+    delta = delta.drop_columns([mg.RUN_SEQ, mg.NSRC])
     _atomic_write_parquet(mf.delta_path(lake_path, pid, group_id), delta)
 
     ops = pc.fill_null(delta["op"], "insert")
     n_del = pc.sum(pc.cast(pc.equal(ops, "delete"), pa.int64())).as_py() or 0
     counters = {
-        "rows_in": group.num_rows,
-        "valid": good.num_rows,
-        "rejects": bad.num_rows,
+        "rows_in": n_valid_src + n_bad_src,
+        "valid": n_valid_src,
+        "rejects": n_bad_src,
         "upserts": delta.num_rows - n_del,
         "deletes": n_del,
         "delta_bytes": delta.nbytes,
@@ -398,8 +409,8 @@ def _apply_partition(
     return _report_row(
         pid,
         skipped=False,
-        rows_in=group.num_rows,
-        rejects=bad.num_rows,
+        rows_in=counters["rows_in"],
+        rejects=n_bad_src,
         upserts=counters["upserts"],
         deletes=n_del,
     )

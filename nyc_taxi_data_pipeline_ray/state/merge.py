@@ -25,6 +25,10 @@ from nyc_taxi_data_pipeline_ray import schemas
 #: internal column ranking runs: base=0, older deltas < newer deltas < incoming
 RUN_SEQ = "_run_seq"
 
+#: internal lineage weight: how many source rows collapsed into this row
+#: (kept exact across combiner stages so manifest counters reconcile).
+NSRC = "_nsrc"
+
 _SORT_KEYS = [
     ("conv_id", "ascending"),
     ("turn_idx", "ascending"),
@@ -68,6 +72,15 @@ def resolve_lww(table: pa.Table, *, drop_tombstones: bool) -> pa.Table:
     table = table.take(idx)
     mask = _last_per_key_mask(table)
     out = table.filter(pa.array(mask))
+    if NSRC in table.schema.names:
+        # winner inherits the summed lineage weight of its key group
+        nsrc = table[NSRC].to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.nonzero(mask)[0]
+        starts = np.concatenate([[0], ends[:-1] + 1]) if len(ends) else np.array([], np.int64)
+        sums = np.add.reduceat(nsrc, starts) if len(starts) else np.array([], np.int64)
+        out = out.set_column(
+            out.schema.get_field_index(NSRC), NSRC, pa.array(sums, pa.int64())
+        )
     if drop_tombstones:
         out = out.filter(pc.not_equal(pc.fill_null(out["op"], "insert"), "delete"))
     return out

@@ -1,0 +1,158 @@
+"""CdcEngine end-to-end: equality vs oracle, exactly-once, resume,
+schema evolution, skew — the dbt-test surface re-expressed as pytest
+(reference ``nyc_taxi_dbt/models/staging/schema.yml``, ``tests/*.sql``)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+from nyc_taxi_data_pipeline_ray.state import oracle
+
+
+def _build(tmp, spec, **lake_kwargs):
+    gen = WalGenerator(spec)
+    wal = os.path.join(tmp, "wal")
+    gen.write(wal)
+    eng = CdcEngine(LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=4, **lake_kwargs))
+    return gen, wal, eng
+
+
+def _assert_equal_state(eng, gen):
+    snap = eng.snapshot_table()
+    exp = oracle.replay(gen.events_table())
+    cols = sorted(exp.schema.names)
+    a, b = snap.select(cols), exp.select(cols)
+    assert a.num_rows == b.num_rows
+    assert a.equals(b)
+    return snap
+
+
+SPEC = WalSpec(
+    seed=7,
+    num_conversations=150,
+    num_epochs=3,
+    events_per_epoch=1500,
+    ooo_fraction=0.1,
+    dup_fraction=0.05,
+    invalid_fraction=0.02,
+)
+
+
+@pytest.fixture(scope="module")
+def applied(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("eng"))
+    gen, wal, eng = _build(tmp, SPEC)
+    rep = eng.apply(wal)
+    return gen, wal, eng, rep
+
+
+def test_end_state_equality(applied):
+    gen, _, eng, rep = applied
+    assert rep.epochs == [0, 1, 2]
+    _assert_equal_state(eng, gen)
+
+
+def test_key_uniqueness_and_not_null(applied):
+    # dbt `unique` + `not_null` analogs (schema.yml:61-69, :7-10)
+    _, _, eng, _ = applied
+    snap = eng.snapshot_table()
+    keys = [(c, t) for c, t in zip(snap["conv_id"].to_pylist(), snap["turn_idx"].to_pylist())]
+    assert len(keys) == len(set(keys))
+    assert snap["conv_id"].null_count == 0
+    assert snap["turn_idx"].null_count == 0
+    assert snap["ts"].null_count == 0
+
+
+def test_accepted_values(applied):
+    # dbt `accepted_values` analog (schema.yml:16-28)
+    _, _, eng, _ = applied
+    snap = eng.snapshot_table()
+    roles = set(pc.unique(snap["role"]).to_pylist())
+    assert roles <= {"user", "assistant", "system", "tool"}
+    assert pc.min(snap["turn_idx"]).as_py() >= 0  # in_range/positive_value macro analog
+
+
+def test_row_count_reconciliation(applied):
+    # lineage counters vs generator totals and final state (north rule):
+    # every input row is accounted for (valid + rejects = rows_in) and the
+    # final row count matches the oracle's insert-minus-delete arithmetic.
+    gen, _, eng, rep = applied
+    m = eng.metrics()
+    ev = gen.events_table()
+    assert m["rows_in"] == ev.num_rows
+    assert m["valid"] + m["rejects"] == m["rows_in"]
+    snap = eng.snapshot_table()
+    exp = oracle.replay(ev)
+    assert snap.num_rows == exp.num_rows
+    # upserts counts per-run winners, an upper bound on live keys
+    assert m["upserts"] >= snap.num_rows
+    assert m["deletes"] >= 0
+
+
+def test_rejects_dead_letter(applied):
+    _, _, eng, rep = applied
+    assert rep.rejects > 0
+    reject_files = glob.glob(os.path.join(eng.cfg.path, "p=*", "rejects-*.parquet"))
+    assert reject_files
+    total = sum(pa.parquet.read_table(f).num_rows for f in reject_files)
+    assert total == rep.rejects
+
+
+def test_exactly_once_reapply(applied):
+    gen, wal, eng, _ = applied
+    before = eng.metrics()
+    rep2 = eng.apply(wal)
+    assert rep2.epochs == []
+    assert eng.metrics() == before
+    _assert_equal_state(eng, gen)
+
+
+def test_crash_resume(tmp_path):
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    eng.apply(wal, max_epochs=2)
+    # driver crash before global commit markers: remove them all
+    for p in glob.glob(os.path.join(eng.cfg.path, "_epochs", "*.json")):
+        os.remove(p)
+    eng.apply(wal)
+    _assert_equal_state(eng, gen)
+
+
+def test_compaction_preserves_state(applied):
+    gen, _, eng, _ = applied
+    eng.compact()
+    snap = _assert_equal_state(eng, gen)
+    # compaction folded every delta away
+    assert not glob.glob(os.path.join(eng.cfg.path, "p=*", "delta-*.parquet"))
+    assert snap.num_rows > 0
+
+
+def test_schema_evolution(tmp_path):
+    spec = WalSpec(seed=9, num_conversations=60, num_epochs=4, events_per_epoch=600, evolve_at_epoch=2)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    snap = _assert_equal_state(eng, gen)
+    assert "model" in snap.schema.names
+    assert str(snap.schema.field("turn_idx").type) == "int64"
+    # pre-evolution rows read back with null model
+    assert snap["model"].null_count > 0
+
+
+def test_hot_key_skew_salted(tmp_path):
+    spec = WalSpec(seed=13, num_conversations=50, num_epochs=2, events_per_epoch=3000, zipf_s=1.5)
+    gen, wal, eng = _build(str(tmp_path), spec, salt_shards=4)
+    eng.apply(wal)
+    _assert_equal_state(eng, gen)
+
+
+def test_epoch_by_epoch_matches_bulk(tmp_path):
+    # applying epoch-at-a-time (micro-batch mode) == one bulk apply
+    spec = WalSpec(seed=21, num_conversations=80, num_epochs=3, events_per_epoch=800)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    for _ in range(spec.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    _assert_equal_state(eng, gen)
