@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).  Nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +11,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic transcript CDC replay -> lake ->
+    snapshot (the engine's core loop) at smoke scale."""
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+    from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+
+    root = "/tmp/graft_entry"
+    shutil.rmtree(root, ignore_errors=True)
+    spec = WalSpec(
+        seed=42,
+        num_conversations=300,
+        num_epochs=3,
+        events_per_epoch=2000,
+        ooo_fraction=0.05,
+        dup_fraction=0.02,
+        invalid_fraction=0.01,
+    )
+    WalGenerator(spec).write(f"{root}/wal")
+    eng = CdcEngine(LakeConfig.open_or_create(f"{root}/lake", num_partitions=8))
+    eng.apply(f"{root}/wal")
+    return eng.snapshot()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nyc_taxi_data_pipeline_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_project": R.q_filter_project,
+        "pricing_summary": R.q_pricing_summary,
+        "orders_yearly": R.q_orders_yearly,
+        "top_routes": R.q_top_routes,
+        "obt_enriched": R.q_obt_enriched,
+        "lineitem_orders_join": R.q_lineitem_orders_join,
+        "monthly_active_customers": R.q_monthly_active_customers,
+        "conditional_aggregates": R.q_conditional_aggregates,
+        "value_bands": R.q_value_bands,
+        "hourly_events": R.q_hourly_events,
+        "event_type_stats": R.q_event_type_stats,
+        "cdc_upsert_events": R.q_cdc_upsert_events,
+        "user_daily_window": R.q_user_daily_window,
+        "top_spenders": R.q_top_spenders,
+        "daily_revenue_lag": R.q_daily_revenue_lag,
+        "event_anomalies": R.q_event_anomalies,
+        "nation_customer_rank": R.q_nation_customer_rank,
+        "customer_tiers": R.q_customer_tiers,
+        "union_dims": R.q_union_dims,
+        "date_spine": R.q_date_spine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            select l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) as revenue
+            from lineitem
+            where l_shipdate < timestamp '1995-09-01' and l_quantity > 0
+        """,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_extendedprice), 4) as avg_price,
+                   count(*) as count_order
+            from lineitem group by 1, 2 order by 1, 2
+        """,
+        "orders_yearly": """
+            with y as (
+              select cast(year(o_orderdate) as integer) as o_year,
+                     count(*) as n_orders,
+                     round(sum(o_totalprice), 2) as sum_total
+              from orders group by 1)
+            select o_year, n_orders, sum_total,
+                   round((sum_total - lag(sum_total) over (order by o_year))
+                         / lag(sum_total) over (order by o_year) * 100, 2) as yoy_pct
+            from y order by o_year
+        """,
+        "top_routes": """
+            with r as (
+              select l_suppkey, l_partkey, count(*) as n_lines,
+                     round(avg(l_extendedprice * (1 - l_discount)), 2) as avg_revenue
+              from lineitem group by 1, 2 having count(*) >= 5)
+            select l_suppkey, l_partkey, n_lines, avg_revenue
+            from r order by avg_revenue desc, l_suppkey, l_partkey limit 100
+        """,
+        "obt_enriched": """
+            select l_orderkey, l_linenumber, p_brand, p_type, s_name,
+                   n_name as nation_name, r_name as region_name
+            from lineitem
+            join part on l_partkey = p_partkey
+            join supplier on l_suppkey = s_suppkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+        """,
+        "lineitem_orders_join": """
+            select o_orderstatus, count(*) as n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by 1 order by 1
+        """,
+        "monthly_active_customers": """
+            select strftime(o_orderdate, '%Y-%m') as o_month,
+                   count(distinct o_custkey) as active_customers,
+                   count(*) as n_orders
+            from orders group by 1 order by 1
+        """,
+        "conditional_aggregates": """
+            select l_returnflag, count(*) as n_lines,
+                   cast(sum(case when l_discount > 0.05 then 1 else 0 end) as bigint) as n_discounted,
+                   round(sum(case when l_tax > 0.04 then l_quantity else 0 end), 2) as qty_high_tax,
+                   round(cast(sum(case when l_discount > 0.05 then 1 else 0 end) as bigint)
+                         / count(*) * 100, 2) as discount_share_pct
+            from lineitem group by 1 order by 1
+        """,
+        "value_bands": """
+            select case when value < 10 then 'low' when value < 25 then 'mid'
+                        when value < 50 then 'high' else 'extreme' end as band,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1 order by 1
+        """,
+        "hourly_events": """
+            select cast(hour(ts) as integer) as hour, count(*) as n_events,
+                   round(sum(value), 2) as sum_value
+            from events group by 1 order by 1
+        """,
+        "event_type_stats": """
+            select event_type, count(*) as n, round(avg(value), 4) as avg_value,
+                   min(value) as min_value, max(value) as max_value
+            from events group by 1 order by 1
+        """,
+        "cdc_upsert_events": """
+            select event_id, ts, user_id, event_type, value
+            from (select *, row_number() over (partition by user_id, event_type
+                                               order by ts desc, event_id desc) as rn
+                  from events) t
+            where rn = 1
+        """,
+        "user_daily_window": """
+            select user_id, date_trunc('day', ts) as day, count(*) as n_events,
+                   round(sum(value), 2) as sum_value
+            from events group by 1, 2 order by 1, 2
+        """,
+        "top_spenders": """
+            with s as (select user_id, round(sum(value), 2) as total_spend,
+                              count(*) as n_purchases
+                       from events where event_type = 'purchase' group by 1)
+            select user_id, total_spend, n_purchases
+            from s order by total_spend desc, user_id limit 10
+        """,
+        "daily_revenue_lag": """
+            with d as (select date_trunc('day', ts) as day, round(sum(value), 2) as revenue
+                       from events where event_type = 'purchase' group by 1)
+            select day, revenue,
+                   round((revenue - lag(revenue) over (order by day))
+                         / lag(revenue) over (order by day) * 100, 2) as dod_pct
+            from d order by day
+        """,
+        "event_anomalies": """
+            select event_type, count(*) as n,
+                   cast(sum(case when value > 45.0 then 1 else 0 end) as bigint) as n_high_value,
+                   cast(sum(case when hour(ts) >= 22 or hour(ts) < 6 then 1 else 0 end) as bigint) as n_night,
+                   cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error,
+                   round(cast(sum(case when value > 45.0 then 1 else 0 end) as bigint)
+                         / count(*) * 100, 2) as high_value_pct
+            from events group by 1 order by 1
+        """,
+        "nation_customer_rank": """
+            with a as (select c_nationkey, count(*) as n_customers,
+                              round(sum(c_acctbal), 2) as sum_acctbal
+                       from customer group by 1)
+            select c_nationkey, n_customers, sum_acctbal,
+                   round(percent_rank() over (order by n_customers), 4) as pr
+            from a order by c_nationkey
+        """,
+        "customer_tiers": """
+            with a as (select o_custkey, count(*) as n_orders,
+                              round(sum(o_totalprice), 2) as total_spend
+                       from orders group by 1 having count(*) >= 5),
+            r as (select *, row_number() over (order by total_spend desc, o_custkey) as spend_rank
+                  from a)
+            select o_custkey, n_orders, total_spend, spend_rank,
+                   case when spend_rank <= 10 then 'gold'
+                        when spend_rank <= 50 then 'silver' else 'bronze' end as tier
+            from r
+        """,
+        "union_dims": """
+            select * from (values ('role','user'),('role','assistant'),('role','system'),
+                                  ('role','tool'),('status','open'),('status','closed'),
+                                  ('status','pending')) t(kind, name)
+            order by kind, name
+        """,
+        "date_spine": """
+            select cast(d as timestamp) as date_day,
+                   cast(year(d) as integer) as year,
+                   cast(month(d) as integer) as month,
+                   cast(dayofweek(d) as integer) as day_of_week,
+                   dayofweek(d) in (0, 6) as is_weekend
+            from (select unnest(generate_series(date '2024-01-01', date '2024-02-29',
+                                                interval 1 day)) as d) t
+        """,
+    }

@@ -1,0 +1,518 @@
+"""Relational operator inventory over the driver's TPC-H-ish tables.
+
+Each ``q_*`` function is one operator pattern from SURVEY.md §2, expressed
+Ray-Data-first (columns pruned at the read, vectorized Arrow batch fns,
+broadcast map-side joins for small sides, aggregate cascades instead of
+count-distinct shuffles).  Each has a matching DuckDB oracle in
+``oracle_sql()`` (see ``__ray_entry__.py``); result column names are kept
+identical on both sides, aggregates are rounded identically so value
+hashes match.
+
+Reference analogs are cited per function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+# --------------------------------------------------------------------------
+# P1/P4/P8: projection + filter + vectorized arithmetic
+# (reference: stg_trips.sql:15-39 rename/select/null-drop;
+#  int_trips_validated.sql:50-55 derived math)
+def q_filter_project(sf_dir: str) -> rd.Dataset:
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-09-01"), pa.timestamp("us"))),
+                pc.greater(t["l_quantity"], 0.0),
+            )
+        )
+        revenue = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_quantity": t["l_quantity"],
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# A1: grouped rollup with sums/means/counts (agg_monthly.sql:3-46; TPC-H Q1 shape)
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(
+        out,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_price": 4},
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A2/A3: partial->final aggregate cascade + YoY lag (agg_yearly.sql:3-25)
+def q_orders_yearly(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int32()), "o_totalprice": t["o_totalprice"]}
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
+        .sort("o_year")
+        .to_pandas()
+    )
+    df["sum_total"] = df["sum_total"].round(2)
+    prev = df["sum_total"].shift(1)
+    df["yoy_pct"] = (((df["sum_total"] - prev) / prev) * 100).round(2)
+    return df
+
+
+# --------------------------------------------------------------------------
+# A4/O3: group -> having -> top-k with deterministic tiebreak
+# (insight_route_pricing.sql:3-19: route agg, count>=500, rank, limit 100)
+def q_top_routes(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "l_partkey": t["l_partkey"], "revenue": rev})
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="n_lines"), Mean("revenue", alias_name="avg_revenue"))
+    )
+    df = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_lines"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    df["avg_revenue"] = df["avg_revenue"].round(2)
+    df = df.sort_values(
+        ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True], ignore_index=True
+    ).head(100)
+    return df
+
+
+# --------------------------------------------------------------------------
+# J1: multi-way broadcast map-side join (obt_trips.sql:23-28)
+def q_obt_enriched(sf_dir: str) -> rd.Dataset:
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).to_arrow_refs()
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    # pre-join the dim chain driver-side (supplier->nation->region is tiny),
+    # then broadcast the two lookup tables once via ray.put
+    supp_t = pa.concat_tables(ray.get(supp.to_arrow_refs()))
+    nation_t = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    region_t = pa.concat_tables(ray.get(region.to_arrow_refs()))
+    part_t = pa.concat_tables(ray.get(part))
+    sn = supp_t.join(nation_t, keys="s_nationkey", right_keys="n_nationkey")
+    snr = sn.join(region_t, keys="n_regionkey", right_keys="r_regionkey")
+    snr = snr.select(["s_suppkey", "s_name", "n_name", "r_name"])
+    part_ref = ray.put(part_t)
+    snr_ref = ray.put(snr)
+
+    class Enrich:
+        def __init__(self):
+            self.part = ray.get(part_ref)
+            self.snr = ray.get(snr_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pidx = pc.index_in(t["l_partkey"], value_set=self.part["p_partkey"])
+            sidx = pc.index_in(t["l_suppkey"], value_set=self.snr["s_suppkey"])
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                    "p_brand": pc.take(self.part["p_brand"], pidx),
+                    "p_type": pc.take(self.part["p_type"], pidx),
+                    "s_name": pc.take(self.snr["s_name"], sidx),
+                    "nation_name": pc.take(self.snr["n_name"], sidx),
+                    "region_name": pc.take(self.snr["r_name"], sidx),
+                }
+            )
+
+    return li.map_batches(Enrich, batch_format="pyarrow", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# J (large-large): partitioned hash join lineitem x orders via Dataset.join
+def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(pre, batch_format="pyarrow")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    df = (
+        joined.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_lines"), Sum("revenue", alias_name="sum_revenue"))
+        .to_pandas()
+    )
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    return df.sort_values("o_orderstatus", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A1 count-distinct: two-level aggregate cascade (agg_monthly.sql:9)
+def q_monthly_active_customers(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_custkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return pa.table({"o_month": m, "o_custkey": t["o_custkey"]})
+
+    per_mc = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["o_month", "o_custkey"])
+        .aggregate(Count(alias_name="n"))
+    )
+    df = (
+        per_mc.groupby("o_month")
+        .aggregate(Count(alias_name="active_customers"), Sum("n", alias_name="n_orders"))
+        .sort("o_month")
+        .to_pandas()
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# A1 conditional (FILTER) aggregates as masked columns (agg_monthly.sql:16-23)
+def q_conditional_aggregates(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount", "l_tax"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.greater(t["l_discount"], 0.05), pa.int64())
+        qty_hi_tax = pc.if_else(pc.greater(t["l_tax"], 0.04), t["l_quantity"], pa.scalar(0.0))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "discounted": disc,
+                "qty_high_tax": qty_hi_tax,
+            }
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n_lines"),
+            Sum("discounted", alias_name="n_discounted"),
+            Sum("qty_high_tax", alias_name="qty_high_tax"),
+        )
+        .to_pandas()
+    )
+    df["qty_high_tax"] = df["qty_high_tax"].round(2)
+    df["discount_share_pct"] = (df["n_discounted"] / df["n_lines"] * 100).round(2)
+    return df.sort_values("l_returnflag", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# P10/A14: CASE bucketing + counts (int_trips_validated.sql:61-69 time-of-day;
+# dashboard risk bands 2_🔍_Fraud_Monitor.py:58-69)
+def q_value_bands(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["value", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        band = np.select([v < 10, v < 25, v < 50], ["low", "mid", "high"], default="extreme")
+        return pa.table({"band": pa.array(band), "value": t["value"]})
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values("band", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A11/A13: per-hour grouped counters (fraud_detector.py:159-179 hourly stats)
+def q_hourly_events(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"hour": pc.cast(pc.hour(t["ts"]), pa.int32()), "value": t["value"]}
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort("hour")
+        .to_pandas()
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+# --------------------------------------------------------------------------
+# A11 value_counts analog (fraud_detector.py:168-179 zone/payment counts)
+def q_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+    df = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("value", alias_name="avg_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    df["avg_value"] = df["avg_value"].round(4)
+    return df.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# ST1 analog over the driver's events table: CDC-style last-writer-wins
+# upsert keyed by (user_id, event_type), LWW on (ts, event_id)
+# (fct_trips.sql:1-7 merge; our engine's keyed merge as a pure Dataset op)
+def q_cdc_upsert_events(sf_dir: str) -> rd.Dataset:
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return t
+        u = t["user_id"].combine_chunks()
+        e = t["event_type"].combine_chunks()
+        same = pc.and_(
+            pc.equal(u.slice(0, n - 1), u.slice(1)), pc.equal(e.slice(0, n - 1), e.slice(1))
+        ).to_numpy(zero_copy_only=False)
+        mask = np.empty(n, bool)
+        mask[-1] = True
+        mask[:-1] = ~same.astype(bool)
+        return t.filter(pa.array(mask))
+
+    # per-batch combine (combiner), then per-key-group final resolve:
+    # one shuffle on user_id, exactly the engine's apply topology
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregate: per-user daily tumbling window (guide: groupby key +
+# floor(ts/size); reference's 5s micro-batch counters, fraud_detector.py:129-143)
+def q_user_daily_window(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"user_id": t["user_id"], "day": day, "value": t["value"]})
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["user_id", "day"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# O2/O3: top-k with deterministic tiebreak (insight_uber_effect.sql:4-11)
+def q_top_spenders(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+    df = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_spend"), Count(alias_name="n_purchases"))
+        .to_pandas()
+    )
+    df["total_spend"] = df["total_spend"].round(2)
+    return df.sort_values(
+        ["total_spend", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(10)
+
+
+# --------------------------------------------------------------------------
+# A8: lag window over daily revenue (insight_payment_shift.sql:7-8)
+def q_daily_revenue_lag(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]})
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("value", alias_name="revenue"))
+        .sort("day")
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    prev = df["revenue"].shift(1)
+    df["dod_pct"] = ((df["revenue"] - prev) / prev * 100).round(2)
+    return df
+
+
+# --------------------------------------------------------------------------
+# P11/A7: anomaly flag derivation + masked-sum rollup
+# (int_trips_validated.sql:71-85 flags; insight_anomaly_breakdown.sql:3-12)
+def q_event_anomalies(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t["ts"])
+        high_value = pc.cast(pc.greater(t["value"], 45.0), pa.int64())
+        night = pc.cast(pc.or_(pc.greater_equal(hour, 22), pc.less(hour, 6)), pa.int64())
+        err = pc.cast(pc.equal(t["event_type"], "error"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "is_high_value": high_value,
+                "is_night": night,
+                "is_error": err,
+            }
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("is_high_value", alias_name="n_high_value"),
+            Sum("is_night", alias_name="n_night"),
+            Sum("is_error", alias_name="n_error"),
+        )
+        .to_pandas()
+    )
+    df["high_value_pct"] = (df["n_high_value"] / df["n"] * 100).round(2)
+    return df.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A6: percent_rank over a grouped aggregate (insight_zone_heatmap.sql:3-42)
+def q_nation_customer_rank(sf_dir: str) -> pd.DataFrame:
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    df = (
+        cust.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    df = df.sort_values(["n_customers", "c_nationkey"], ignore_index=True)
+    n = len(df)
+    df["pr"] = ((df["n_customers"].rank(method="min") - 1) / max(n - 1, 1)).round(4)
+    return df.sort_values("c_nationkey", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A5: having + row_number rank + tier CASE (insight_tipping_patterns.sql:3-19)
+def q_customer_tiers(sf_dir: str) -> pd.DataFrame:
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    df = (
+        orders.groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend"))
+        .to_pandas()
+    )
+    df = df[df["n_orders"] >= 5].copy()
+    df["total_spend"] = df["total_spend"].round(2)
+    df = df.sort_values(
+        ["total_spend", "o_custkey"], ascending=[False, True], ignore_index=True
+    )
+    df["spend_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["tier"] = np.select(
+        [df["spend_rank"] <= 10, df["spend_rank"] <= 50], ["gold", "silver"], default="bronze"
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# P14/O1: literal dim union + sort (dim_payment_types.sql:3-11 union-all dims)
+def q_union_dims(sf_dir: str) -> pd.DataFrame:
+    a = rd.from_arrow(pa.table({"kind": ["role"] * 4, "name": ["user", "assistant", "system", "tool"]}))
+    b = rd.from_arrow(pa.table({"kind": ["status"] * 3, "name": ["open", "closed", "pending"]}))
+    return a.union(b).to_pandas().sort_values(["kind", "name"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# P15: generated date-spine dimension (dim_date.sql:6-82)
+def q_date_spine(sf_dir: str) -> pd.DataFrame:
+    from nyc_taxi_data_pipeline_ray.sources.dims import date_spine
+
+    return date_spine("2024-01-01", "2024-03-01").to_pandas()
