@@ -40,9 +40,27 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from nyc_taxi_data_pipeline_ray.pipelines import ann as A
+    from nyc_taxi_data_pipeline_ray.pipelines import multimodal as M
     from nyc_taxi_data_pipeline_ray.pipelines import relational as R
+    from nyc_taxi_data_pipeline_ray.pipelines import text as T
 
     return {
+        # text analysis / dedup over documents
+        "doc_token_stats": T.q_doc_token_stats,
+        "doc_quality": T.q_doc_quality,
+        "dedup_exact": T.q_dedup_exact,
+        "byte_jaccard_dups": T.q_char_jaccard_pairs,
+        "fingerprint": T.q_fingerprint,
+        "langid": T.q_langid,                       # rows-only (heuristic)
+        "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
+        "simhash": T.q_simhash,                      # rows-only
+        # similarity search over embeddings
+        "ann_bruteforce": A.q_ann_bruteforce,
+        "embedding_near_dup": A.q_embedding_near_dup,
+        "ann_lsh": A.q_ann_lsh,                      # rows-only (approximate)
+        # multimodal plumbing (stubbed decode)
+        "media_features": M.q_media_features,        # rows-only (synthetic)
         "filter_project": R.q_filter_project,
         "pricing_summary": R.q_pricing_summary,
         "orders_yearly": R.q_orders_yearly,
@@ -67,7 +85,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nyc_taxi_data_pipeline_ray.pipelines.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "doc_token_stats": r"""
+            select doc_id, cast(length(text) as bigint) as n_chars,
+                   cast(array_length(regexp_split_to_array(trim(text), '\s+')) as bigint) as n_tokens
+            from documents
+        """,
+        "doc_quality": rf"""
+            with t as (
+              select doc_id,
+                     cast(length(text) as bigint) as n_chars,
+                     regexp_split_to_array(trim(lower(text)), '\s+') as toks,
+                     cast(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) as bigint) as n_punct
+              from documents),
+            u as (
+              select doc_id,
+                     cast(array_length(toks) as bigint) as n_tokens,
+                     round(cast(len(list_filter(toks, x -> x in ({stoplist}))) as bigint)
+                           / greatest(cast(array_length(toks) as bigint), 1), 4) as stop_ratio,
+                     round(n_punct / greatest(n_chars, 1), 4) as punct_ratio
+              from t)
+            select doc_id, n_tokens, stop_ratio, punct_ratio,
+                   round(0.4 * stop_ratio
+                         + 0.4 * (case when n_tokens between 10 and 500 then 1 else 0 end)
+                         + 0.2 * (1 - punct_ratio), 4) as quality_score
+            from u
+        """,
+        "dedup_exact": """
+            select min(doc_id) as doc_id, cast(count(*) as bigint) as n_copies
+            from documents group by text order by doc_id
+        """,
+        "byte_jaccard_dups": """
+            select a.lang as lang, a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(jaccard(a.text, b.text), 4) as sim
+            from documents a join documents b on a.lang = b.lang and a.doc_id < b.doc_id
+            where jaccard(a.text, b.text) >= 1.0
+            order by lang, doc_a, doc_b
+        """,
+        "fingerprint": """
+            select doc_id, md5(text) as fingerprint from documents
+        """,
+        "ann_bruteforce": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        "embedding_near_dup": """
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_cosine_similarity(cast(a.embedding as double[]),
+                                                cast(b.embedding as double[])), 4) as sim
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(cast(a.embedding as double[]),
+                                         cast(b.embedding as double[])) >= 0.45
+            order by vec_a, vec_b
+        """,
         "filter_project": """
             select l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) as revenue

@@ -1,0 +1,224 @@
+"""Benchmark harness.
+
+Headline: CDC replay throughput — a deterministic synthetic transcript
+WAL (cached on disk, same files for every run/parallelism level) applied
+into a fresh Parquet lake via ``CdcEngine.apply`` (read -> validate ->
+combine -> hash shuffle on conv_id -> per-partition LWW merge -> commit).
+
+Also times every ``queries()`` entry over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_seconds", "value": <headline sec>, "unit": "sec",
+   "events_per_sec": ..., "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` reruns the headline in fresh processes at num_cpus=8 and
+32 on the same input and reports throughput at both + efficiency
+(the sandbox stand-in for the N vs 4N node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/graft_bench")
+
+# headline WAL shape: ~2M events, ~200k conversations, mild skew,
+# dup/ooo/invalid knobs on — a scaled-down stand-in for the 10^10 target
+WAL_EVENTS_PER_EPOCH = int(os.environ.get("GRAFT_BENCH_EPOCH_EVENTS", "250000"))
+WAL_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "8"))
+
+QUERY_SKIP = set()  # all run by default
+
+
+def _wal_dir() -> str:
+    return os.path.join(
+        BENCH_ROOT, f"wal_{WAL_EPOCHS}x{WAL_EVENTS_PER_EPOCH}"
+    )
+
+
+def ensure_wal() -> str:
+    from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+
+    d = _wal_dir()
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        spec = WalSpec(
+            seed=42,
+            num_conversations=max(1000, WAL_EVENTS_PER_EPOCH * WAL_EPOCHS // 10),
+            num_epochs=WAL_EPOCHS,
+            events_per_epoch=WAL_EVENTS_PER_EPOCH,
+            ooo_fraction=0.05,
+            dup_fraction=0.02,
+            invalid_fraction=0.01,
+            zipf_s=1.1,
+        )
+        WalGenerator(spec).write(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_headline() -> dict:
+    import shutil
+
+    import ray
+
+    from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+
+    wal = ensure_wal()
+    lake = os.path.join(BENCH_ROOT, f"lake_cpu{NUM_CPUS}_{os.getpid()}")
+    shutil.rmtree(lake, ignore_errors=True)
+
+    # warm-up: spawn the worker pool + page-cache the WAL (untimed)
+    import ray.data as rd
+
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(wal)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    rd.read_parquet(files).map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow").count()
+
+    eng = CdcEngine(
+        LakeConfig.open_or_create(lake, num_partitions=max(NUM_CPUS, 16))
+    )
+    t0 = time.perf_counter()
+    rep = eng.apply(wal)
+    dt = time.perf_counter() - t0
+    n_events = rep.rows_in
+    shutil.rmtree(lake, ignore_errors=True)
+    return {
+        "seconds": round(dt, 3),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as E
+
+    out = {}
+    for name, fn in E.queries().items():
+        if name in QUERY_SKIP:
+            continue
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazily-built results
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res = res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_seconds",
+                "value": headline["seconds"],
+                "unit": "sec",
+                "events": headline["events"],
+                "events_per_sec": headline["events_per_sec"],
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same WAL, fresh processes at 8 and 32 CPUs; efficiency =
+    (t8/t32)/(32/8)."""
+    # make sure the WAL exists before timing anything
+    import ray
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+    ensure_wal()
+    ray.shutdown()
+
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8cpu": t8,
+                "sec_32cpu": t32,
+                "events_per_sec_8cpu": results[8]["events_per_sec"],
+                "events_per_sec_32cpu": results[32]["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        import ray
+
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        headline = run_headline()
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_seconds",
+                    "value": headline["seconds"],
+                    "unit": "sec",
+                    "events": headline["events"],
+                    "events_per_sec": headline["events_per_sec"],
+                    "queries": {},
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    else:
+        main()

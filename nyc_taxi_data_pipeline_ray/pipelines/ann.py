@@ -1,0 +1,188 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- :func:`q_ann_bruteforce` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; each batch does one float64 matmul
+  against it and emits a *partial* top-k, so the final merge handles
+  (num_queries x k x num_blocks) rows, not N.  SQL oracle via DuckDB
+  ``list_cosine_similarity``.
+- :func:`q_embedding_near_dup` — all-pairs cosine >= threshold by
+  blocked matmul against the broadcast full matrix (N x 64 floats is
+  small; work N^2 is sharded across batches).  SQL oracle (self cross
+  join).  At N where N x d no longer broadcasts, swap the broadcast for
+  the LSH bucketing below.
+- :func:`q_ann_lsh` — random-hyperplane LSH: sign-bit signatures ->
+  bucket groupby -> exact cosine only within buckets (the scale path;
+  recall vs brute force asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pa.concat_tables(
+        ray.get(rd.read_parquet(f"{sf_dir}/embeddings.parquet").to_arrow_refs())
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def q_ann_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 5) -> pd.DataFrame:
+    """Exact top-k cosine neighbours of the first ``num_queries`` vectors."""
+    qids_all, qmat_all = _emb_matrix(sf_dir)
+    qsel = qids_all < num_queries
+    qids, qmat = qids_all[qsel], _normalize_rows(qmat_all[qsel])
+    qref = ray.put((qids, qmat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize_rows(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            sims = self.qmat @ m.T  # (Q x B)
+            rows = {"qid": [], "vec_id": [], "sim": []}
+            for qi, qid in enumerate(self.qids):
+                s = sims[qi]
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                order = cand[np.lexsort((ids[cand], -np.round(s[cand], 4)))][:k]
+                rows["qid"].extend([qid] * len(order))
+                rows["vec_id"].extend(ids[order])
+                rows["sim"].extend(np.round(s[order], 4))
+            return pa.table(
+                {
+                    "qid": pa.array(rows["qid"], pa.int64()),
+                    "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                    "sim": pa.array(rows["sim"], pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], ignore_index=True)
+        return g.head(k)
+
+    df = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
+    return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)
+
+
+def q_embedding_near_dup(sf_dir: str, *, threshold: float = 0.45) -> pd.DataFrame:
+    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    ref = ray.put((ids_all, _normalize_rows(mat_all)))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class BlockPairs:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bids = t["vec_id"].to_numpy(zero_copy_only=False)
+            bm = _normalize_rows(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            sims = bm @ self.mat.T  # (B x N)
+            bi, aj = np.nonzero(sims >= threshold)
+            keep = bids[bi] < self.ids[aj]  # dedupe mirrored pairs: a < b
+            bi, aj = bi[keep], aj[keep]
+            return pa.table(
+                {
+                    "vec_a": pa.array(bids[bi], pa.int64()),
+                    "vec_b": pa.array(self.ids[aj], pa.int64()),
+                    "sim": pa.array(np.round(sims[bi, aj], 4), pa.float64()),
+                }
+            )
+
+    df = ds.map_batches(BlockPairs, batch_format="pyarrow", concurrency=2).to_pandas()
+    return df.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def q_ann_lsh(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Multi-table random-hyperplane LSH approximate top-k: L independent
+    sign-signature tables; a vector is a candidate if it collides with
+    the query in ANY table (standard LSH OR-amplification — for cosine
+    ~0.4 neighbours, one 6-plane table collides with p~0.08; 12 tables
+    lift recall to ~1-(1-p)^12 ~ 0.63).  Exact cosine reranks the
+    candidate union.  Tests measure recall vs :func:`q_ann_bruteforce`."""
+    rng = np.random.default_rng(seed)
+    qids_all, qmat_all = _emb_matrix(sf_dir)
+    dim = qmat_all.shape[1]
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    qsel = qids_all < num_queries
+    qids, qmat = qids_all[qsel], _normalize_rows(qmat_all[qsel])
+    pow2 = 1 << np.arange(n_planes)
+    qsig = np.stack([(qmat @ planes[t] > 0) @ pow2 for t in range(n_tables)], axis=1)  # (Q, L)
+    qref = ray.put((qids, qmat, qsig, planes))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class BucketScan:
+        def __init__(self):
+            self.qids, self.qmat, self.qsig, self.planes = ray.get(qref)
+            self.pow2 = 1 << np.arange(self.planes.shape[2])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize_rows(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            L = self.planes.shape[0]
+            sig = np.stack(
+                [(m @ self.planes[ti] > 0) @ self.pow2 for ti in range(L)], axis=1
+            )  # (B, L)
+            rows = {"qid": [], "vec_id": [], "sim": []}
+            for qi, qid in enumerate(self.qids):
+                collide = (sig == self.qsig[qi][None, :]).any(axis=1) & (ids != qid)
+                cand = np.nonzero(collide)[0]
+                if len(cand) == 0:
+                    continue
+                s = m[cand] @ self.qmat[qi]
+                order = np.lexsort((ids[cand], -np.round(s, 4)))[:k]
+                rows["qid"].extend([qid] * len(order))
+                rows["vec_id"].extend(ids[cand][order])
+                rows["sim"].extend(np.round(s[order], 4))
+            return pa.table(
+                {
+                    "qid": pa.array(rows["qid"], pa.int64()),
+                    "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                    "sim": pa.array(rows["sim"], pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(BucketScan, batch_format="pyarrow", concurrency=2)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True], ignore_index=True).head(k)
+
+    df = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
+    return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)

@@ -48,11 +48,22 @@ _LANG_MARKERS = {
 }
 
 
-def _tokens(text_col: pa.ChunkedArray) -> pa.ChunkedArray:
+def round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """DuckDB-compatible rounding (half away from zero).  numpy/pandas
+    round half-to-even, which disagrees on exactly-representable ties
+    like 5/32 = 0.15625 — real for ratios with power-of-two denominators."""
+    p = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def _tokens(text_col) -> pa.ListArray:
     """trim -> whitespace split; matches DuckDB
     ``regexp_split_to_array(trim(text), '\\s+')`` incl. the empty-string
-    edge case (both produce [''])."""
-    return pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text_col))
+    edge case (both produce ['']).  Always returns a plain ListArray."""
+    out = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text_col))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
 
 
 def _segment_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -65,8 +76,8 @@ def _segment_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
-def _token_stop_counts(text: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    toks = _tokens(pc.utf8_lower(text)).combine_chunks()
+def _token_stop_counts(text) -> tuple[np.ndarray, np.ndarray]:
+    toks = _tokens(pc.utf8_lower(text))
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
     offsets = offsets - offsets[0]  # slice-local offsets
     n_tokens = np.diff(offsets)
@@ -111,10 +122,12 @@ def q_doc_quality(sf_dir: str) -> rd.Dataset:
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        stop_ratio = np.round(n_stop / np.maximum(n_tokens, 1), 4)
-        punct_ratio = np.round(punct / np.maximum(n_chars, 1), 4)
+        stop_ratio = round_half_away(n_stop / np.maximum(n_tokens, 1), 4)
+        punct_ratio = round_half_away(punct / np.maximum(n_chars, 1), 4)
         len_band = ((n_tokens >= 10) & (n_tokens <= 500)).astype(np.float64)
-        score = np.round(0.4 * stop_ratio + 0.4 * len_band + 0.2 * (1.0 - punct_ratio), 4)
+        score = round_half_away(
+            0.4 * stop_ratio + 0.4 * len_band + 0.2 * (1.0 - punct_ratio), 4
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -157,7 +170,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
-def q_char_jaccard_pairs(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
+def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
     """Similar-document pairs by byte-set Jaccard within each ``lang``
     group — the n-gram-Jaccard family with n=1 over utf-8 bytes, chosen
     because DuckDB's ``jaccard()`` has exactly these semantics (so the
@@ -226,7 +239,7 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 
     def fn(t: pa.Table) -> pa.Table:
         text = t["text"].combine_chunks()
-        toks = _tokens(pc.utf8_lower(text)).combine_chunks()
+        toks = _tokens(pc.utf8_lower(text))
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         offsets = offsets - offsets[0]
         flat = toks.flatten()

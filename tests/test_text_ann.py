@@ -1,0 +1,146 @@
+"""Text/dedup/ANN/multimodal operators: oracle parity is covered by
+test_relational.py (they are queries() entries); here: semantic checks
+that the rows-only operators actually work (planted duplicates, recall,
+accuracy)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.pipelines import ann, multimodal, text
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory):
+    """documents table with planted exact + near duplicates."""
+    d = tmp_path_factory.mktemp("dupdocs")
+    base = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = base["text"].to_pylist()[:50]
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for i, t in enumerate(texts):
+        rows["doc_id"].append(i)
+        rows["text"].append(t)
+        rows["lang"].append("en")
+        rows["source"].append("s")
+        rows["n_chars"].append(len(t))
+    # exact dups of docs 0..4 -> ids 100..104; near-dups of 5..9 -> 200..204
+    for i in range(5):
+        rows["doc_id"].append(100 + i)
+        rows["text"].append(texts[i])
+        rows["lang"].append("en")
+        rows["source"].append("s")
+        rows["n_chars"].append(len(texts[i]))
+    for i in range(5):
+        near = texts[5 + i] + " extra tail token"
+        rows["doc_id"].append(200 + i)
+        rows["text"].append(near)
+        rows["lang"].append("en")
+        rows["source"].append("s")
+        rows["n_chars"].append(len(near))
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_planted(dup_docs_dir):
+    df = text.q_dedup_exact(dup_docs_dir)
+    dups = df[df["n_copies"] > 1]
+    assert set(dups["doc_id"]) == {0, 1, 2, 3, 4}
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_minhash_finds_planted_dups(dup_docs_dir):
+    df = text.q_minhash_near_dups(dup_docs_dir, threshold=0.5)
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"exact dup pair ({i},{100+i}) missed"
+    for i in range(5):
+        assert (5 + i, 200 + i) in pairs, f"near dup pair ({5+i},{200+i}) missed"
+
+
+def test_minhash_estimates_near_one_for_exact(dup_docs_dir):
+    df = text.q_minhash_near_dups(dup_docs_dir, threshold=0.5)
+    exact = df[(df["doc_a"] < 5) & (df["doc_b"] >= 100)]
+    assert (exact["est_jaccard"] == 1.0).all()
+
+
+def test_simhash_hamming_small_for_near_dups(dup_docs_dir):
+    df = text.q_simhash(dup_docs_dir).set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin(np.uint64(a).astype(np.int64) ^ np.uint64(b).astype(np.int64) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    def ham2(a, b):
+        return int(bin((int(a) & (2**64 - 1)) ^ (int(b) & (2**64 - 1))).count("1"))
+
+    for i in range(5):
+        assert ham2(df[i], df[100 + i]) == 0  # exact dup -> identical simhash
+    near = [ham2(df[5 + i], df[200 + i]) for i in range(5)]
+    far = [ham2(df[i], df[j]) for i in range(5) for j in range(20, 25)]
+    assert np.mean(near) < np.mean(far)
+
+
+def test_langid_runs_and_is_deterministic():
+    # the driver's synthetic documents have English-ish word-salad text
+    # regardless of the lang label, so accuracy-vs-label is meaningless;
+    # assert mechanics: valid predictions, determinism, en-dominance.
+    df = text.q_langid(SF_DIR)
+    assert set(df["pred_lang"]) <= {"en", "de", "fr", "es", "zh"}
+    assert (df["pred_lang"] == "en").mean() > 0.5
+    df2 = text.q_langid(SF_DIR)
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_langid_on_real_language_samples():
+    import pyarrow.parquet as pq_mod
+    import tempfile, os
+    samples = {
+        "en": "the cat sat on the mat and it was happy for a while",
+        "de": "der hund ist nicht mit der katze auf das sofa gegangen und die tür",
+        "fr": "le chat est dans la maison et les enfants sont pour une promenade",
+        "es": "el perro es una mascota y los gatos son animales que viven en la casa",
+        "zh": "这是一个中文句子用来测试语言识别的功能是否正常工作",
+    }
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "doc_id": list(range(len(samples))),
+                "text": list(samples.values()),
+                "lang": list(samples.keys()),
+            }
+        )
+        pq_mod.write_table(t, os.path.join(d, "documents.parquet"))
+        df = text.q_langid(d)
+        acc = (df["pred_lang"] == df["lang"]).mean()
+        assert acc == 1.0, df
+
+
+def test_ann_lsh_recall():
+    bf = ann.q_ann_bruteforce(SF_DIR)
+    lsh = ann.q_ann_lsh(SF_DIR)
+    bf_pairs = set(zip(bf["qid"], bf["vec_id"]))
+    lsh_pairs = set(zip(lsh["qid"], lsh["vec_id"]))
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.2, f"LSH recall {recall:.2f}"  # 8 planes, 1 probe: low but nonzero
+    # all LSH sims must be genuine cosines (subset check not required)
+    assert (lsh["sim"] <= 1.0001).all()
+
+
+def test_media_pipeline_schema_and_determinism():
+    df1 = multimodal.q_media_features("/root/testdata/sf0.001")
+    df2 = multimodal.q_media_features("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(df1, df2)
+    assert {"media_id", "kind", "payload_bytes", "feat_l1", "target_w", "n_samples"} <= set(df1.columns)
+    img = df1[df1["kind"] == "image"]
+    assert (img["target_w"] <= 224).all()
+    assert np.isclose(df1["feat_l1"], 1.0, atol=0.01).all()
+
+
+def test_media_decode_stub_raises_when_real_required():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeMedia(require_real=True)
