@@ -48,36 +48,34 @@ def q_ann_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 5) -> pd.Dat
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class PartialTopK:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(qref)
+    def partial_topk(t: pa.Table) -> pa.Table:
+        # plain task (not an actor): the broadcast ref resolves from the
+        # local object store via shared memory, no pool spin-up cost
+        qids_l, qmat_l = ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize_rows(
+            np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = qmat_l @ m.T  # (Q x B)
+        rows = {"qid": [], "vec_id": [], "sim": []}
+        for qi, qid in enumerate(qids_l):
+            s = sims[qi]
+            cand = np.nonzero(ids != qid)[0]
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((ids[cand], -np.round(s[cand], 4)))][:k]
+            rows["qid"].extend([qid] * len(order))
+            rows["vec_id"].extend(ids[order])
+            rows["sim"].extend(np.round(s[order], 4))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "sim": pa.array(rows["sim"], pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize_rows(
-                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            )
-            sims = self.qmat @ m.T  # (Q x B)
-            rows = {"qid": [], "vec_id": [], "sim": []}
-            for qi, qid in enumerate(self.qids):
-                s = sims[qi]
-                mask = ids != qid
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                order = cand[np.lexsort((ids[cand], -np.round(s[cand], 4)))][:k]
-                rows["qid"].extend([qid] * len(order))
-                rows["vec_id"].extend(ids[order])
-                rows["sim"].extend(np.round(s[order], 4))
-            return pa.table(
-                {
-                    "qid": pa.array(rows["qid"], pa.int64()),
-                    "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                    "sim": pa.array(rows["sim"], pa.float64()),
-                }
-            )
-
-    partial = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], ignore_index=True)
@@ -94,28 +92,25 @@ def q_embedding_near_dup(sf_dir: str, *, threshold: float = 0.45) -> pd.DataFram
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class BlockPairs:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids_l, mat_l = ray.get(ref)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        bm = _normalize_rows(
+            np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = bm @ mat_l.T  # (B x N)
+        bi, aj = np.nonzero(sims >= threshold)
+        keep = bids[bi] < ids_l[aj]  # dedupe mirrored pairs: a < b
+        bi, aj = bi[keep], aj[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(ids_l[aj], pa.int64()),
+                "sim": pa.array(np.round(sims[bi, aj], 4), pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bids = t["vec_id"].to_numpy(zero_copy_only=False)
-            bm = _normalize_rows(
-                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            )
-            sims = bm @ self.mat.T  # (B x N)
-            bi, aj = np.nonzero(sims >= threshold)
-            keep = bids[bi] < self.ids[aj]  # dedupe mirrored pairs: a < b
-            bi, aj = bi[keep], aj[keep]
-            return pa.table(
-                {
-                    "vec_a": pa.array(bids[bi], pa.int64()),
-                    "vec_b": pa.array(self.ids[aj], pa.int64()),
-                    "sim": pa.array(np.round(sims[bi, aj], 4), pa.float64()),
-                }
-            )
-
-    df = ds.map_batches(BlockPairs, batch_format="pyarrow", concurrency=2).to_pandas()
+    df = ds.map_batches(block_pairs, batch_format="pyarrow").to_pandas()
     return df.sort_values(["vec_a", "vec_b"], ignore_index=True)
 
 
@@ -146,40 +141,35 @@ def q_ann_lsh(
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class BucketScan:
-        def __init__(self):
-            self.qids, self.qmat, self.qsig, self.planes = ray.get(qref)
-            self.pow2 = 1 << np.arange(self.planes.shape[2])
+    def bucket_scan(t: pa.Table) -> pa.Table:
+        qids_l, qmat_l, qsig_l, planes_l = ray.get(qref)
+        pow2_l = 1 << np.arange(planes_l.shape[2])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize_rows(
+            np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        L = planes_l.shape[0]
+        sig = np.stack([(m @ planes_l[ti] > 0) @ pow2_l for ti in range(L)], axis=1)  # (B, L)
+        rows = {"qid": [], "vec_id": [], "sim": []}
+        for qi, qid in enumerate(qids_l):
+            collide = (sig == qsig_l[qi][None, :]).any(axis=1) & (ids != qid)
+            cand = np.nonzero(collide)[0]
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ qmat_l[qi]
+            order = np.lexsort((ids[cand], -np.round(s, 4)))[:k]
+            rows["qid"].extend([qid] * len(order))
+            rows["vec_id"].extend(ids[cand][order])
+            rows["sim"].extend(np.round(s[order], 4))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "sim": pa.array(rows["sim"], pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize_rows(
-                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            )
-            L = self.planes.shape[0]
-            sig = np.stack(
-                [(m @ self.planes[ti] > 0) @ self.pow2 for ti in range(L)], axis=1
-            )  # (B, L)
-            rows = {"qid": [], "vec_id": [], "sim": []}
-            for qi, qid in enumerate(self.qids):
-                collide = (sig == self.qsig[qi][None, :]).any(axis=1) & (ids != qid)
-                cand = np.nonzero(collide)[0]
-                if len(cand) == 0:
-                    continue
-                s = m[cand] @ self.qmat[qi]
-                order = np.lexsort((ids[cand], -np.round(s, 4)))[:k]
-                rows["qid"].extend([qid] * len(order))
-                rows["vec_id"].extend(ids[cand][order])
-                rows["sim"].extend(np.round(s[order], 4))
-            return pa.table(
-                {
-                    "qid": pa.array(rows["qid"], pa.int64()),
-                    "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                    "sim": pa.array(rows["sim"], pa.float64()),
-                }
-            )
-
-    partial = ds.map_batches(BucketScan, batch_format="pyarrow", concurrency=2)
+    partial = ds.map_batches(bucket_scan, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["sim", "vec_id"], ascending=[False, True], ignore_index=True).head(k)

@@ -327,7 +327,6 @@ def q_minhash_near_dups(
         band_ids, doc_idx, band_hash = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            h = pd.util.hash_array(np.ascontiguousarray(chunk).view(np.uint8).reshape(n, -1).sum(axis=1) * 0)
             # deterministic band hash: polynomial combine of the band rows
             bh = np.zeros(n, dtype=np.uint64)
             for c in range(chunk.shape[1]):
@@ -345,23 +344,41 @@ def q_minhash_near_dups(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-        g = g.sort_values("doc_id", ignore_index=True)
-        sig = np.stack(g["sig"].to_numpy())
-        ids = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame(
-            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "est_jaccard": np.round(est[keep], 4)}
-        )
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per band; tiny per-bucket groups are handled with
+        # an in-process pandas groupby (avoids per-bucket task overhead —
+        # most LSH buckets are singletons)
+        out = []
+        for _, bg in g.groupby("band_hash", sort=False):
+            if len(bg) < 2:
+                continue
+            bg = bg.sort_values("doc_id", ignore_index=True)
+            sig = np.stack(bg["sig"].to_numpy())
+            ids = bg["doc_id"].to_numpy()
+            ia, ib = np.triu_indices(len(bg), k=1)
+            est = (sig[ia] == sig[ib]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ia[keep]],
+                            "doc_b": ids[ib[keep]],
+                            "est_jaccard": np.round(est[keep], 4),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
 
     df = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )
     if df.empty:

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nyc_taxi_data_pipeline_ray import schemas
@@ -158,6 +159,16 @@ class WalGenerator:
             role[bad & (kind == 2) & ~is_del] = "robot"
             valid_mask = ~bad | (is_del & (kind == 2))
 
+        # per-write-unique payload: " #<lsn>" suffix catches any wrong LWW
+        # winner in the text-equality oracle.  Concat in Arrow (var-length)
+        # — np.char on 2000-char strings allocates GBs of fixed-width U2000.
+        text_full = pc.binary_join_element_wise(
+            pa.array(text, pa.string()),
+            pc.cast(pa.array(lsn), pa.string()),
+            " #",
+        )
+        text_col = pc.if_else(pa.array(~is_del), text_full, pa.scalar(None, pa.string()))
+
         arrays: dict[str, pa.Array] = {
             "lsn": pa.array(lsn, pa.int64()),
             "op": pa.array(op.astype(object), pa.string()),
@@ -165,12 +176,7 @@ class WalGenerator:
             "conv_id": pa.array(conv_id, pa.string()),
             "turn_idx": pa.array(turn, pa.int32() if not self._evolved(epoch) else pa.int64()),
             "role": pa.array(np.where(is_del, None, role), pa.string()),
-            # per-write-unique payload: " #<lsn>" suffix catches any wrong
-            # LWW winner in the text-equality oracle
-            "text": pa.array(
-                np.where(is_del, None, np.char.add(text.astype(str), np.char.mod(" #%d", lsn))),
-                pa.string(),
-            ),
+            "text": text_col,
             "tool": pa.array(np.where(is_del | ~has_tool, None, tool), pa.string()),
             "ts": pa.array(ts, pa.timestamp("us")),
         }
