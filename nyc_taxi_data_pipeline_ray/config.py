@@ -30,6 +30,11 @@ class LakeConfig:
     salt_shards: int = 1
     #: rows per apply batch in map_batches stages.
     batch_size: int = 65536
+    #: rows per Stage-A staging unit (a row-group-aligned slice of one WAL
+    #: segment file processed by one Ray task).  ~128k rows of 2 KB text
+    #: is ~256 MB in memory — sized so a unit plus its pid-split copy fits
+    #: a 1-CPU worker heap comfortably.
+    stage_unit_rows: int = 131072
     extra: dict = field(default_factory=dict)
 
     @property

@@ -16,29 +16,44 @@ The Ray-Data-native replacement for the reference's whole ELT loop:
 
 Dataflow of one :meth:`apply` run (a group of unapplied epochs)::
 
-    ray.data.read_parquet(epoch segment files)          # columnar, pruned
-      .map_batches(_PrepareBatch, pyarrow)              # validate + pid +
-                                                        #   per-batch LWW
-                                                        #   pre-combine
-      [.groupby(pid, salt).map_groups(combine)]         # optional salted
-                                                        #   stage for skew
-      .groupby(pid).map_groups(_apply_partition)        # ONE shuffle; each
-                                                        #   task owns one
-                                                        #   lake partition
-      -> tiny per-partition report rows -> driver commit marker
+    Stage A  (map over WAL row-group ranges, no exchange):
+      one task per ~row-group-range of a segment file:
+        read -> conform -> validate -> per-unit LWW pre-combine
+        -> split rows by pid [and salt]
+        -> write lake/_staging/group-G/p=NNNN[/s=SS]/stage-<unit>.parquet
+      fragment names are DETERMINISTIC per (group, epoch, file, range),
+      written tmp+rename: a retried task atomically overwrites identical
+      bytes (exactly-once without any coordination).
 
-The only all-to-all exchange is the hash shuffle on ``_pid``; per-batch
-pre-combine collapses repeated writes to the same key *before* the
-shuffle (combiner pattern), which is what bounds skew from hot
-conversations together with the optional salted stage.  State lives in
-the lake (base + delta runs per partition), never in actor memory —
-tasks are stateless and retryable; the manifest is the unit of truth.
+    [Stage A2, salt_shards > 1]  (map over (pid, salt), no exchange):
+      parallel pre-merge of one hot partition's salt slice into a single
+      combined fragment — the skew reducer: a conversation-heavy
+      partition is collapsed by salt_shards tasks before the final merge.
+
+    Stage B  (map over partition ids, no exchange):
+      one task per lake partition: read that pid's staged fragments,
+      drop already-committed epochs (resume), LWW-merge, write delta run
+      + rejects + manifest (the commit point).
+
+    driver: global epoch markers, then staging cleanup.
+
+There is NO object-store all-to-all: the "shuffle" is the partitioned
+staging write into the lake's storage (node-local disk here, S3/HDFS on
+a real cluster) — the standard external-shuffle layout for CDC upsert
+at the 10^10-event scale, where a sort-based exchange of the full text
+payload would bottleneck the object store.  Per-unit pre-combine
+collapses repeated writes to the same key before anything is staged.
+State lives in the lake (base + delta runs per partition), never in
+actor memory — tasks are stateless and retryable; the manifest is the
+unit of truth.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import re
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -72,57 +87,193 @@ def hash_partition_ids(conv_id: pa.ChunkedArray | pa.Array, num_partitions: int)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-class _PrepareBatch:
-    """Stateless map_batches stage: validity tag + partition id + per-batch
-    LWW pre-combine (the combiner that runs *before* the shuffle)."""
+_worker_threads_set = False
 
-    def __init__(self, num_partitions: int, salt_shards: int = 1, target_schema: pa.Schema | None = None):
-        self.num_partitions = num_partitions
-        self.salt_shards = salt_shards
-        self.target_schema = target_schema
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.target_schema is not None:
-            batch = mg.conform(batch, self.target_schema)
-        good, bad = validate_mod.split_valid(batch)
-        # combiner: one surviving row per key per batch (keeps tombstones);
-        # _nsrc preserves exact source-row lineage across the collapse
-        good = good.append_column(mg.NSRC, pa.array(np.ones(good.num_rows, np.int64)))
-        good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
-        good = good.drop_columns([mg.RUN_SEQ])
-        pid = hash_partition_ids(good["conv_id"], self.num_partitions)
-        good = good.append_column(PID_COL, pa.array(pid, pa.int32()))
-        if bad.num_rows:
-            bad = bad.append_column(mg.NSRC, pa.array(np.ones(bad.num_rows, np.int64)))
-            bad_pid = np.zeros(bad.num_rows, np.int32)
-            bad = bad.append_column(PID_COL, pa.array(bad_pid, pa.int32()))
-            bad = bad.append_column(validate_mod.VALID_COL, pa.array(np.zeros(bad.num_rows, bool)))
-            good = good.append_column(
-                validate_mod.VALID_COL, pa.array(np.ones(good.num_rows, bool))
-            )
-            if self.salt_shards > 1:
-                good = _add_salt(good, self.salt_shards)
-                bad = _add_salt(bad, 1)
-            return mg.concat_unified([good, bad])
-        good = good.append_column(validate_mod.VALID_COL, pa.array(np.ones(good.num_rows, bool)))
-        if self.salt_shards > 1:
-            good = _add_salt(good, self.salt_shards)
-        return good
+def _ensure_worker_thread_limit() -> None:
+    """Cap Arrow's internal thread pool inside Ray worker tasks.
+
+    Each map task is scheduled as 1 CPU, but Arrow kernels
+    (sort_indices/take/filter) default to a machine-wide pool — 30
+    concurrent tasks x 32 Arrow threads oversubscribes the node ~30x.
+    One Arrow thread per 1-CPU task keeps wall time ~= cpu time.
+    """
+    global _worker_threads_set
+    if not _worker_threads_set:
+        pa.set_cpu_count(max(1, int(os.environ.get("OMP_NUM_THREADS", "1"))))
+        _worker_threads_set = True
+
+
+def _combine_batch_lww(good: pa.Table) -> pa.Table:
+    """Per-batch LWW pre-combine: keep only each key's winning row.
+
+    Unlike :func:`state.merge.resolve_lww` this never materializes the
+    full key-sorted batch — it sorts *indices*, takes just the 2 key
+    columns to find group boundaries, then gathers only winner rows
+    (typically ~half the batch of 2 KB texts is never copied).  Output
+    carries ``_nsrc`` = source rows collapsed into each winner.
+    """
+    n = good.num_rows
+    if n == 0:
+        return good.append_column(mg.NSRC, pa.array([], pa.int64()))
+    idx = pc.sort_indices(
+        good,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("lsn", "ascending"),
+        ],
+    )
+    keys_sorted = good.select(["conv_id", "turn_idx"]).take(idx)
+    mask = mg._last_per_key_mask(keys_sorted)
+    ends = np.nonzero(mask)[0]
+    starts = np.empty_like(ends)
+    if len(ends):
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    sizes = ends - starts + 1
+    winners = idx.to_numpy()[mask]
+    out = good.take(pa.array(winners))
+    return out.append_column(mg.NSRC, pa.array(sizes.astype(np.int64), pa.int64()))
+
+
+def _prepare_table(
+    batch: pa.Table,
+    target_schema: pa.Schema | None,
+    num_partitions: int,
+    salt_shards: int,
+) -> pa.Table:
+    """Validate + per-unit LWW pre-combine + pid/salt routing columns."""
+    if target_schema is not None:
+        batch = mg.conform(batch, target_schema)
+    good, bad = validate_mod.split_valid(batch)
+    # combiner: one surviving row per key per unit (keeps tombstones);
+    # _nsrc preserves exact source-row lineage across the collapse
+    good = _combine_batch_lww(good)
+    pid = hash_partition_ids(good["conv_id"], num_partitions)
+    good = good.append_column(PID_COL, pa.array(pid, pa.int32()))
+    good = good.append_column(validate_mod.VALID_COL, pa.array(np.ones(good.num_rows, bool)))
+    good = _add_salt(good, salt_shards)
+    if bad.num_rows:
+        bad = bad.append_column(mg.NSRC, pa.array(np.ones(bad.num_rows, np.int64)))
+        bad = bad.append_column(PID_COL, pa.array(np.zeros(bad.num_rows, np.int32)))
+        bad = bad.append_column(validate_mod.VALID_COL, pa.array(np.zeros(bad.num_rows, bool)))
+        bad = bad.append_column(SALT_COL, pa.array(np.zeros(bad.num_rows, np.int32)))
+        return mg.concat_unified([good, bad])
+    return good
 
 
 def _add_salt(t: pa.Table, shards: int) -> pa.Table:
-    salt = (t["lsn"].to_numpy(zero_copy_only=False) % shards).astype(np.int32)
+    if shards <= 1:
+        salt = np.zeros(t.num_rows, np.int32)
+    else:
+        salt = (t["lsn"].to_numpy(zero_copy_only=False) % shards).astype(np.int32)
     return t.append_column(SALT_COL, pa.array(salt, pa.int32()))
 
 
-def _salted_combine(group: pa.Table) -> pa.Table:
-    """Stage-1 combine for hot-key skew: collapses one (pid, salt) slice."""
-    mask = group[validate_mod.VALID_COL]
-    good = group.filter(mask)
-    bad = group.filter(pc.invert(mask))
-    good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
-    good = good.drop_columns([mg.RUN_SEQ])
-    return mg.concat_unified([good, bad])
+def _fragment_dir(staging_dir: str, pid: int, salt: int) -> str:
+    return os.path.join(staging_dir, f"p={pid:04d}", f"s={salt:02d}")
+
+
+class _StageUnits:
+    """Stage A task: read one WAL row-group range, prepare, and write the
+    rows split by (pid, salt) into deterministic staging fragments.
+
+    This *is* the shuffle — a map-side partitioned write into lake
+    storage instead of an object-store all-to-all.  Fragment paths are a
+    pure function of (group, epoch, file, row-group range, pid, salt), so
+    a retried or replayed task atomically rewrites identical fragments.
+    """
+
+    def __init__(
+        self,
+        staging_dir: str,
+        target_schema_str: bytes | None,
+        num_partitions: int,
+        salt_shards: int,
+    ):
+        self.staging_dir = staging_dir
+        # schemas don't pickle cheaply across many tasks; ship serialized
+        self.target_schema = (
+            pa.ipc.read_schema(pa.py_buffer(target_schema_str))
+            if target_schema_str
+            else None
+        )
+        self.num_partitions = num_partitions
+        self.salt_shards = salt_shards
+
+    def __call__(self, units: pa.Table) -> pa.Table:
+        _ensure_worker_thread_limit()
+        out = {"epoch": [], "file_idx": [], "rg_lo": [], "rows": [], "fragments": []}
+        for u in units.to_pylist():  # tiny descriptor rows, not a data loop
+            pf = pq.ParquetFile(u["path"])
+            t = pf.read_row_groups(list(range(u["rg_lo"], u["rg_hi"] + 1)))
+            prep = _prepare_table(
+                t, self.target_schema, self.num_partitions, self.salt_shards
+            )
+            nfrag = self._write_fragments(prep, u)
+            out["epoch"].append(u["epoch"])
+            out["file_idx"].append(u["file_idx"])
+            out["rg_lo"].append(u["rg_lo"])
+            out["rows"].append(t.num_rows)
+            out["fragments"].append(nfrag)
+        return pa.table(out)
+
+    def _write_fragments(self, prep: pa.Table, u: dict) -> int:
+        pid = prep[PID_COL].to_numpy(zero_copy_only=False)
+        salt = prep[SALT_COL].to_numpy(zero_copy_only=False)
+        order = np.lexsort((salt, pid))
+        s = prep.take(pa.array(order)).drop_columns([PID_COL, SALT_COL])
+        pid_s, salt_s = pid[order], salt[order]
+        if len(pid_s) == 0:
+            return 0
+        changes = np.nonzero((np.diff(pid_s) != 0) | (np.diff(salt_s) != 0))[0]
+        starts = np.concatenate([[0], changes + 1])
+        ends = np.concatenate([changes + 1, [len(pid_s)]])
+        name = f"stage-e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}.parquet"
+        for st, en in zip(starts, ends):
+            frag = s.slice(st, en - st)
+            d = _fragment_dir(self.staging_dir, int(pid_s[st]), int(salt_s[st]))
+            os.makedirs(d, exist_ok=True)
+            _atomic_write_parquet(os.path.join(d, name), frag)
+        return len(starts)
+
+
+class _PreMergeSalts:
+    """Stage A2 task (salt_shards > 1): collapse one (pid, salt) staging
+    slice into a single pre-combined fragment — parallel skew reduction
+    for conversation-heavy partitions before the per-pid merge."""
+
+    def __init__(self, staging_dir: str):
+        self.staging_dir = staging_dir
+
+    def __call__(self, pairs: pa.Table) -> pa.Table:
+        _ensure_worker_thread_limit()
+        out = {"pid": [], "salt": [], "rows": []}
+        for p in pairs.to_pylist():
+            d = _fragment_dir(self.staging_dir, p["pid"], p["salt"])
+            frags = sorted(glob.glob(os.path.join(d, "stage-*.parquet")))
+            n = 0
+            if frags:
+                t = mg.concat_unified([pq.read_table(f) for f in frags])
+                mask = t[validate_mod.VALID_COL]
+                good = t.filter(mask)
+                bad = t.filter(pc.invert(mask))
+                good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
+                good = good.drop_columns([mg.RUN_SEQ])
+                merged = mg.concat_unified([good, bad])
+                _atomic_write_parquet(
+                    os.path.join(
+                        self.staging_dir, f"p={p['pid']:04d}", f"pre-s{p['salt']:02d}.parquet"
+                    ),
+                    merged,
+                )
+                n = merged.num_rows
+            out["pid"].append(p["pid"])
+            out["salt"].append(p["salt"])
+            out["rows"].append(n)
+        return pa.table(out)
 
 
 @dataclass
@@ -195,40 +346,87 @@ class CdcEngine:
 
         # schema evolution across epochs: unify per-epoch file schemas
         # (driver-side footer read, one file per epoch) and conform every
-        # batch to the union before the shuffle, so heterogeneous WAL
-        # segments (added columns, widened ints) coexist in one run.
+        # unit to the union before staging, so heterogeneous WAL segments
+        # (added columns, widened ints) coexist in one run.
         epoch_schemas = [pq.read_schema(fs[0]) for _, fs in work]
         target_schema = schemas.unify(*epoch_schemas)
 
-        if len({s.to_string() for s in epoch_schemas}) == 1:
-            ds = rd.read_parquet(files)
-        else:
-            parts = [rd.read_parquet(fs) for _, fs in work]
-            ds = parts[0].union(*parts[1:])
-        ds = ds.map_batches(
-            _PrepareBatch(self.cfg.num_partitions, self.cfg.salt_shards, target_schema),
-            batch_format="pyarrow",
-            batch_size=self.cfg.batch_size,
-        )
-        if self.cfg.salt_shards > 1:
-            ds = ds.groupby([PID_COL, SALT_COL]).map_groups(
-                _salted_combine, batch_format="pyarrow"
-            )
-            ds = ds.drop_columns([SALT_COL])
-
-        lake_path = self.cfg.path
         group_id = max(epochs)
-        epoch_set = set(epochs)
-        max_delta_runs = self.cfg.max_delta_runs
+        staging_root = os.path.join(self.cfg.path, "_staging")
+        staging_dir = os.path.join(staging_root, f"group-{group_id:06d}")
+        # stale staging from a crashed run with a different epoch group is
+        # dead weight (our own group dir is rewritten deterministically)
+        if os.path.isdir(staging_root):
+            for name in os.listdir(staging_root):
+                if name != f"group-{group_id:06d}":
+                    shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
 
-        def apply_partition(group: pa.Table) -> pa.Table:
-            return _apply_partition(
-                group, lake_path, group_id, epoch_set, max_delta_runs
+        trace = os.environ.get("CDC_TRACE") == "1"
+
+        def _t(label, since):
+            if trace:
+                print(f"[cdc-trace] {label}: {time.perf_counter()-since:.2f}s", file=__import__('sys').stderr)
+            return time.perf_counter()
+
+        tt = time.perf_counter()
+        # ---- Stage A: partitioned staging write (the map-side "shuffle")
+        units = self._stage_units(work)
+        tt = _t("unit-scan", tt)
+        stage = _StageUnits(
+            staging_dir,
+            target_schema.serialize().to_pybytes(),
+            self.cfg.num_partitions,
+            self.cfg.salt_shards,
+        )
+        (
+            rd.from_arrow(units)
+            .repartition(units.num_rows)
+            .map_batches(stage, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        tt = _t("stage-A", tt)
+
+        # ---- Stage A2 (skew): parallel pre-merge of each (pid, salt) slice
+        if self.cfg.salt_shards > 1:
+            pairs = pa.table(
+                {
+                    "pid": pa.array(
+                        [p for p in range(self.cfg.num_partitions) for _ in range(self.cfg.salt_shards)],
+                        pa.int32(),
+                    ),
+                    "salt": pa.array(
+                        [s for _ in range(self.cfg.num_partitions) for s in range(self.cfg.salt_shards)],
+                        pa.int32(),
+                    ),
+                }
             )
+            (
+                rd.from_arrow(pairs)
+                .repartition(pairs.num_rows)
+                .map_batches(
+                    _PreMergeSalts(staging_dir), batch_format="pyarrow", batch_size=None
+                )
+                .take_all()
+            )
+            tt = _t("stage-A2", tt)
 
-        reports = ds.groupby(PID_COL).map_groups(
-            apply_partition, batch_format="pyarrow"
-        ).take_all()
+        # ---- Stage B: per-partition LWW merge + commit
+        merge = _MergePartitions(
+            self.cfg.path,
+            staging_dir,
+            group_id,
+            sorted(epochs),
+            self.cfg.max_delta_runs,
+            self.cfg.salt_shards,
+        )
+        pids = pa.table({"pid": pa.array(range(self.cfg.num_partitions), pa.int32())})
+        reports = (
+            rd.from_arrow(pids)
+            .repartition(self.cfg.num_partitions)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        tt = _t("stage-B", tt)
 
         # global commit markers (driver-side, after every partition landed)
         for e in epochs:
@@ -236,6 +434,9 @@ class CdcEngine:
                 os.path.join(self.cfg.path, "_epochs", f"epoch-{e:06d}.json"),
                 {"epoch": e, "group_id": group_id, "partitions": len(reports)},
             )
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        tt = _t("commit+cleanup", tt)
+
         rep = ApplyReport(epochs=epochs, seconds=time.perf_counter() - t0)
         for r in reports:
             rep.partitions += 1
@@ -247,6 +448,34 @@ class CdcEngine:
             rep.deletes += r.get("deletes", 0)
             rep.details.append(r)
         return rep
+
+    def _stage_units(self, work) -> pa.Table:
+        """Split the WAL segment files of this run into row-group-aligned
+        work units (driver-side footer metadata scan only)."""
+        rows_per_unit = self.cfg.stage_unit_rows
+        out = {"epoch": [], "path": [], "file_idx": [], "rg_lo": [], "rg_hi": []}
+        for epoch, fs in work:
+            for fi, path in enumerate(fs):
+                md = pq.ParquetFile(path).metadata
+                lo, acc = 0, 0
+                for rg in range(md.num_row_groups):
+                    acc += md.row_group(rg).num_rows
+                    if acc >= rows_per_unit or rg == md.num_row_groups - 1:
+                        out["epoch"].append(epoch)
+                        out["path"].append(path)
+                        out["file_idx"].append(fi)
+                        out["rg_lo"].append(lo)
+                        out["rg_hi"].append(rg)
+                        lo, acc = rg + 1, 0
+        return pa.table(
+            {
+                "epoch": pa.array(out["epoch"], pa.int32()),
+                "path": pa.array(out["path"], pa.string()),
+                "file_idx": pa.array(out["file_idx"], pa.int32()),
+                "rg_lo": pa.array(out["rg_lo"], pa.int32()),
+                "rg_hi": pa.array(out["rg_hi"], pa.int32()),
+            }
+        )
 
     # ------------------------------------------------------------ compaction
     def compact(self, pids: list[int] | None = None, *, force: bool = True) -> int:
@@ -346,27 +575,71 @@ class CdcEngine:
 # ---------------------------------------------------------------- task bodies
 
 
-def _apply_partition(
-    group: pa.Table,
+class _MergePartitions:
+    """Stage B task: one call per lake partition — read the pid's staged
+    fragments, LWW-merge, and commit a delta run (exactly-once via the
+    manifest protocol, see state/manifest.py docstring)."""
+
+    def __init__(
+        self,
+        lake_path: str,
+        staging_dir: str,
+        group_id: int,
+        epochs: list[int],
+        max_delta_runs: int,
+        salt_shards: int,
+    ):
+        self.lake_path = lake_path
+        self.staging_dir = staging_dir
+        self.group_id = group_id
+        self.epochs = epochs
+        self.max_delta_runs = max_delta_runs
+        self.salt_shards = salt_shards
+
+    def __call__(self, pids: pa.Table) -> pa.Table:
+        _ensure_worker_thread_limit()
+        rows = [self._merge_one(int(p)) for p in pids["pid"].to_pylist()]
+        return pa.concat_tables(rows)
+
+    def _read_staged(self, pid: int) -> pa.Table | None:
+        pdir = os.path.join(self.staging_dir, f"p={pid:04d}")
+        if self.salt_shards > 1:
+            paths = sorted(glob.glob(os.path.join(pdir, "pre-s*.parquet")))
+        else:
+            paths = sorted(glob.glob(os.path.join(pdir, "s=*", "stage-*.parquet")))
+        if not paths:
+            return None
+        return mg.concat_unified([pq.read_table(p) for p in paths])
+
+    def _merge_one(self, pid: int) -> pa.Table:
+        return _apply_partition_group(
+            self._read_staged(pid),
+            pid,
+            self.lake_path,
+            self.group_id,
+            set(self.epochs),
+            self.max_delta_runs,
+        )
+
+
+def _apply_partition_group(
+    group: pa.Table | None,
+    pid: int,
     lake_path: str,
     group_id: int,
     epoch_set: set[int],
     max_delta_runs: int,
 ) -> pa.Table:
-    """Runs inside one Ray task per lake partition. Exactly-once via the
-    manifest commit protocol (see state/manifest.py docstring)."""
-    pid = int(group[PID_COL][0].as_py())
-    group = group.drop_columns([PID_COL])
-
     already = mf.committed_epoch_groups(lake_path, pid)
     new_epochs = sorted(e for e in epoch_set if e not in already)
     if not new_epochs:
         return _report_row(pid, skipped=True)
-    # a retry after partial commit: only count/apply uncommitted epochs
-    group = group.filter(
-        pc.is_in(group["epoch"], value_set=pa.array(new_epochs, group["epoch"].type))
-    )
-    if group.num_rows == 0:
+    if group is not None:
+        # a retry after partial commit: only count/apply uncommitted epochs
+        group = group.filter(
+            pc.is_in(group["epoch"], value_set=pa.array(new_epochs, group["epoch"].type))
+        )
+    if group is None or group.num_rows == 0:
         # still record the commit so this partition never re-scans the epoch
         _write_manifest(lake_path, pid, group_id, new_epochs, counters={"rows_in": 0})
         return _report_row(pid, skipped=False)

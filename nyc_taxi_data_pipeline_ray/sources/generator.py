@@ -220,7 +220,10 @@ class WalGenerator:
         for i, start in enumerate(range(0, t.num_rows, rpf)):
             path = os.path.join(d, f"part-{i:04d}.parquet")
             tmp = path + ".tmp"
-            pq.write_table(t.slice(start, rpf), tmp)
+            # small row groups so Ray's parquet reader can split one
+            # segment file across many read tasks (a 250k-row single
+            # group is one indivisible ~450 MB decompress unit)
+            pq.write_table(t.slice(start, rpf), tmp, row_group_size=16384)
             os.replace(tmp, path)
         return d
 
