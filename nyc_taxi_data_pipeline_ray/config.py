@@ -33,8 +33,15 @@ class LakeConfig:
     #: rows per Stage-A staging unit (a row-group-aligned slice of one WAL
     #: segment file processed by one Ray task).  ~128k rows of 2 KB text
     #: is ~256 MB in memory — sized so a unit plus its pid-split copy fits
-    #: a 1-CPU worker heap comfortably.
+    #: a worker heap comfortably.
     stage_unit_rows: int = 131072
+    #: logical CPUs reserved per stage/merge task.  These tasks allocate
+    #: hundreds of MB of transient Arrow buffers each; scheduling them at
+    #: 1 CPU oversubscribes the node's memory bandwidth (32 concurrent
+    #: ~1 GB-footprint tasks thrash page reclaim long before CPUs are the
+    #: bottleneck).  2 halves concurrency per node while keeping all
+    #: cores busy via Arrow kernels.
+    task_cpus: int = 2
     extra: dict = field(default_factory=dict)
 
     @property

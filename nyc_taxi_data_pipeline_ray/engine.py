@@ -72,8 +72,6 @@ from nyc_taxi_data_pipeline_ray.state import manifest as mf
 from nyc_taxi_data_pipeline_ray.state import merge as mg
 
 _EPOCH_DIR_RE = re.compile(r"epoch=(\d{6})$")
-PID_COL = "_pid"
-SALT_COL = "_salt"
 
 
 def hash_partition_ids(conv_id: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
@@ -104,72 +102,58 @@ def _ensure_worker_thread_limit() -> None:
         _worker_threads_set = True
 
 
-def _combine_batch_lww(good: pa.Table) -> pa.Table:
-    """Per-batch LWW pre-combine: keep only each key's winning row.
+_SORT_KEYS_EVENT = [
+    ("conv_id", "ascending"),
+    ("turn_idx", "ascending"),
+    ("ts", "ascending"),
+    ("lsn", "ascending"),
+]
 
-    Unlike :func:`state.merge.resolve_lww` this never materializes the
-    full key-sorted batch — it sorts *indices*, takes just the 2 key
-    columns to find group boundaries, then gathers only winner rows
-    (typically ~half the batch of 2 KB texts is never copied).  Output
-    carries ``_nsrc`` = source rows collapsed into each winner.
+
+def _stage_plan(
+    t: pa.Table, num_partitions: int, salt_shards: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Compute the Stage-A routing plan *without touching the payload*.
+
+    Works entirely on the 4 small key columns: validity, per-key LWW
+    winner selection (the pre-shuffle combiner), partition/salt routing,
+    and the (pid, salt)-grouped gather order.  Returns
+    ``(final_idx, pid_sorted, salt_sorted, nsrc_sorted, bad_idx)`` so the
+    caller can materialize winners with ONE take of the 2 KB-text rows.
     """
-    n = good.num_rows
-    if n == 0:
-        return good.append_column(mg.NSRC, pa.array([], pa.int64()))
-    idx = pc.sort_indices(
-        good,
-        sort_keys=[
-            ("conv_id", "ascending"),
-            ("turn_idx", "ascending"),
-            ("ts", "ascending"),
-            ("lsn", "ascending"),
-        ],
-    )
-    keys_sorted = good.select(["conv_id", "turn_idx"]).take(idx)
-    mask = mg._last_per_key_mask(keys_sorted)
-    ends = np.nonzero(mask)[0]
+    mask = validate_mod.validity_mask(t).to_numpy(zero_copy_only=False).astype(bool)
+    if mask.all():
+        valid_idx = None
+        keys = t.select(["conv_id", "turn_idx", "ts", "lsn"])
+        bad_idx = None
+    else:
+        valid_idx = np.nonzero(mask)[0]
+        bad_idx = np.nonzero(~mask)[0]
+        keys = t.select(["conv_id", "turn_idx", "ts", "lsn"]).take(pa.array(valid_idx))
+    if keys.num_rows == 0:
+        return np.array([], np.int64), np.array([], np.int32), np.array([], np.int32), np.array([], np.int64), bad_idx
+    order = pc.sort_indices(keys, sort_keys=_SORT_KEYS_EVENT)
+    keys_sorted = keys.select(["conv_id", "turn_idx"]).take(order)
+    wmask = mg._last_per_key_mask(keys_sorted)
+    ends = np.nonzero(wmask)[0]
     starts = np.empty_like(ends)
     if len(ends):
         starts[0] = 0
         starts[1:] = ends[:-1] + 1
-    sizes = ends - starts + 1
-    winners = idx.to_numpy()[mask]
-    out = good.take(pa.array(winners))
-    return out.append_column(mg.NSRC, pa.array(sizes.astype(np.int64), pa.int64()))
-
-
-def _prepare_table(
-    batch: pa.Table,
-    target_schema: pa.Schema | None,
-    num_partitions: int,
-    salt_shards: int,
-) -> pa.Table:
-    """Validate + per-unit LWW pre-combine + pid/salt routing columns."""
-    if target_schema is not None:
-        batch = mg.conform(batch, target_schema)
-    good, bad = validate_mod.split_valid(batch)
-    # combiner: one surviving row per key per unit (keeps tombstones);
-    # _nsrc preserves exact source-row lineage across the collapse
-    good = _combine_batch_lww(good)
-    pid = hash_partition_ids(good["conv_id"], num_partitions)
-    good = good.append_column(PID_COL, pa.array(pid, pa.int32()))
-    good = good.append_column(validate_mod.VALID_COL, pa.array(np.ones(good.num_rows, bool)))
-    good = _add_salt(good, salt_shards)
-    if bad.num_rows:
-        bad = bad.append_column(mg.NSRC, pa.array(np.ones(bad.num_rows, np.int64)))
-        bad = bad.append_column(PID_COL, pa.array(np.zeros(bad.num_rows, np.int32)))
-        bad = bad.append_column(validate_mod.VALID_COL, pa.array(np.zeros(bad.num_rows, bool)))
-        bad = bad.append_column(SALT_COL, pa.array(np.zeros(bad.num_rows, np.int32)))
-        return mg.concat_unified([good, bad])
-    return good
-
-
-def _add_salt(t: pa.Table, shards: int) -> pa.Table:
-    if shards <= 1:
-        salt = np.zeros(t.num_rows, np.int32)
+    sizes = (ends - starts + 1).astype(np.int64)
+    winners_local = order.to_numpy()[wmask]
+    winners = valid_idx[winners_local] if valid_idx is not None else winners_local
+    conv_w = keys["conv_id"].take(pa.array(winners_local))
+    pid = hash_partition_ids(conv_w, num_partitions)
+    if salt_shards > 1:
+        salt = (
+            keys["lsn"].take(pa.array(winners_local)).to_numpy(zero_copy_only=False)
+            % salt_shards
+        ).astype(np.int32)
     else:
-        salt = (t["lsn"].to_numpy(zero_copy_only=False) % shards).astype(np.int32)
-    return t.append_column(SALT_COL, pa.array(salt, pa.int32()))
+        salt = np.zeros(len(winners), np.int32)
+    forder = np.lexsort((salt, pid))
+    return winners[forder], pid[forder], salt[forder], sizes[forder], bad_idx
 
 
 def _fragment_dir(staging_dir: str, pid: int, salt: int) -> str:
@@ -209,10 +193,9 @@ class _StageUnits:
         for u in units.to_pylist():  # tiny descriptor rows, not a data loop
             pf = pq.ParquetFile(u["path"])
             t = pf.read_row_groups(list(range(u["rg_lo"], u["rg_hi"] + 1)))
-            prep = _prepare_table(
-                t, self.target_schema, self.num_partitions, self.salt_shards
-            )
-            nfrag = self._write_fragments(prep, u)
+            if self.target_schema is not None:
+                t = mg.conform(t, self.target_schema)
+            nfrag = self._write_fragments(t, u)
             out["epoch"].append(u["epoch"])
             out["file_idx"].append(u["file_idx"])
             out["rg_lo"].append(u["rg_lo"])
@@ -220,24 +203,34 @@ class _StageUnits:
             out["fragments"].append(nfrag)
         return pa.table(out)
 
-    def _write_fragments(self, prep: pa.Table, u: dict) -> int:
-        pid = prep[PID_COL].to_numpy(zero_copy_only=False)
-        salt = prep[SALT_COL].to_numpy(zero_copy_only=False)
-        order = np.lexsort((salt, pid))
-        s = prep.take(pa.array(order)).drop_columns([PID_COL, SALT_COL])
-        pid_s, salt_s = pid[order], salt[order]
-        if len(pid_s) == 0:
-            return 0
-        changes = np.nonzero((np.diff(pid_s) != 0) | (np.diff(salt_s) != 0))[0]
-        starts = np.concatenate([[0], changes + 1])
-        ends = np.concatenate([changes + 1, [len(pid_s)]])
-        name = f"stage-e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}.parquet"
-        for st, en in zip(starts, ends):
-            frag = s.slice(st, en - st)
-            d = _fragment_dir(self.staging_dir, int(pid_s[st]), int(salt_s[st]))
+    def _write_fragments(self, t: pa.Table, u: dict) -> int:
+        final_idx, pid_s, salt_s, nsrc_s, bad_idx = _stage_plan(
+            t, self.num_partitions, self.salt_shards
+        )
+        name = f"e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}.parquet"
+        nfrag = 0
+        if len(final_idx):
+            # the ONE full-payload gather: winners, already (pid, salt)-grouped
+            body = t.take(pa.array(final_idx))
+            body = body.append_column(mg.NSRC, pa.array(nsrc_s, pa.int64()))
+            changes = np.nonzero((np.diff(pid_s) != 0) | (np.diff(salt_s) != 0))[0]
+            starts = np.concatenate([[0], changes + 1])
+            ends = np.concatenate([changes + 1, [len(pid_s)]])
+            for st, en in zip(starts, ends):
+                d = _fragment_dir(self.staging_dir, int(pid_s[st]), int(salt_s[st]))
+                os.makedirs(d, exist_ok=True)
+                _atomic_write_parquet(
+                    os.path.join(d, "stage-" + name), body.slice(st, en - st)
+                )
+            nfrag = len(starts)
+        if bad_idx is not None and len(bad_idx):
+            # dead-letter rows: raw, uncombined, routed to partition 0
+            bad = t.take(pa.array(bad_idx))
+            d = _fragment_dir(self.staging_dir, 0, 0)
             os.makedirs(d, exist_ok=True)
-            _atomic_write_parquet(os.path.join(d, name), frag)
-        return len(starts)
+            _atomic_write_parquet(os.path.join(d, "rej-" + name), bad)
+            nfrag += 1
+        return nfrag
 
 
 class _PreMergeSalts:
@@ -256,20 +249,16 @@ class _PreMergeSalts:
             frags = sorted(glob.glob(os.path.join(d, "stage-*.parquet")))
             n = 0
             if frags:
-                t = mg.concat_unified([pq.read_table(f) for f in frags])
-                mask = t[validate_mod.VALID_COL]
-                good = t.filter(mask)
-                bad = t.filter(pc.invert(mask))
+                good = mg.concat_unified([pq.read_table(f) for f in frags])
                 good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
                 good = good.drop_columns([mg.RUN_SEQ])
-                merged = mg.concat_unified([good, bad])
                 _atomic_write_parquet(
                     os.path.join(
                         self.staging_dir, f"p={p['pid']:04d}", f"pre-s{p['salt']:02d}.parquet"
                     ),
-                    merged,
+                    good,
                 )
-                n = merged.num_rows
+                n = good.num_rows
             out["pid"].append(p["pid"])
             out["salt"].append(p["salt"])
             out["rows"].append(n)
@@ -381,7 +370,12 @@ class CdcEngine:
         (
             rd.from_arrow(units)
             .repartition(units.num_rows)
-            .map_batches(stage, batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                stage,
+                batch_format="pyarrow",
+                batch_size=None,
+                num_cpus=self.cfg.task_cpus,
+            )
             .take_all()
         )
         tt = _t("stage-A", tt)
@@ -404,7 +398,10 @@ class CdcEngine:
                 rd.from_arrow(pairs)
                 .repartition(pairs.num_rows)
                 .map_batches(
-                    _PreMergeSalts(staging_dir), batch_format="pyarrow", batch_size=None
+                    _PreMergeSalts(staging_dir),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    num_cpus=self.cfg.task_cpus,
                 )
                 .take_all()
             )
@@ -423,7 +420,12 @@ class CdcEngine:
         reports = (
             rd.from_arrow(pids)
             .repartition(self.cfg.num_partitions)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                merge,
+                batch_format="pyarrow",
+                batch_size=None,
+                num_cpus=self.cfg.task_cpus,
+            )
             .take_all()
         )
         tt = _t("stage-B", tt)
@@ -601,19 +603,31 @@ class _MergePartitions:
         rows = [self._merge_one(int(p)) for p in pids["pid"].to_pylist()]
         return pa.concat_tables(rows)
 
-    def _read_staged(self, pid: int) -> pa.Table | None:
+    def _read_staged(self, pid: int) -> tuple[pa.Table | None, pa.Table | None]:
+        """(combined valid rows with _nsrc, raw reject rows)."""
         pdir = os.path.join(self.staging_dir, f"p={pid:04d}")
         if self.salt_shards > 1:
-            paths = sorted(glob.glob(os.path.join(pdir, "pre-s*.parquet")))
+            good_paths = sorted(glob.glob(os.path.join(pdir, "pre-s*.parquet")))
         else:
-            paths = sorted(glob.glob(os.path.join(pdir, "s=*", "stage-*.parquet")))
-        if not paths:
-            return None
-        return mg.concat_unified([pq.read_table(p) for p in paths])
+            good_paths = sorted(glob.glob(os.path.join(pdir, "s=*", "stage-*.parquet")))
+        bad_paths = sorted(glob.glob(os.path.join(pdir, "s=*", "rej-*.parquet")))
+        good = (
+            mg.concat_unified([pq.read_table(p) for p in good_paths])
+            if good_paths
+            else None
+        )
+        bad = (
+            mg.concat_unified([pq.read_table(p) for p in bad_paths])
+            if bad_paths
+            else None
+        )
+        return good, bad
 
     def _merge_one(self, pid: int) -> pa.Table:
+        good, bad = self._read_staged(pid)
         return _apply_partition_group(
-            self._read_staged(pid),
+            good,
+            bad,
             pid,
             self.lake_path,
             self.group_id,
@@ -622,8 +636,18 @@ class _MergePartitions:
         )
 
 
+def _epoch_filter(t: pa.Table | None, new_epochs: list[int]) -> pa.Table | None:
+    if t is None:
+        return None
+    # a retry after partial commit: only count/apply uncommitted epochs
+    return t.filter(
+        pc.is_in(t["epoch"], value_set=pa.array(new_epochs, t["epoch"].type))
+    )
+
+
 def _apply_partition_group(
-    group: pa.Table | None,
+    good: pa.Table | None,
+    bad: pa.Table | None,
     pid: int,
     lake_path: str,
     group_id: int,
@@ -634,28 +658,26 @@ def _apply_partition_group(
     new_epochs = sorted(e for e in epoch_set if e not in already)
     if not new_epochs:
         return _report_row(pid, skipped=True)
-    if group is not None:
-        # a retry after partial commit: only count/apply uncommitted epochs
-        group = group.filter(
-            pc.is_in(group["epoch"], value_set=pa.array(new_epochs, group["epoch"].type))
-        )
-    if group is None or group.num_rows == 0:
+    good = _epoch_filter(good, new_epochs)
+    bad = _epoch_filter(bad, new_epochs)
+    if (good is None or good.num_rows == 0) and (bad is None or bad.num_rows == 0):
         # still record the commit so this partition never re-scans the epoch
         _write_manifest(lake_path, pid, group_id, new_epochs, counters={"rows_in": 0})
         return _report_row(pid, skipped=False)
-
-    mask = group[validate_mod.VALID_COL]
-    good = group.filter(mask).drop_columns([validate_mod.VALID_COL])
-    bad = group.filter(pc.invert(mask)).drop_columns([validate_mod.VALID_COL])
+    if good is None:
+        good = pa.table(
+            {
+                f.name: pa.array([], f.type)
+                for f in (bad.schema if bad is not None else schemas.EVENT_SCHEMA)
+            }
+        ).append_column(mg.NSRC, pa.array([], pa.int64()))
 
     # exact lineage despite the pre-shuffle combiner: _nsrc sums source rows
     n_valid_src = int(pc.sum(good[mg.NSRC]).as_py() or 0) if good.num_rows else 0
-    n_bad_src = int(pc.sum(bad[mg.NSRC]).as_py() or 0) if bad.num_rows else 0
+    n_bad_src = bad.num_rows if bad is not None else 0
 
-    if bad.num_rows:
-        _atomic_write_parquet(
-            mf.rejects_path(lake_path, pid, group_id), bad.drop_columns([mg.NSRC])
-        )
+    if bad is not None and bad.num_rows:
+        _atomic_write_parquet(mf.rejects_path(lake_path, pid, group_id), bad)
 
     delta = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
     delta = delta.drop_columns([mg.RUN_SEQ, mg.NSRC])

@@ -50,6 +50,11 @@ def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     if VALID_COL not in batch.schema.names:
         batch = tag_valid(batch)
     mask = batch[VALID_COL]
-    good = batch.filter(mask).drop_columns([VALID_COL])
-    bad = batch.filter(pc.invert(mask)).drop_columns([VALID_COL])
+    batch = batch.drop_columns([VALID_COL])
+    # all-valid fast path: skip the full-batch filter copy (the common
+    # case — rejects are rare, and the batch can be hundreds of MB)
+    if pc.sum(mask).as_py() == batch.num_rows:
+        return batch, batch.slice(0, 0)
+    good = batch.filter(mask)
+    bad = batch.filter(pc.invert(mask))
     return good, bad

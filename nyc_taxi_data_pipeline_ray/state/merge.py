@@ -65,19 +65,26 @@ def resolve_lww(table: pa.Table, *, drop_tombstones: bool) -> pa.Table:
     oracle requires.  With ``drop_tombstones=False`` winning deletes are
     kept (needed when the result is itself a delta run that must mask
     older base rows later).
+
+    The payload (2 KB ``text`` values) is gathered exactly once: the
+    sort runs over the small key columns only, winners are selected on
+    the sorted keys, and one ``take`` materializes the winning rows.
     """
     if table.num_rows == 0:
         return table
-    idx = pc.sort_indices(table, sort_keys=_SORT_KEYS)
-    table = table.take(idx)
-    mask = _last_per_key_mask(table)
-    out = table.filter(pa.array(mask))
+    keys = table.select([k for k, _ in _SORT_KEYS if k in table.schema.names])
+    idx = pc.sort_indices(keys, sort_keys=[kv for kv in _SORT_KEYS if kv[0] in keys.schema.names])
+    keys_sorted = keys.select(["conv_id", "turn_idx"]).take(idx)
+    mask = _last_per_key_mask(keys_sorted)
+    idx_np = idx.to_numpy()
+    winners = idx_np[mask]
+    out = table.take(pa.array(winners))
     if NSRC in table.schema.names:
         # winner inherits the summed lineage weight of its key group
-        nsrc = table[NSRC].to_numpy(zero_copy_only=False).astype(np.int64)
+        nsrc_sorted = table[NSRC].to_numpy(zero_copy_only=False).astype(np.int64)[idx_np]
         ends = np.nonzero(mask)[0]
         starts = np.concatenate([[0], ends[:-1] + 1]) if len(ends) else np.array([], np.int64)
-        sums = np.add.reduceat(nsrc, starts) if len(starts) else np.array([], np.int64)
+        sums = np.add.reduceat(nsrc_sorted, starts) if len(starts) else np.array([], np.int64)
         out = out.set_column(
             out.schema.get_field_index(NSRC), NSRC, pa.array(sums, pa.int64())
         )
