@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,                       # rows-only (heuristic)
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
         "simhash": T.q_simhash,                      # rows-only
+        "ngram_jaccard": T.q_ngram_jaccard,
         # similarity search over embeddings
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -81,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_tiers": R.q_customer_tiers,
         "union_dims": R.q_union_dims,
         "date_spine": R.q_date_spine,
+        "event_scoring": R.q_event_scoring,
+        "flag_frequency": R.q_flag_frequency,
+        "json_props": R.q_json_props,
+        "weekday_hour_matrix": R.q_weekday_hour_matrix,
+        "sample_window": R.q_sample_window,
     }
 
 
@@ -296,5 +302,66 @@ def oracle_sql() -> dict[str, str]:
                    dayofweek(d) in (0, 6) as is_weekend
             from (select unnest(generate_series(date '2024-01-01', date '2024-02-29',
                                                 interval 1 day)) as d) t
+        """,
+        "event_scoring": """
+            select event_id,
+                   least(cast(case when value > 45.0 then 30 else 0 end
+                         + case when hour(ts) >= 22 or hour(ts) < 6 then 10 else 0 end
+                         + case when event_type = 'error' then 25 else 0 end
+                         + case when value < 1.0 then 5 else 0 end as bigint), 50)
+                     as anomaly_score,
+                   concat_ws(',',
+                       case when value > 45.0 then 'high_value' end,
+                       case when hour(ts) >= 22 or hour(ts) < 6 then 'night' end,
+                       case when event_type = 'error' then 'error_event' end,
+                       case when value < 1.0 then 'micro_value' end) as flags
+            from events
+        """,
+        "flag_frequency": """
+            with s as (
+              select concat_ws(',',
+                       case when value > 45.0 then 'high_value' end,
+                       case when hour(ts) >= 22 or hour(ts) < 6 then 'night' end,
+                       case when event_type = 'error' then 'error_event' end,
+                       case when value < 1.0 then 'micro_value' end) as flags
+              from events)
+            select flag, cast(count(*) as bigint) as n_events
+            from (select unnest(string_split(flags, ',')) as flag from s where flags != '')
+            group by 1 order by 1
+        """,
+        "json_props": """
+            select event_type, count(*) as n,
+                   round(avg(cast(json_extract(props, '$.k') as bigint)), 4) as avg_k
+            from events group by 1 order by 1
+        """,
+        "weekday_hour_matrix": """
+            select cast(dayofweek(ts) as integer) as dow,
+                   cast(hour(ts) as integer) as hour,
+                   count(*) as n_events,
+                   round(sum(value), 2) as sum_value
+            from events group by 1, 2 order by 1, 2
+        """,
+        "sample_window": """
+            select event_id, ts, event_type, value
+            from events order by event_id limit 50 offset 1000
+        """,
+        "ngram_jaccard": r"""
+            with t as (
+              select doc_id, lang, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, lang,
+                     list_distinct(list_transform(range(1, array_length(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as grams
+              from t where array_length(toks) >= 3)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(cast(len(list_intersect(a.grams, b.grams)) as double)
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) as jac
+            from g a join g b on a.lang = b.lang and a.doc_id < b.doc_id
+            where cast(len(list_intersect(a.grams, b.grams)) as double)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                  >= 0.5
+            order by doc_a, doc_b
         """,
     }

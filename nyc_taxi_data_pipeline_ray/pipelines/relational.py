@@ -138,6 +138,15 @@ def q_top_routes(sf_dir: str) -> pd.DataFrame:
     df = agg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_lines"], 5)), batch_format="pyarrow"
     ).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "l_suppkey": pd.Series(dtype="int64"),
+                "l_partkey": pd.Series(dtype="int64"),
+                "n_lines": pd.Series(dtype="int64"),
+                "avg_revenue": pd.Series(dtype="float64"),
+            }
+        )
     df["avg_revenue"] = df["avg_revenue"].round(2)
     df = df.sort_values(
         ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True], ignore_index=True
@@ -516,3 +525,143 @@ def q_date_spine(sf_dir: str) -> pd.DataFrame:
     from nyc_taxi_data_pipeline_ray.sources.dims import date_spine
 
     return date_spine("2024-01-01", "2024-03-01").to_pandas()
+
+
+# --------------------------------------------------------------------------
+# P19: rule-based additive anomaly scoring with flag accumulation
+# (reference: fraud_detector.py:221-294 — a per-row PySpark UDF with 17
+#  additive rules and a fraud_flags array, capped at 100 via min();
+#  here one vectorized numpy pass per batch, flags as a csv string so
+#  the DuckDB value-hash comparison is list-free)
+_SCORE_RULES = [
+    # (flag, points, mask builder over (value, hour, event_type np arrays))
+    ("high_value", 30, lambda v, h, t: v > 45.0),
+    ("night", 10, lambda v, h, t: (h >= 22) | (h < 6)),
+    ("error_event", 25, lambda v, h, t: t == "error"),
+    ("micro_value", 5, lambda v, h, t: v < 1.0),
+]
+
+
+def _score_events_batch(t: pa.Table) -> pa.Table:
+    v = t["value"].to_numpy(zero_copy_only=False)
+    h = pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+    et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+    n = t.num_rows
+    score = np.zeros(n, np.int64)
+    flags = np.full(n, "", object)
+    for name, pts, make in _SCORE_RULES:
+        m = make(v, h, et).astype(bool)
+        score += np.where(m, pts, 0)
+        flags = np.where(m, np.where(flags == "", name, flags + "," + name), flags)
+    score = np.minimum(score, 50)
+    return pa.table(
+        {
+            "event_id": t["event_id"],
+            "anomaly_score": pa.array(score, pa.int64()),
+            "flags": pa.array(flags, pa.string()),
+        }
+    )
+
+
+def q_event_scoring(sf_dir: str) -> rd.Dataset:
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return ds.map_batches(_score_events_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# A15: flatten a flag list column and count per flag
+# (reference: 2_🔍_Fraud_Monitor.py:116-125 — fraud_flags flatten +
+#  frequency; partial counts per batch, then one tiny groupby)
+def q_flag_frequency(sf_dir: str) -> pd.DataFrame:
+    ds = q_event_scoring(sf_dir)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flags = t["flags"].to_numpy(zero_copy_only=False)
+        counts: dict[str, int] = {}
+        for s in flags:
+            if s:
+                for f in s.split(","):
+                    counts[f] = counts.get(f, 0) + 1
+        return pa.table(
+            {
+                "flag": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    return df.sort_values("flag", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# P17 / JSON surface: parse a JSON props column into typed values
+# (reference: fraud_detector.py:201-204 from_json(value, schema);
+#  props here are flat single-key objects so a vectorized regex extract
+#  suffices — swap for pyarrow.json / json.loads in an actor pool for
+#  nested payloads)
+def q_json_props(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": kv,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    df["avg_k"] = (df["sum_k"] / df["n"]).round(4)
+    return df[["event_type", "n", "avg_k"]].sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A13: weekday x hour activity matrix
+# (reference: dashboard/utils/redis_client.py:115-138 hourly counts per
+#  weekday; Arrow day_of_week is Monday=0, DuckDB dayofweek Sunday=0 —
+#  shifted here so both sides emit the same encoding)
+def q_weekday_hour_matrix(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), 1)  # Mon=0 -> Mon=1
+        dow = pc.if_else(pc.equal(dow, 7), pa.scalar(0, pa.int64()), pc.cast(dow, pa.int64()))
+        return pa.table(
+            {
+                "dow": pc.cast(dow, pa.int32()),
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int32()),
+                "value": t["value"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["dow", "hour"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# O6: deterministic skip/head slicing of an ordered stream
+# (reference: stream_from_parquet.py:163-168 iloc[skip:] + head(count))
+def q_sample_window(sf_dir: str, *, offset: int = 1000, limit: int = 50) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    head = ds.sort("event_id").limit(offset + limit).to_pandas()
+    return head.iloc[offset:].reset_index(drop=True)

@@ -411,3 +411,63 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup detection (exact baseline for the MinHash/LSH
+# estimators above): word-3-gram sets, pairwise Jaccard within a lang
+# block.  Blocking on lang keeps each pairwise task ~1/L of the corpus;
+# at 100 TB the MinHash+LSH variant (q_minhash_near_dups) is the scale
+# path and this exact version runs on LSH candidate pairs only.
+def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def gramsets(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out_sets = []
+        for s in texts:
+            toks = (s or "").strip().split()
+            out_sets.append(
+                list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                if len(toks) >= n
+                else None
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "grams": pa.array(out_sets, pa.list_(pa.string())),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["grams"].notna()].sort_values("doc_id", ignore_index=True)
+        ids = g["doc_id"].to_numpy()
+        sets = [set(x) for x in g["grams"]]
+        rows = {"doc_a": [], "doc_b": [], "jac": []}
+        for i in range(len(ids)):
+            si = sets[i]
+            for j in range(i + 1, len(ids)):
+                inter = len(si & sets[j])
+                if not inter:
+                    continue
+                jac = inter / (len(si) + len(sets[j]) - inter)
+                if jac >= threshold:
+                    rows["doc_a"].append(ids[i])
+                    rows["doc_b"].append(ids[j])
+                    rows["jac"].append(round(jac, 4))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
+                "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
+                "jac": pd.Series(rows["jac"], dtype="float64"),
+            }
+        )
+
+    df = (
+        ds.map_batches(gramsets, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
