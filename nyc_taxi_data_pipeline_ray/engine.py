@@ -479,6 +479,54 @@ class CdcEngine:
             }
         )
 
+    # ----------------------------------------------------------- tail / lag
+    def lag(self, wal_dir: str) -> dict:
+        """Consumer-lag metrics vs the WAL head (the Kafka-lag analog,
+        ``streaming/README.md`` throughput dashboard): unapplied epoch
+        count/ids and the newest WAL epoch vs newest committed."""
+        committed = self._global_committed()
+        wal_epochs = []
+        if os.path.isdir(wal_dir):
+            for name in os.listdir(wal_dir):
+                m = _EPOCH_DIR_RE.match(name)
+                if m:
+                    wal_epochs.append(int(m.group(1)))
+        pending = sorted(e for e in wal_epochs if e not in committed)
+        return {
+            "wal_head": max(wal_epochs, default=None),
+            "committed_head": max(committed, default=None),
+            "epochs_behind": len(pending),
+            "pending_epochs": pending,
+        }
+
+    def follow(
+        self,
+        wal_dir: str,
+        *,
+        poll_interval_s: float = 1.0,
+        max_idle_polls: int = 3,
+        epochs_per_apply: int | None = None,
+        on_apply=None,
+    ) -> list[ApplyReport]:
+        """Tail the WAL: repeatedly apply newly arrived epochs until the
+        log goes quiet for ``max_idle_polls`` polls (the micro-batch
+        trigger loop analog, ``fraud_detector.py:306-310`` — epoch
+        directories stand in for Kafka offsets; exactly-once commits make
+        re-polling free)."""
+        reports: list[ApplyReport] = []
+        idle = 0
+        while idle < max_idle_polls:
+            rep = self.apply(wal_dir, max_epochs=epochs_per_apply)
+            if rep.epochs:
+                idle = 0
+                reports.append(rep)
+                if on_apply is not None:
+                    on_apply(rep)
+            else:
+                idle += 1
+                time.sleep(poll_interval_s)
+        return reports
+
     # ------------------------------------------------------------ compaction
     def compact(self, pids: list[int] | None = None, *, force: bool = True) -> int:
         """Merge each partition's base + delta runs into a new base

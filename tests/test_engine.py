@@ -156,3 +156,38 @@ def test_epoch_by_epoch_matches_bulk(tmp_path):
     for _ in range(spec.num_epochs):
         eng.apply(wal, max_epochs=1)
     _assert_equal_state(eng, gen)
+
+
+def test_lag_and_follow(tmp_path):
+    # lag reports unapplied epochs; follow drains the WAL as epochs land
+    spec = WalSpec(seed=31, num_conversations=60, num_epochs=4, events_per_epoch=500)
+    gen = WalGenerator(spec)
+    wal = str(tmp_path / "wal")
+    # only the first two epochs exist initially
+    gen.write_epoch(wal, 0)
+    gen.write_epoch(wal, 1)
+    eng = CdcEngine(LakeConfig.open_or_create(str(tmp_path / "lake"), num_partitions=4))
+
+    lag0 = eng.lag(wal)
+    assert lag0["epochs_behind"] == 2 and lag0["committed_head"] is None
+
+    applied = []
+
+    def on_apply(rep):
+        applied.append(rep.epochs)
+        # epochs 2/3 "arrive" while the tail loop is running
+        if len(applied) == 1:
+            gen.write_epoch(wal, 2)
+            gen.write_epoch(wal, 3)
+
+    reports = eng.follow(wal, poll_interval_s=0.05, max_idle_polls=2, on_apply=on_apply)
+    assert [e for r in reports for e in r.epochs] == [0, 1, 2, 3]
+
+    lag1 = eng.lag(wal)
+    assert lag1["epochs_behind"] == 0 and lag1["committed_head"] == 3
+
+    # end state equals the oracle over the full log
+    snap = eng.snapshot_table()
+    exp = oracle.replay(gen.events_table())
+    cols = sorted(exp.schema.names)
+    assert snap.select(cols).equals(exp.select(cols))
