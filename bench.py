@@ -91,9 +91,12 @@ def run_headline(reps: int = 2) -> dict:
     for rep_i in range(reps):
         lake = os.path.join(BENCH_ROOT, f"lake_cpu{NUM_CPUS}_{os.getpid()}_{rep_i}")
         shutil.rmtree(lake, ignore_errors=True)
-        eng = CdcEngine(
-            LakeConfig.open_or_create(lake, num_partitions=max(NUM_CPUS, 16))
-        )
+        # partitions sized so one Stage-B merge task handles ~300 MB of
+        # payload (~170k x 2 KB events) — the same rule a 100 TB lake
+        # would use (fixed per-partition budget, count grows with data)
+        n_events_total = WAL_EVENTS_PER_EPOCH * WAL_EPOCHS
+        npart = max(NUM_CPUS, 16, n_events_total // 170_000)
+        eng = CdcEngine(LakeConfig.open_or_create(lake, num_partitions=npart))
         # drain pending page writeback (previous rep/run's staging +
         # delta files) so the timed replay doesn't compete with it
         os.sync()

@@ -19,9 +19,13 @@ Dataflow of one :meth:`apply` run (a group of unapplied epochs)::
     Stage A  (map over WAL row-group ranges, no exchange):
       one task per ~row-group-range of a segment file:
         read -> conform -> validate -> per-unit LWW pre-combine
-        -> split rows by pid [and salt]
-        -> write lake/_staging/group-G/p=NNNN[/s=SS]/stage-<unit>.parquet
-      fragment names are DETERMINISTIC per (group, epoch, file, range),
+        -> ONE indexed parquet file per unit, rows grouped by (pid,
+           salt): lake/_staging/group-G/unit-<unit>.parquet with one row
+           group per (pid, salt) run + an index of row-group ordinals
+           (in-band to the driver + sidecar JSON).  One file per unit —
+           not per (unit x partition) — avoids the map-side small-file
+           explosion (M x N files) at 10^10 events.
+      unit names are DETERMINISTIC per (group, epoch, file, range),
       written tmp+rename: a retried task atomically overwrites identical
       bytes (exactly-once without any coordination).
 
@@ -156,8 +160,24 @@ def _stage_plan(
     return winners[forder], pid[forder], salt[forder], sizes[forder], bad_idx
 
 
-def _fragment_dir(staging_dir: str, pid: int, salt: int) -> str:
-    return os.path.join(staging_dir, f"p={pid:04d}", f"s={salt:02d}")
+def _unit_name(u: dict) -> str:
+    return f"e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}"
+
+
+def _atomic_write_json_small(path: str, payload) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _read_unit_index(idx_path: str) -> dict:
+    import json
+
+    with open(idx_path) as f:
+        return json.load(f)
 
 
 class _StageUnits:
@@ -189,26 +209,48 @@ class _StageUnits:
 
     def __call__(self, units: pa.Table) -> pa.Table:
         _ensure_worker_thread_limit()
-        out = {"epoch": [], "file_idx": [], "rg_lo": [], "rows": [], "fragments": []}
+        import json
+
+        out = {"unit": [], "rows": [], "row_groups": [], "index_json": []}
         for u in units.to_pylist():  # tiny descriptor rows, not a data loop
             pf = pq.ParquetFile(u["path"])
             t = pf.read_row_groups(list(range(u["rg_lo"], u["rg_hi"] + 1)))
             if self.target_schema is not None:
                 t = mg.conform(t, self.target_schema)
-            nfrag = self._write_fragments(t, u)
-            out["epoch"].append(u["epoch"])
-            out["file_idx"].append(u["file_idx"])
-            out["rg_lo"].append(u["rg_lo"])
+            index, nrg = self._write_fragments(t, u)
+            out["unit"].append(_unit_name(u))
             out["rows"].append(t.num_rows)
-            out["fragments"].append(nfrag)
-        return pa.table(out)
+            out["row_groups"].append(nrg)
+            out["index_json"].append(json.dumps(index))
+        return pa.table(
+            {
+                "unit": pa.array(out["unit"], pa.string()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "row_groups": pa.array(out["row_groups"], pa.int64()),
+                "index_json": pa.array(out["index_json"], pa.string()),
+            }
+        )
 
     def _write_fragments(self, t: pa.Table, u: dict) -> int:
+        """Write ONE indexed parquet file per unit: rows sorted by
+        (pid, salt), one row group per (pid, salt) run, plus a sidecar
+        JSON index mapping "pid:salt" -> row-group ordinals.
+
+        One file per unit — NOT one per (unit x partition) — is what
+        survives scale: M units x N partitions of separate fragment
+        files is the map-side shuffle small-file explosion (300M files
+        at 10^10 events / 4096 partitions).  Merge tasks read only
+        their row groups by ordinal, so I/O stays selective.  The index
+        is written last (tmp+rename) and acts as the unit's commit
+        marker; names are deterministic, so retries rewrite in place.
+        """
         final_idx, pid_s, salt_s, nsrc_s, bad_idx = _stage_plan(
             t, self.num_partitions, self.salt_shards
         )
-        name = f"e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}.parquet"
-        nfrag = 0
+        name = _unit_name(u)
+        os.makedirs(self.staging_dir, exist_ok=True)
+        index: dict[str, list[int]] = {}
+        nrg = 0
         if len(final_idx):
             # the ONE full-payload gather: winners, already (pid, salt)-grouped
             body = t.take(pa.array(final_idx))
@@ -216,21 +258,41 @@ class _StageUnits:
             changes = np.nonzero((np.diff(pid_s) != 0) | (np.diff(salt_s) != 0))[0]
             starts = np.concatenate([[0], changes + 1])
             ends = np.concatenate([changes + 1, [len(pid_s)]])
-            for st, en in zip(starts, ends):
-                d = _fragment_dir(self.staging_dir, int(pid_s[st]), int(salt_s[st]))
-                os.makedirs(d, exist_ok=True)
-                _atomic_write_parquet(
-                    os.path.join(d, "stage-" + name), body.slice(st, en - st)
-                )
-            nfrag = len(starts)
+            path = os.path.join(self.staging_dir, f"unit-{name}.parquet")
+            tmp = path + ".tmp"
+            with pq.ParquetWriter(tmp, body.schema) as w:
+                for rg, (st, en) in enumerate(zip(starts, ends)):
+                    w.write_table(body.slice(st, en - st), row_group_size=int(en - st))
+                    index.setdefault(f"{int(pid_s[st])}:{int(salt_s[st])}", []).append(rg)
+            os.replace(tmp, path)
+            nrg = len(starts)
         if bad_idx is not None and len(bad_idx):
             # dead-letter rows: raw, uncombined, routed to partition 0
             bad = t.take(pa.array(bad_idx))
-            d = _fragment_dir(self.staging_dir, 0, 0)
-            os.makedirs(d, exist_ok=True)
-            _atomic_write_parquet(os.path.join(d, "rej-" + name), bad)
-            nfrag += 1
-        return nfrag
+            _atomic_write_parquet(
+                os.path.join(self.staging_dir, f"rej-{name}.parquet"), bad
+            )
+            index["rej"] = [len(bad_idx)]
+        # index written last = the unit's atomic commit marker (sidecar is
+        # for inspection/debugging; the authoritative copy travels in-band
+        # through the Stage-A task output to the driver)
+        _atomic_write_json_small(
+            os.path.join(self.staging_dir, f"unit-{name}.idx.json"), index
+        )
+        return index, nrg
+
+
+def _read_slices(staging_dir: str, slices: list[tuple[str, list[int]]]) -> pa.Table | None:
+    """Concat the given (unit name, row-group ordinals) slices."""
+    tables = []
+    for unit, rgs in slices:
+        path = os.path.join(staging_dir, f"unit-{unit}.parquet")
+        tables.append(pq.ParquetFile(path).read_row_groups(sorted(rgs)))
+    return mg.concat_unified(tables) if tables else None
+
+
+def _pre_path(staging_dir: str, pid: int, salt: int) -> str:
+    return os.path.join(staging_dir, f"pre-p{pid:04d}-s{salt:02d}.parquet")
 
 
 class _PreMergeSalts:
@@ -238,26 +300,21 @@ class _PreMergeSalts:
     slice into a single pre-combined fragment — parallel skew reduction
     for conversation-heavy partitions before the per-pid merge."""
 
-    def __init__(self, staging_dir: str):
+    def __init__(self, staging_dir: str, slice_map: dict[str, list[tuple[str, list[int]]]]):
         self.staging_dir = staging_dir
+        self.slice_map = slice_map  # "pid:salt" -> [(unit, [rg...])]
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
         _ensure_worker_thread_limit()
         out = {"pid": [], "salt": [], "rows": []}
         for p in pairs.to_pylist():
-            d = _fragment_dir(self.staging_dir, p["pid"], p["salt"])
-            frags = sorted(glob.glob(os.path.join(d, "stage-*.parquet")))
+            slices = self.slice_map.get(f"{p['pid']}:{p['salt']}", [])
             n = 0
-            if frags:
-                good = mg.concat_unified([pq.read_table(f) for f in frags])
+            good = _read_slices(self.staging_dir, slices)
+            if good is not None and good.num_rows:
                 good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
                 good = good.drop_columns([mg.RUN_SEQ])
-                _atomic_write_parquet(
-                    os.path.join(
-                        self.staging_dir, f"p={p['pid']:04d}", f"pre-s{p['salt']:02d}.parquet"
-                    ),
-                    good,
-                )
+                _atomic_write_parquet(_pre_path(self.staging_dir, p["pid"], p["salt"]), good)
                 n = good.num_rows
             out["pid"].append(p["pid"])
             out["salt"].append(p["salt"])
@@ -367,7 +424,7 @@ class CdcEngine:
             self.cfg.num_partitions,
             self.cfg.salt_shards,
         )
-        (
+        stage_rows = (
             rd.from_arrow(units)
             .repartition(units.num_rows)
             .map_batches(
@@ -379,6 +436,20 @@ class CdcEngine:
             .take_all()
         )
         tt = _t("stage-A", tt)
+
+        # consolidate the per-unit row-group indexes (returned in-band by
+        # the Stage-A tasks): "pid:salt" -> [(unit, [row-group ordinals])]
+        import json
+
+        slice_map: dict[str, list[tuple[str, list[int]]]] = {}
+        rej_units: list[str] = []
+        for r in stage_rows:
+            idx = json.loads(r["index_json"])
+            for key, rgs in idx.items():
+                if key == "rej":
+                    rej_units.append(r["unit"])
+                else:
+                    slice_map.setdefault(key, []).append((r["unit"], rgs))
 
         # ---- Stage A2 (skew): parallel pre-merge of each (pid, salt) slice
         if self.cfg.salt_shards > 1:
@@ -398,7 +469,7 @@ class CdcEngine:
                 rd.from_arrow(pairs)
                 .repartition(pairs.num_rows)
                 .map_batches(
-                    _PreMergeSalts(staging_dir),
+                    _PreMergeSalts(staging_dir, slice_map),
                     batch_format="pyarrow",
                     batch_size=None,
                     num_cpus=self.cfg.task_cpus,
@@ -415,6 +486,8 @@ class CdcEngine:
             sorted(epochs),
             self.cfg.max_delta_runs,
             self.cfg.salt_shards,
+            slice_map,
+            sorted(rej_units),
         )
         pids = pa.table({"pid": pa.array(range(self.cfg.num_partitions), pa.int32())})
         reports = (
@@ -638,6 +711,8 @@ class _MergePartitions:
         epochs: list[int],
         max_delta_runs: int,
         salt_shards: int,
+        slice_map: dict[str, list[tuple[str, list[int]]]],
+        rej_units: list[str],
     ):
         self.lake_path = lake_path
         self.staging_dir = staging_dir
@@ -645,6 +720,8 @@ class _MergePartitions:
         self.epochs = epochs
         self.max_delta_runs = max_delta_runs
         self.salt_shards = salt_shards
+        self.slice_map = slice_map  # "pid:salt" -> [(unit, [rg...])]
+        self.rej_units = rej_units
 
     def __call__(self, pids: pa.Table) -> pa.Table:
         _ensure_worker_thread_limit()
@@ -653,22 +730,24 @@ class _MergePartitions:
 
     def _read_staged(self, pid: int) -> tuple[pa.Table | None, pa.Table | None]:
         """(combined valid rows with _nsrc, raw reject rows)."""
-        pdir = os.path.join(self.staging_dir, f"p={pid:04d}")
         if self.salt_shards > 1:
-            good_paths = sorted(glob.glob(os.path.join(pdir, "pre-s*.parquet")))
+            paths = [
+                _pre_path(self.staging_dir, pid, s)
+                for s in range(self.salt_shards)
+            ]
+            tables = [pq.read_table(p) for p in paths if os.path.exists(p)]
+            good = mg.concat_unified(tables) if tables else None
         else:
-            good_paths = sorted(glob.glob(os.path.join(pdir, "s=*", "stage-*.parquet")))
-        bad_paths = sorted(glob.glob(os.path.join(pdir, "s=*", "rej-*.parquet")))
-        good = (
-            mg.concat_unified([pq.read_table(p) for p in good_paths])
-            if good_paths
-            else None
-        )
-        bad = (
-            mg.concat_unified([pq.read_table(p) for p in bad_paths])
-            if bad_paths
-            else None
-        )
+            slices = self.slice_map.get(f"{pid}:0", [])
+            good = _read_slices(self.staging_dir, slices)
+        bad = None
+        if pid == 0 and self.rej_units:
+            bad = mg.concat_unified(
+                [
+                    pq.read_table(os.path.join(self.staging_dir, f"rej-{u}.parquet"))
+                    for u in self.rej_units
+                ]
+            )
         return good, bad
 
     def _merge_one(self, pid: int) -> pa.Table:
