@@ -1,0 +1,151 @@
+"""CLI entry points — the Airflow-DAG / ops-script surface of the engine.
+
+The reference drives its loop with Airflow DAGs + helper scripts
+(`airflow/dags/nyc_taxi_sync_dag.py`, `scripts/*.py`); here the same
+operations are one command each:
+
+    python -m nyc_taxi_data_pipeline_ray generate --wal /tmp/wal --epochs 4
+    python -m nyc_taxi_data_pipeline_ray apply    --wal /tmp/wal --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray follow   --wal /tmp/wal --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray lag      --wal /tmp/wal --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray compact  --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray snapshot --lake /tmp/lake --out /tmp/snap
+    python -m nyc_taxi_data_pipeline_ray metrics  --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray check    --lake /tmp/lake
+
+Each command owns its Ray session (guarded init, shutdown on exit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nyc_taxi_data_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic synthetic WAL")
+    g.add_argument("--wal", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--conversations", type=int, default=1000)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--events-per-epoch", type=int, default=5000)
+    g.add_argument("--zipf", type=float, default=0.0)
+    g.add_argument("--evolve-at", type=int, default=None)
+
+    for name, help_ in [
+        ("apply", "apply unapplied WAL epochs into the lake"),
+        ("follow", "tail the WAL until it goes quiet"),
+        ("lag", "report unapplied-epoch lag"),
+    ]:
+        sp = sub.add_parser(name, help=help_)
+        sp.add_argument("--wal", required=True)
+        sp.add_argument("--lake", required=True)
+        sp.add_argument("--partitions", type=int, default=16)
+        if name == "apply":
+            sp.add_argument("--max-epochs", type=int, default=None)
+        if name == "follow":
+            sp.add_argument("--poll-interval", type=float, default=1.0)
+            sp.add_argument("--max-idle-polls", type=int, default=3)
+
+    for name, help_ in [
+        ("compact", "fold delta runs into new base generations"),
+        ("metrics", "print monoid-merged lineage counters"),
+        ("check", "run the transcript data-quality check suite"),
+    ]:
+        sp = sub.add_parser(name, help=help_)
+        sp.add_argument("--lake", required=True)
+
+    sp = sub.add_parser("snapshot", help="materialize the lake state as Parquet")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+
+        spec = WalSpec(
+            seed=args.seed,
+            num_conversations=args.conversations,
+            num_epochs=args.epochs,
+            events_per_epoch=args.events_per_epoch,
+            zipf_s=args.zipf,
+            evolve_at_epoch=args.evolve_at,
+        )
+        dirs = WalGenerator(spec).write(args.wal)
+        print(json.dumps({"wal": args.wal, "epochs": len(dirs)}))
+        return 0
+
+    ray = _ray_session()
+    try:
+        from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+
+        if args.cmd in ("apply", "follow", "lag"):
+            eng = CdcEngine(
+                LakeConfig.open_or_create(args.lake, num_partitions=args.partitions)
+            )
+        else:
+            eng = CdcEngine(LakeConfig.load(args.lake))
+
+        if args.cmd == "apply":
+            rep = eng.apply(args.wal, max_epochs=args.max_epochs)
+            print(
+                json.dumps(
+                    {
+                        "epochs": rep.epochs,
+                        "rows_in": rep.rows_in,
+                        "upserts": rep.upserts,
+                        "deletes": rep.deletes,
+                        "rejects": rep.rejects,
+                        "seconds": round(rep.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "follow":
+            reports = eng.follow(
+                args.wal,
+                poll_interval_s=args.poll_interval,
+                max_idle_polls=args.max_idle_polls,
+                on_apply=lambda r: print(
+                    json.dumps({"applied": r.epochs, "rows_in": r.rows_in}),
+                    flush=True,
+                ),
+            )
+            print(json.dumps({"applies": len(reports), "lag": eng.lag(args.wal)}))
+        elif args.cmd == "lag":
+            print(json.dumps(eng.lag(args.wal)))
+        elif args.cmd == "compact":
+            print(json.dumps({"compacted_partitions": eng.compact()}))
+        elif args.cmd == "metrics":
+            print(json.dumps(eng.metrics()))
+        elif args.cmd == "check":
+            from nyc_taxi_data_pipeline_ray.stages import checks as ck
+
+            rep = ck.run_checks(eng.snapshot(), ck.transcript_checks())
+            print(json.dumps(rep))
+            return 0 if rep["passed"] else 1
+        elif args.cmd == "snapshot":
+            eng.snapshot().write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
