@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
         "ann_lsh": A.q_ann_lsh,                      # rows-only (approximate)
+        "ann_ivf": A.q_ann_ivf,                      # rows-only (approximate)
         # multimodal plumbing (stubbed decode)
         "media_features": M.q_media_features,        # rows-only (synthetic)
         "filter_project": R.q_filter_project,

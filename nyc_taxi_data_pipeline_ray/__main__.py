@@ -24,14 +24,17 @@ import sys
 
 
 def _ray_session():
+    """Returns (ray, owns_session): only shut down what we started
+    (an embedding caller — tests, a notebook — keeps its session)."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owns
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -91,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"wal": args.wal, "epochs": len(dirs)}))
         return 0
 
-    ray = _ray_session()
+    ray, owns_session = _ray_session()
     try:
         from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
 
@@ -143,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
             eng.snapshot().write_parquet(args.out)
             print(json.dumps({"out": args.out}))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

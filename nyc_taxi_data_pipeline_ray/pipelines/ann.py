@@ -176,3 +176,83 @@ def q_ann_lsh(
 
     df = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
     return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other standard scale path next to LSH:
+# k-means-lite centroids trained on a driver-side sample, broadcast once;
+# each batch assigns its vectors to a cell; queries probe only the
+# ``nprobe`` nearest cells.  At 100 TB the sample fits the driver (a few
+# thousand vectors), centroid assignment is one matmul per batch, and
+# the probed fraction bounds compute at nprobe/ncells of brute force.
+def _kmeans_lite(sample: np.ndarray, ncells: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=ncells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on normalized rows
+        for c in range(ncells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def q_ann_ivf(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Approximate top-k via IVF cells (rows-only query; recall vs
+    brute force is asserted in tests, mirroring q_ann_lsh)."""
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    norm_all = _normalize_rows(mat_all)
+    # train centroids on a deterministic sample (driver-side, tiny)
+    sample = norm_all[: min(sample_rows, len(norm_all))]
+    cent = _kmeans_lite(sample, min(ncells, len(sample)))
+
+    qsel = ids_all < num_queries
+    qids, qmat = ids_all[qsel], norm_all[qsel]
+    # cells each query probes: nprobe nearest centroids
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    qref = ray.put((qids, qmat, qcells, cent))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        qids_l, qmat_l, qcells_l, cent_l = ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize_rows(
+            np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        cells = np.argmax(m @ cent_l.T, axis=1)  # (B,) cell assignment
+        rows = {"qid": [], "vec_id": [], "sim": []}
+        for qi, qid in enumerate(qids_l):
+            probe_mask = np.isin(cells, qcells_l[qi]) & (ids != qid)
+            cand = np.nonzero(probe_mask)[0]
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ qmat_l[qi]
+            order = np.lexsort((ids[cand], -np.round(s, 4)))[:k]
+            rows["qid"].extend([qid] * len(order))
+            rows["vec_id"].extend(ids[cand][order])
+            rows["sim"].extend(np.round(s[order], 4))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "sim": pa.array(rows["sim"], pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(probe, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True], ignore_index=True).head(k)
+
+    df = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
+    return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)

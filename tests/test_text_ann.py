@@ -144,3 +144,15 @@ def test_media_pipeline_schema_and_determinism():
 def test_media_decode_stub_raises_when_real_required():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeMedia(require_real=True)
+
+
+def test_ann_ivf_recall():
+    bf = ann.q_ann_bruteforce(SF_DIR)
+    ivf = ann.q_ann_ivf(SF_DIR)
+    bf_pairs = set(zip(bf["qid"], bf["vec_id"]))
+    ivf_pairs = set(zip(ivf["qid"], ivf["vec_id"]))
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"  # 4/16 cells probed
+    # probing ALL cells must be exact (== brute force)
+    full = ann.q_ann_ivf(SF_DIR, nprobe=16)
+    assert set(zip(full["qid"], full["vec_id"])) == bf_pairs
