@@ -44,6 +44,8 @@ def _wal_dir() -> str:
 
 
 def ensure_wal() -> str:
+    import ray
+
     from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
 
     d = _wal_dir()
@@ -59,7 +61,17 @@ def ensure_wal() -> str:
             invalid_fraction=0.01,
             zipf_s=1.1,
         )
-        WalGenerator(spec).write(d)
+
+        # epochs are independent and deterministic — generate in parallel
+        # (4 CPUs per task: each materializes a ~2 GB epoch table)
+        @ray.remote(num_cpus=4)
+        def gen_epoch(e: int) -> str:
+            return WalGenerator(spec).write_epoch(d, e)
+
+        if ray.is_initialized():
+            ray.get([gen_epoch.remote(e) for e in range(spec.num_epochs)])
+        else:
+            WalGenerator(spec).write(d)
         with open(marker, "w") as f:
             f.write("ok")
     return d
