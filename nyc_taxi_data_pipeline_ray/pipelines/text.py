@@ -182,15 +182,31 @@ def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
+    def sigs(t: pa.Table) -> pa.Table:
+        # 256-bit byte-presence signature packed to 32 bytes — the ONLY
+        # thing the lang shuffle ships (not the multi-KB text payload)
+        texts = t["text"].to_pylist()
+        m = np.zeros((len(texts), 256), np.uint8)
+        for i, s in enumerate(texts):
+            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+            m[i, np.unique(b)] = 1
+        packed = np.packbits(m, axis=1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(packed.reshape(-1), pa.uint8()), 32
+                ),
+            }
+        )
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", ignore_index=True)
         n = len(g)
         if n < 2:
             return pd.DataFrame(columns=["lang", "doc_a", "doc_b", "sim"])
-        m = np.zeros((n, 256), dtype=np.int16)
-        for i, s in enumerate(g["text"]):
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-            m[i, np.unique(b)] = 1
+        m = np.unpackbits(np.stack(g["sig"].to_numpy()), axis=1).astype(np.int16)
         inter = m @ m.T
         sizes = m.sum(axis=1)
         union = sizes[:, None] + sizes[None, :] - inter
@@ -208,7 +224,8 @@ def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
         )
 
     df = (
-        ds.groupby("lang")
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("lang")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
