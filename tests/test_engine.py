@@ -220,3 +220,36 @@ def test_resume_with_new_epochs_after_partial_commit(tmp_path):
     assert snap.select(cols).equals(exp.select(cols))
     # lineage: total rows_in across manifests equals total delivered events
     assert eng.metrics()["rows_in"] == gen.events_table().num_rows
+
+
+def test_type_widen_text_tool(tmp_path):
+    # north-rule evolution case: a later epoch ships text/tool as
+    # large_string (and lsn as int64 already) — Arrow unification widens,
+    # merge state still equals the oracle
+    import pyarrow.parquet as pq
+
+    spec = WalSpec(seed=41, num_conversations=40, num_epochs=2, events_per_epoch=500)
+    gen = WalGenerator(spec)
+    wal = str(tmp_path / "wal")
+    gen.write(wal)
+    # rewrite epoch 1's segment with widened string types
+    seg = sorted(glob.glob(os.path.join(wal, "epoch=000001", "*.parquet")))[0]
+    t = pq.read_table(seg)
+    widened = pa.schema(
+        [
+            pa.field(f.name, pa.large_string())
+            if f.name in ("text", "tool", "role", "op", "conv_id")
+            else f
+            for f in t.schema
+        ]
+    )
+    pq.write_table(t.cast(widened), seg)
+
+    eng = CdcEngine(LakeConfig.open_or_create(str(tmp_path / "lake"), num_partitions=4))
+    eng.apply(wal)
+    snap = eng.snapshot_table()
+    exp = oracle.replay(gen.events_table())
+    # compare as-if-narrow: cast snapshot back for value equality
+    snap = snap.cast(pa.schema([exp.schema.field(n) for n in snap.schema.names]))
+    cols = sorted(exp.schema.names)
+    assert snap.select(cols).equals(exp.select(cols))
