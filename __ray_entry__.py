@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
         "simhash": T.q_simhash,                      # rows-only
         "ngram_jaccard": T.q_ngram_jaccard,
+        "bpe_tokens": T.q_bpe_tokens,
+        "winnow_fingerprint": T.q_winnow_fingerprint,  # rows-only (MOSS-style)
         # similarity search over embeddings
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -134,6 +136,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             select doc_id, md5(text) as fingerprint from documents
+        """,
+        "bpe_tokens": """
+            select doc_id,
+                   cast(array_length(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                     as n_ws_tokens,
+                   cast(len(regexp_extract_all(text,
+                       $re$'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+$re$)) as bigint)
+                     as n_bpe_tokens
+            from documents
         """,
         "ann_bruteforce": """
             with q as (select vec_id as qid, cast(embedding as double[]) as qe

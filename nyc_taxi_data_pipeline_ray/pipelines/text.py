@@ -488,3 +488,77 @@ def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.Da
         .to_pandas()
     )
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+#: BPE-ish pre-tokenizer pattern (GPT-2 family simplified to RE2-safe,
+#: no lookaheads): contraction tails, letter runs, digit runs, punct runs.
+BPE_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """Token counting, BPE-ish: one vectorized Arrow regex-count kernel
+    per batch (``pc.count_substring_regex``) next to the whitespace count
+    — the two token-budget estimators a training-data pipeline tracks."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ws = pc.list_value_length(_tokens(t["text"]))
+        bpe = pc.count_substring_regex(t["text"], BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.DataFrame:
+    """Document fingerprinting by winnowing (rolling Karp-Rabin k-gram
+    hashes, minimum per sliding window) — the standard near-copy
+    detector (Schleimer/Wilkerson/Aiken, MOSS).  Rows-only: two docs
+    sharing most fingerprints are near-copies; asserted on planted
+    duplicates in tests.  Returns (doc_id, n_fingerprints, fp_xor) where
+    fp_xor is an order-free digest of the selected fingerprints."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    B = np.uint64(1_000_003)
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "n_fingerprints": [], "fp_xor": []}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < k:
+                out["doc_id"].append(did)
+                out["n_fingerprints"].append(0)
+                out["fp_xor"].append(0)
+                continue
+            # rolling Karp-Rabin over all k-grams, vectorized via cumulative
+            # polynomial trick: h[i] = sum b[i+j] * B^(k-1-j)
+            h = np.zeros(len(b) - k + 1, np.uint64)
+            for j in range(k):  # k is tiny (5); the inner op is vectorized
+                h = h * B + b[j : j + len(h)]
+            if len(h) >= window:
+                w = np.lib.stride_tricks.sliding_window_view(h, window)
+                fps = np.unique(w.min(axis=1))
+            else:
+                fps = np.unique(h.min(keepdims=True))
+            x = np.uint64(0)
+            for v in fps:
+                x ^= v
+            out["doc_id"].append(did)
+            out["n_fingerprints"].append(int(len(fps)))
+            out["fp_xor"].append(int(x))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_fingerprints": pa.array(out["n_fingerprints"], pa.int64()),
+                "fp_xor": pa.array([v % (1 << 63) for v in out["fp_xor"]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )

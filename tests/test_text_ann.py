@@ -156,3 +156,26 @@ def test_ann_ivf_recall():
     # probing ALL cells must be exact (== brute force)
     full = ann.q_ann_ivf(SF_DIR, nprobe=16)
     assert set(zip(full["qid"], full["vec_id"])) == bf_pairs
+
+
+def test_winnow_fingerprint_planted(dup_docs_dir):
+    df = text.q_winnow_fingerprint(dup_docs_dir)
+    by_id = df.set_index("doc_id")
+    # exact copies share the identical fingerprint digest and count
+    for i in range(5):
+        assert by_id.loc[i, "fp_xor"] == by_id.loc[100 + i, "fp_xor"]
+        assert by_id.loc[i, "n_fingerprints"] == by_id.loc[100 + i, "n_fingerprints"]
+    # near-dups (appended ~17-char tail) add at most a handful of the
+    # hundreds of fingerprints: counts stay within 5%
+    for i in range(5):
+        a = int(by_id.loc[5 + i, "n_fingerprints"])
+        b = int(by_id.loc[200 + i, "n_fingerprints"])
+        assert abs(a - b) <= max(10, int(0.05 * a)), (a, b)
+    # distinct docs do NOT collide
+    assert by_id.loc[0, "fp_xor"] != by_id.loc[1, "fp_xor"]
+
+
+def test_bpe_tokens_planted(dup_docs_dir):
+    df = text.q_bpe_tokens(dup_docs_dir).to_pandas().set_index("doc_id")
+    # BPE-ish tokens >= whitespace tokens (punct splits off)
+    assert (df["n_bpe_tokens"] >= df["n_ws_tokens"]).all()
