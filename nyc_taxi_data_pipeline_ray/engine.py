@@ -681,6 +681,25 @@ class CdcEngine:
         t = mg.concat_unified([pa.table(b) if isinstance(b, dict) else b for b in batches])
         return mg.sort_by_key(t)
 
+    def get_conversation(self, conv_id: str) -> pa.Table:
+        """Point lookup: one conversation's current turns, in order.
+
+        Partition-pruned — hashes ``conv_id`` to its lake partition and
+        merges ONLY that partition's runs (the lake-side analog of the
+        reference's per-key Redis reads); never scans the other
+        ``num_partitions - 1`` partitions.
+        """
+        pid = int(
+            hash_partition_ids(pa.array([conv_id], pa.string()), self.cfg.num_partitions)[0]
+        )
+        state = _read_partition_state(self.cfg.path, pid)
+        if state is None:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
+            )
+        out = state.filter(pc.equal(state["conv_id"], conv_id))
+        return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
+
     # --------------------------------------------------------------- metrics
     def metrics(self) -> dict:
         """Monoid-merged lineage counters across all committed

@@ -253,3 +253,19 @@ def test_type_widen_text_tool(tmp_path):
     snap = snap.cast(pa.schema([exp.schema.field(n) for n in snap.schema.names]))
     cols = sorted(exp.schema.names)
     assert snap.select(cols).equals(exp.select(cols))
+
+
+def test_get_conversation_point_lookup(tmp_path):
+    spec = WalSpec(seed=51, num_conversations=60, num_epochs=2, events_per_epoch=800)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    exp = oracle.replay(gen.events_table())
+    # pick a conversation that survived replay
+    conv = exp["conv_id"][0].as_py()
+    got = eng.get_conversation(conv)
+    want = exp.filter(pc.equal(exp["conv_id"], conv))
+    want = want.take(pc.sort_indices(want, sort_keys=[("turn_idx", "ascending")]))
+    cols = sorted(want.schema.names)
+    assert got.select(cols).equals(want.select(cols))
+    # unknown conversation -> empty, correct schema
+    assert eng.get_conversation("no_such_conv").num_rows == 0
