@@ -298,22 +298,34 @@ def _pre_path(staging_dir: str, pid: int, salt: int) -> str:
 class _PreMergeSalts:
     """Stage A2 task (salt_shards > 1): collapse one (pid, salt) staging
     slice into a single pre-combined fragment — parallel skew reduction
-    for conversation-heavy partitions before the per-pid merge."""
+    for conversation-heavy partitions before the per-pid merge.
 
-    def __init__(self, staging_dir: str, slice_map: dict[str, list[tuple[str, list[int]]]]):
+    The pre-combine runs PER EPOCH (not across the whole group): a
+    cross-epoch combine would sum ``_nsrc`` lineage weights across epoch
+    boundaries, which breaks the per-epoch resume filter's row
+    accounting when a later retry must drop already-committed epochs.
+    Stage B's final resolve collapses the per-epoch winners anyway.
+    """
+
+    def __init__(self, staging_dir: str):
         self.staging_dir = staging_dir
-        self.slice_map = slice_map  # "pid:salt" -> [(unit, [rg...])]
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
         _ensure_worker_thread_limit()
+        import json
+
         out = {"pid": [], "salt": [], "rows": []}
         for p in pairs.to_pylist():
-            slices = self.slice_map.get(f"{p['pid']}:{p['salt']}", [])
+            slices = json.loads(p["slices_json"])
             n = 0
             good = _read_slices(self.staging_dir, slices)
             if good is not None and good.num_rows:
-                good = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
-                good = good.drop_columns([mg.RUN_SEQ])
+                parts = []
+                for e in sorted(pc.unique(good["epoch"]).to_pylist()):
+                    sub = good.filter(pc.equal(good["epoch"], e))
+                    sub = mg.resolve_lww(mg.with_run_seq(sub, 0), drop_tombstones=False)
+                    parts.append(sub.drop_columns([mg.RUN_SEQ]))
+                good = mg.concat_unified(parts)
                 _atomic_write_parquet(_pre_path(self.staging_dir, p["pid"], p["salt"]), good)
                 n = good.num_rows
             out["pid"].append(p["pid"])
@@ -335,10 +347,97 @@ class ApplyReport:
     details: list[dict] = field(default_factory=list)
 
 
+class LakeLockedError(RuntimeError):
+    """Another writer holds the lake's apply/compact lease."""
+
+
+class _LakeLease:
+    """Single-writer lease for apply/compact (advisory lock file).
+
+    Two concurrent applies would delete each other's staging dirs
+    (``apply`` clears stale ``_staging/group-*``), so writes are guarded
+    by ``<lake>/_lock.json`` created with O_EXCL.  A crashed writer's
+    lock is stolen when its pid is dead (same host) or the lease is
+    older than ``stale_after_s`` (the cross-host fallback a real cluster
+    would replace with an object-store conditional put / DynamoDB lock,
+    as Delta/Iceberg single-writer commits do).
+    """
+
+    def __init__(self, lake_path: str, stale_after_s: float = 3600.0):
+        self.path = os.path.join(lake_path, "_lock.json")
+        self.stale_after_s = stale_after_s
+
+    def __enter__(self):
+        import json
+
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        for _ in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                return self
+            except FileExistsError:
+                if not self._is_stale():
+                    raise LakeLockedError(
+                        f"lake is locked by another writer ({self.path}); "
+                        "concurrent apply/compact is not allowed"
+                    ) from None
+                try:  # steal the stale lock and retry the exclusive create
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        raise LakeLockedError(f"could not acquire {self.path}")
+
+    def _is_stale(self) -> bool:
+        import json
+
+        try:
+            with open(self.path) as f:
+                held = json.load(f)
+        except (OSError, ValueError):
+            return True  # unreadable/corrupt lock: treat as stale
+        if time.time() - float(held.get("ts", 0)) > self.stale_after_s:
+            return True
+        pid = held.get("pid")
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)  # signal 0: existence check only
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                pass  # alive, owned by someone else
+        return False
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 class CdcEngine:
     def __init__(self, cfg: LakeConfig):
-        self.cfg = cfg
-        cfg.save()
+        """Open (or create) a lake.  Opening an existing lake with a
+        config that disagrees on the physical routing constants raises —
+        ``num_partitions``/``salt_shards`` decide where every key lives,
+        so silently overwriting ``_lake.json`` would misroute all
+        subsequent applies and break partition-pruned lookups."""
+        if os.path.exists(cfg.meta_path):
+            existing = LakeConfig.load(cfg.path)
+            for attr in ("num_partitions", "salt_shards"):
+                if getattr(existing, attr) != getattr(cfg, attr):
+                    raise ValueError(
+                        f"lake at {cfg.path} was created with "
+                        f"{attr}={getattr(existing, attr)}, got {getattr(cfg, attr)}; "
+                        "use LakeConfig.open_or_create / LakeConfig.load"
+                    )
+            self.cfg = cfg
+        else:
+            self.cfg = cfg
+            cfg.save()
 
     # ------------------------------------------------------------- discovery
     def discover(self, wal_dir: str) -> list[tuple[int, list[str]]]:
@@ -386,6 +485,10 @@ class CdcEngine:
             work = work[:max_epochs]
         if not work:
             return ApplyReport(epochs=[])
+        with _LakeLease(self.cfg.path):
+            return self._apply_locked(work)
+
+    def _apply_locked(self, work) -> ApplyReport:
         epochs = [e for e, _ in work]
         files = [f for _, fs in work for f in fs]
         t0 = time.perf_counter()
@@ -451,25 +554,29 @@ class CdcEngine:
                 else:
                     slice_map.setdefault(key, []).append((r["unit"], rgs))
 
+        # Each A2/B task row carries ONLY its own pid's slice list (not the
+        # global slice_map): at 10^10 events x 4096 partitions the full map
+        # is O(units x partitions) and must not be pickled into every task.
         # ---- Stage A2 (skew): parallel pre-merge of each (pid, salt) slice
         if self.cfg.salt_shards > 1:
+            pair_pid, pair_salt, pair_slices = [], [], []
+            for p in range(self.cfg.num_partitions):
+                for s in range(self.cfg.salt_shards):
+                    pair_pid.append(p)
+                    pair_salt.append(s)
+                    pair_slices.append(json.dumps(slice_map.get(f"{p}:{s}", [])))
             pairs = pa.table(
                 {
-                    "pid": pa.array(
-                        [p for p in range(self.cfg.num_partitions) for _ in range(self.cfg.salt_shards)],
-                        pa.int32(),
-                    ),
-                    "salt": pa.array(
-                        [s for _ in range(self.cfg.num_partitions) for s in range(self.cfg.salt_shards)],
-                        pa.int32(),
-                    ),
+                    "pid": pa.array(pair_pid, pa.int32()),
+                    "salt": pa.array(pair_salt, pa.int32()),
+                    "slices_json": pa.array(pair_slices, pa.string()),
                 }
             )
             (
                 rd.from_arrow(pairs)
                 .repartition(pairs.num_rows)
                 .map_batches(
-                    _PreMergeSalts(staging_dir, slice_map),
+                    _PreMergeSalts(staging_dir),
                     batch_format="pyarrow",
                     batch_size=None,
                     num_cpus=self.cfg.task_cpus,
@@ -486,10 +593,27 @@ class CdcEngine:
             sorted(epochs),
             self.cfg.max_delta_runs,
             self.cfg.salt_shards,
-            slice_map,
-            sorted(rej_units),
         )
-        pids = pa.table({"pid": pa.array(range(self.cfg.num_partitions), pa.int32())})
+        rej_json = json.dumps(sorted(rej_units))
+        pids = pa.table(
+            {
+                "pid": pa.array(range(self.cfg.num_partitions), pa.int32()),
+                "slices_json": pa.array(
+                    [
+                        json.dumps(slice_map.get(f"{p}:0", []))
+                        if self.cfg.salt_shards == 1
+                        else "[]"  # salted: Stage B reads the pre-merged files
+                        for p in range(self.cfg.num_partitions)
+                    ],
+                    pa.string(),
+                ),
+                # dead-letter rows route to partition 0 only
+                "rej_json": pa.array(
+                    [rej_json if p == 0 else "[]" for p in range(self.cfg.num_partitions)],
+                    pa.string(),
+                ),
+            }
+        )
         reports = (
             rd.from_arrow(pids)
             .repartition(self.cfg.num_partitions)
@@ -601,24 +725,45 @@ class CdcEngine:
         return reports
 
     # ------------------------------------------------------------ compaction
-    def compact(self, pids: list[int] | None = None, *, force: bool = True) -> int:
+    def compact(
+        self,
+        pids: list[int] | None = None,
+        *,
+        force: bool = True,
+        drop_tombstones: bool = False,
+    ) -> int:
         """Merge each partition's base + delta runs into a new base
         generation (LSM compaction).  Distributed: one Ray task per
-        partition via map_batches over partition descriptors."""
+        partition via map_batches over partition descriptors.
+
+        Tombstones are RETAINED by default: the WAL carries out-of-order
+        timestamps that cross epoch boundaries, so a delete's tombstone
+        must keep masking any later-arriving event with an older
+        ``(ts, lsn)`` for the same key.  Pass ``drop_tombstones=True``
+        only for a full compaction when the WAL is known complete (no
+        epoch can still deliver an older write) — the event-time
+        watermark decision belongs to the operator, not the engine.
+        """
         pids = pids if pids is not None else self._live_pids()
         if not pids:
             return 0
         lake_path = self.cfg.path
 
-        def compact_one(batch: pa.Table) -> pa.Table:
-            done = []
-            for pid in batch["pid"].to_pylist():
-                done.append(_compact_partition(lake_path, int(pid), force=force))
-            return pa.table({"pid": batch["pid"], "compacted": pa.array(done, pa.bool_())})
+        with _LakeLease(self.cfg.path):
 
-        ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
-        ds = ds.repartition(len(pids)).map_batches(compact_one, batch_format="pyarrow")
-        return sum(1 for r in ds.take_all() if r["compacted"])
+            def compact_one(batch: pa.Table) -> pa.Table:
+                done = []
+                for pid in batch["pid"].to_pylist():
+                    done.append(
+                        _compact_partition(
+                            lake_path, int(pid), force=force, drop_tombstones=drop_tombstones
+                        )
+                    )
+                return pa.table({"pid": batch["pid"], "compacted": pa.array(done, pa.bool_())})
+
+            ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+            ds = ds.repartition(len(pids)).map_batches(compact_one, batch_format="pyarrow")
+            return sum(1 for r in ds.take_all() if r["compacted"])
 
     def _live_pids(self) -> list[int]:
         out = []
@@ -730,8 +875,6 @@ class _MergePartitions:
         epochs: list[int],
         max_delta_runs: int,
         salt_shards: int,
-        slice_map: dict[str, list[tuple[str, list[int]]]],
-        rej_units: list[str],
     ):
         self.lake_path = lake_path
         self.staging_dir = staging_dir
@@ -739,15 +882,22 @@ class _MergePartitions:
         self.epochs = epochs
         self.max_delta_runs = max_delta_runs
         self.salt_shards = salt_shards
-        self.slice_map = slice_map  # "pid:salt" -> [(unit, [rg...])]
-        self.rej_units = rej_units
 
     def __call__(self, pids: pa.Table) -> pa.Table:
         _ensure_worker_thread_limit()
-        rows = [self._merge_one(int(p)) for p in pids["pid"].to_pylist()]
+        import json
+
+        rows = [
+            self._merge_one(
+                int(p["pid"]), json.loads(p["slices_json"]), json.loads(p["rej_json"])
+            )
+            for p in pids.to_pylist()
+        ]
         return pa.concat_tables(rows)
 
-    def _read_staged(self, pid: int) -> tuple[pa.Table | None, pa.Table | None]:
+    def _read_staged(
+        self, pid: int, slices: list, rej_units: list[str]
+    ) -> tuple[pa.Table | None, pa.Table | None]:
         """(combined valid rows with _nsrc, raw reject rows)."""
         if self.salt_shards > 1:
             paths = [
@@ -757,20 +907,19 @@ class _MergePartitions:
             tables = [pq.read_table(p) for p in paths if os.path.exists(p)]
             good = mg.concat_unified(tables) if tables else None
         else:
-            slices = self.slice_map.get(f"{pid}:0", [])
             good = _read_slices(self.staging_dir, slices)
         bad = None
-        if pid == 0 and self.rej_units:
+        if rej_units:
             bad = mg.concat_unified(
                 [
                     pq.read_table(os.path.join(self.staging_dir, f"rej-{u}.parquet"))
-                    for u in self.rej_units
+                    for u in rej_units
                 ]
             )
         return good, bad
 
-    def _merge_one(self, pid: int) -> pa.Table:
-        good, bad = self._read_staged(pid)
+    def _merge_one(self, pid: int, slices: list, rej_units: list[str]) -> pa.Table:
+        good, bad = self._read_staged(pid, slices, rej_units)
         return _apply_partition_group(
             good,
             bad,
@@ -907,8 +1056,14 @@ def _read_partition_state(lake_path: str, pid: int) -> pa.Table | None:
     return merged.drop_columns([c for c in ("op", "epoch") if c in merged.schema.names])
 
 
-def _compact_partition(lake_path: str, pid: int, *, force: bool) -> bool:
-    """Fold base + deltas into a new base generation; tombstones drop out.
+def _compact_partition(
+    lake_path: str, pid: int, *, force: bool, drop_tombstones: bool = False
+) -> bool:
+    """Fold base + deltas into a new base generation.  Tombstones are
+    RETAINED unless ``drop_tombstones`` (full compaction, WAL complete):
+    dropping them mid-stream would let a later epoch's out-of-order
+    event with an older ``(ts, lsn)`` resurrect a deleted key (the WAL's
+    ooo jitter spans epoch boundaries — see sources/generator.py:130-131).
     Idempotent: generation id = prior generation + 1; marker commits it."""
     deltas = mf.delta_runs(lake_path, pid)
     if not deltas and not force:
@@ -918,7 +1073,7 @@ def _compact_partition(lake_path: str, pid: int, *, force: bool) -> bool:
         return False
     if len(runs) == 1 and not deltas:
         return False
-    merged = mg.merge_runs(runs, drop_tombstones=True)
+    merged = mg.merge_runs(runs, drop_tombstones=drop_tombstones)
     base = mf.current_base(lake_path, pid)
     gen = (base[0] + 1) if base else 1
     through = max((ep for ep, _ in deltas), default=-1)

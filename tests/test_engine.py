@@ -255,6 +255,146 @@ def test_type_widen_text_tool(tmp_path):
     assert snap.select(cols).equals(exp.select(cols))
 
 
+def _custom_epoch_rows(epoch, rows):
+    """Build one WAL epoch table from (lsn, op, conv, turn, ts_us) tuples."""
+    from nyc_taxi_data_pipeline_ray import schemas
+
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "epoch": pa.array([epoch] * len(rows), pa.int32()),
+            "conv_id": pa.array([r[2] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "role": pa.array(
+                [None if r[1] == "delete" else "user" for r in rows], pa.string()
+            ),
+            "text": pa.array(
+                [None if r[1] == "delete" else f"text-{r[0]}" for r in rows], pa.string()
+            ),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        },
+        schema=schemas.EVENT_SCHEMA,
+    )
+
+
+def _write_custom_wal(wal, epochs_rows):
+    import pyarrow.parquet as pq
+
+    tables = []
+    for epoch, rows in enumerate(epochs_rows):
+        t = _custom_epoch_rows(epoch, rows)
+        d = os.path.join(wal, f"epoch={epoch:06d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "part-0000.parquet"))
+        tables.append(t)
+    return pa.concat_tables(tables)
+
+
+def test_tombstone_survives_midstream_compaction(tmp_path):
+    # ADVICE (high): a delete compacted mid-stream must keep masking a
+    # later-epoch out-of-order event carrying an OLDER (ts, lsn) for the
+    # same key — the tombstone may not be dropped by auto-compaction.
+    T = 1_735_689_600_000_000
+    events = _write_custom_wal(
+        str(tmp_path / "wal"),
+        [
+            [(1, "insert", "c1", 0, T), (2, "insert", "c2", 0, T)],
+            [(100, "delete", "c1", 0, T + 5_000_000)],
+            # ooo update: newer lsn but ts BEFORE the delete -> must lose
+            [(200, "update", "c1", 0, T + 1_000_000)],
+        ],
+    )
+    eng = CdcEngine(
+        LakeConfig.open_or_create(str(tmp_path / "lake"), num_partitions=2, max_delta_runs=1)
+    )
+    wal = str(tmp_path / "wal")
+    eng.apply(wal, max_epochs=1)
+    eng.apply(wal, max_epochs=1)  # commit of epoch 1 auto-compacts (2 runs > 1)
+    eng.apply(wal)
+    snap = eng.snapshot_table()
+    exp = oracle.replay(events)
+    cols = sorted(exp.schema.names)
+    assert snap.select(cols).equals(exp.select(cols))
+    assert "c1" not in snap["conv_id"].to_pylist()  # delete still masks
+
+
+def test_full_compaction_drops_tombstones(tmp_path):
+    T = 1_735_689_600_000_000
+    events = _write_custom_wal(
+        str(tmp_path / "wal"),
+        [
+            [(1, "insert", "c1", 0, T), (2, "insert", "c2", 0, T)],
+            [(100, "delete", "c1", 0, T + 5_000_000)],
+        ],
+    )
+    eng = CdcEngine(LakeConfig.open_or_create(str(tmp_path / "lake"), num_partitions=2))
+    eng.apply(str(tmp_path / "wal"))
+    eng.compact(drop_tombstones=True)  # operator asserts the WAL is complete
+    snap = eng.snapshot_table()
+    exp = oracle.replay(events)
+    cols = sorted(exp.schema.names)
+    assert snap.select(cols).equals(exp.select(cols))
+    # tombstone physically gone from every base run
+    for f in glob.glob(os.path.join(eng.cfg.path, "p=*", "base-*.parquet")):
+        t = pa.parquet.read_table(f)
+        if "op" in t.schema.names:
+            assert "delete" not in set(pc.unique(pc.drop_null(t["op"])).to_pylist())
+
+
+def test_init_rejects_routing_mismatch(tmp_path):
+    lake = str(tmp_path / "lake")
+    CdcEngine(LakeConfig.open_or_create(lake, num_partitions=4))
+    with pytest.raises(ValueError, match="num_partitions"):
+        CdcEngine(LakeConfig(lake, num_partitions=8))
+    # persisted routing survived the failed open
+    assert LakeConfig.load(lake).num_partitions == 4
+
+
+def test_writer_lease_blocks_concurrent_apply(tmp_path):
+    import json
+
+    from nyc_taxi_data_pipeline_ray.engine import LakeLockedError
+
+    spec = WalSpec(seed=61, num_conversations=20, num_epochs=1, events_per_epoch=100)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    lock = os.path.join(eng.cfg.path, "_lock.json")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, f)
+    with pytest.raises(LakeLockedError):
+        eng.apply(wal)
+    # a dead writer's lock is stolen and the apply proceeds
+    with open(lock, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": __import__("time").time()}, f)
+    rep = eng.apply(wal)
+    assert rep.epochs == [0]
+    assert not os.path.exists(lock)
+    _assert_equal_state(eng, gen)
+
+
+def test_salted_resume_rows_in_reconciles(tmp_path):
+    # ADVICE (low): with salt_shards > 1 the A2 pre-merge must not sum
+    # lineage across epoch boundaries, or a resume-with-new-epochs retry
+    # over/under-counts rows_in vs delivered events.
+    spec = WalSpec(seed=37, num_conversations=30, num_epochs=4, events_per_epoch=600, zipf_s=1.2)
+    gen = WalGenerator(spec)
+    wal = str(tmp_path / "wal")
+    gen.write_epoch(wal, 0)
+    gen.write_epoch(wal, 1)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(str(tmp_path / "lake"), num_partitions=4, salt_shards=4)
+    )
+    eng.apply(wal)
+    for f in glob.glob(os.path.join(eng.cfg.path, "_epochs", "*.json")):
+        os.remove(f)
+    gen.write_epoch(wal, 2)
+    gen.write_epoch(wal, 3)
+    eng.apply(wal)
+    _assert_equal_state(eng, gen)
+    assert eng.metrics()["rows_in"] == gen.events_table().num_rows
+
+
 def test_get_conversation_point_lookup(tmp_path):
     spec = WalSpec(seed=51, num_conversations=60, num_epochs=2, events_per_epoch=800)
     gen, wal, eng = _build(str(tmp_path), spec)
