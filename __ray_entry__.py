@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": T.q_fingerprint,
         "langid": T.q_langid,                       # rows-only (heuristic)
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
-        "simhash": T.q_simhash,                      # rows-only
+        "simhash": T.q_simhash,
         "ngram_jaccard": T.q_ngram_jaccard,
         "bpe_tokens": T.q_bpe_tokens,
         "winnow_fingerprint": T.q_winnow_fingerprint,  # rows-only (MOSS-style)
@@ -356,6 +356,28 @@ def oracle_sql() -> dict[str, str]:
         "sample_window": """
             select event_id, ts, event_type, value
             from events order by event_id limit 50 offset 1000
+        """,
+        "simhash": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x != '') as toks
+              from documents),
+            e as (select doc_id, unnest(toks) as tok from t),
+            b as (
+              select e.doc_id, j.j,
+                     sum(case when (md5_number_lower(tok) >> j.j) & 1 = 1
+                         then 1 else -1 end) as vote
+              from e, (select unnest(range(64)) as j) j
+              group by 1, 2),
+            s as (
+              select doc_id,
+                     cast(sum(case when vote > 0 then (1::UBIGINT << j) else 0 end)
+                          as UBIGINT) as sh
+              from b group by 1)
+            select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
+            from t left join s using (doc_id)
+            order by doc_id
         """,
         "ngram_jaccard": r"""
             with t as (

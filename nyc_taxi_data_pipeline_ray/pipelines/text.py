@@ -66,6 +66,38 @@ def _tokens(text_col) -> pa.ListArray:
     return out
 
 
+def _ragged_pair_indices(group_sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group unordered index pairs (i < j), for groups laid
+    out contiguously with the given sizes — one vectorized shot, no
+    per-group Python.  This is how bucket-pair enumeration stays fast
+    when one task holds MANY small buckets (LSH buckets, dup clusters):
+    a per-bucket loop costs ~ms of Python per bucket; this costs one
+    repeat/cumsum pass for the whole batch.
+    """
+    group_sizes = group_sizes.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
+    total = int(group_sizes.sum())
+    pos = np.arange(total) - np.repeat(starts, group_sizes)  # local position
+    rep_j = np.repeat(np.arange(total), pos)  # row j appears pos_j times
+    csum = np.concatenate([[0], np.cumsum(pos)])
+    ar = np.arange(len(rep_j)) - np.repeat(csum[:-1], pos)  # 0..pos_j-1
+    grp_of_j = np.repeat(np.repeat(np.arange(len(group_sizes)), group_sizes), pos)
+    return starts[grp_of_j] + ar, rep_j
+
+
+def _group_sizes_by_boundary(*key_cols: np.ndarray) -> np.ndarray:
+    """Sizes of consecutive equal-key runs (rows already sorted by the
+    keys).  Works on any mix of numeric/object columns."""
+    n = len(key_cols[0])
+    if n == 0:
+        return np.zeros(0, np.int64)
+    change = np.zeros(n - 1, bool)
+    for col in key_cols:
+        change |= col[1:] != col[:-1]
+    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+    return np.diff(bounds)
+
+
 def _segment_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Sum ``flags`` per list row given Arrow list offsets — vectorized."""
     starts = offsets[:-1]
@@ -170,43 +202,174 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _byte_sigs(t: pa.Table) -> pa.Table:
+    """256-bit byte-presence signature packed to 32 bytes — the ONLY
+    thing any downstream shuffle ships (not the multi-KB text payload).
+    Fully vectorized: one scatter over (row_idx, byte) pairs built from
+    the Arrow binary buffer, no per-doc Python loop."""
+    binv = pc.cast(t["text"].combine_chunks(), pa.binary())
+    n = len(binv)
+    offs = np.frombuffer(binv.buffers()[1], np.int32)[binv.offset : binv.offset + n + 1]
+    flat = np.frombuffer(binv.buffers()[2] or b"", np.uint8)[offs[0] : offs[-1]]
+    lens = np.diff(offs)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    m = np.zeros((n, 256), np.uint8)
+    if len(flat):
+        m[row_idx, flat] = 1
+    packed = np.packbits(m, axis=1)
+    # 64-bit hash of the packed signature = the shuffle/group key
+    # (collisions are guarded downstream by exact-signature subgrouping)
+    p64 = np.ascontiguousarray(packed).view(np.uint64).reshape(n, 4)
+    h = np.zeros(n, np.uint64)
+    for j in range(4):
+        h = h * np.uint64(1000003) ^ p64[:, j]
+    sig_h = h.view(np.int64)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "sig_h": pa.array(sig_h),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(packed.reshape(-1), pa.uint8()), 32
+            ),
+        }
+    )
+
+
 def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
     """Similar-document pairs by byte-set Jaccard within each ``lang``
     group — the n-gram-Jaccard family with n=1 over utf-8 bytes, chosen
     because DuckDB's ``jaccard()`` has exactly these semantics (so the
     oracle is exact: inter/union of small ints is bit-identical).
 
-    Vectorized: each group builds a (docs x 256) byte-presence bit
-    matrix; intersections come from one integer matmul.  At larger
-    scale the group key becomes an LSH band, keeping groups bounded.
+    Scale-safe blocking (both paths exact, no lang-wide all-pairs task):
+
+    - ``threshold >= 1.0`` (the default duplicate finder): Jaccard == 1
+      iff the byte SETS are identical, so pairs are emitted per
+      identical-signature group — ``groupby((lang, sig_hash))`` makes
+      task size track duplicate-cluster size, not corpus size.
+    - ``threshold < 1.0``: PPJoin-style prefix filtering — every
+      qualifying pair must share a byte among the first
+      ``s - ceil(t*s) + 1`` of its signature bytes sorted by global
+      rarity; candidates are generated per ``(lang, prefix_byte)``
+      group and verified vectorized, then deduped.
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    sigs = ds.map_batches(_byte_sigs, batch_format="pyarrow")
 
-    def sigs(t: pa.Table) -> pa.Table:
-        # 256-bit byte-presence signature packed to 32 bytes — the ONLY
-        # thing the lang shuffle ships (not the multi-KB text payload)
-        texts = t["text"].to_pylist()
-        m = np.zeros((len(texts), 256), np.uint8)
-        for i, s in enumerate(texts):
-            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
-            m[i, np.unique(b)] = 1
-        packed = np.packbits(m, axis=1)
+    if threshold >= 1.0:
+        # Jaccard == 1 iff identical byte sets: shuffle on a BOUNDED
+        # bucket of the signature hash (task size ~ rows/NB, tunable to
+        # the cluster), then enumerate every identical-(lang, sig)
+        # cluster's pairs in one vectorized pass — no per-cluster Python.
+        NB = 256
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = t["sig_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return t.append_column("bucket", pa.array((h % NB).astype(np.int32)))
+
+        def dup_pairs(g: pa.Table) -> pa.Table:
+            if g.num_rows < 2:
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            langs = g["lang"].to_numpy(zero_copy_only=False).astype(object)
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            p64 = np.ascontiguousarray(
+                np.stack(g["sig"].to_numpy(zero_copy_only=False)).astype(np.uint8)
+            ).view(np.uint64)
+            order = np.lexsort((ids, p64[:, 3], p64[:, 2], p64[:, 1], p64[:, 0], langs))
+            langs, ids, p64 = langs[order], ids[order], p64[order]
+            sizes = _group_sizes_by_boundary(
+                langs, p64[:, 0], p64[:, 1], p64[:, 2], p64[:, 3]
+            )
+            ia, ib = _ragged_pair_indices(sizes)
+            return pa.table(
+                {
+                    "lang": pa.array(langs[ia], pa.string()),
+                    "doc_a": pa.array(ids[ia], pa.int64()),
+                    "doc_b": pa.array(ids[ib], pa.int64()),
+                    "sim": pa.array(np.ones(len(ia))),
+                }
+            )
+
+        df = (
+            sigs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dup_pairs, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return df.sort_values(["lang", "doc_a", "doc_b"], ignore_index=True)
+
+    # ---- threshold < 1.0: exact prefix-filter join ----------------------
+    # global byte rarity order (tiny 256-row aggregate; rarest-first
+    # prefixes minimize candidate-group fan-in)
+    def byte_counts(t: pa.Table) -> pa.Table:
+        m = np.unpackbits(
+            np.stack(t["sig"].to_numpy(zero_copy_only=False)).astype(np.uint8), axis=1
+        )
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(packed.reshape(-1), pa.uint8()), 32
-                ),
+                "byte": pa.array(np.arange(256, dtype=np.int32)),
+                "n": pa.array(m.sum(axis=0).astype(np.int64)),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    freq = (
+        sigs.map_batches(byte_counts, batch_format="pyarrow")
+        .groupby("byte")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(256, np.int64)
+    counts[freq["byte"].to_numpy()] = freq["n"].to_numpy()
+    rank = np.empty(256, np.int64)
+    rank[np.lexsort((np.arange(256), counts))] = np.arange(256)
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        m = np.unpackbits(
+            np.stack(t["sig"].to_numpy(zero_copy_only=False)).astype(np.uint8), axis=1
+        ).astype(bool)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        out = {"lang": [], "pfx": [], "doc_id": [], "sig": []}
+        sig_col = t["sig"]
+        for i in range(len(ids)):
+            present = np.nonzero(m[i])[0]
+            s = len(present)
+            L = s - int(np.ceil(threshold * s)) + 1
+            pfx = present[np.argsort(rank[present])][:L]
+            out["lang"].extend([langs[i]] * len(pfx))
+            out["pfx"].extend(pfx.tolist())
+            out["doc_id"].extend([ids[i]] * len(pfx))
+            out["sig"].extend([sig_col[i].as_py()] * len(pfx))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "pfx": pa.array(out["pfx"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "sig": pa.array(out["sig"], pa.list_(pa.uint8())),
+            }
+        )
+
+    def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", ignore_index=True)
         n = len(g)
         if n < 2:
-            return pd.DataFrame(columns=["lang", "doc_a", "doc_b", "sim"])
-        m = np.unpackbits(np.stack(g["sig"].to_numpy()), axis=1).astype(np.int16)
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        m = np.unpackbits(np.stack(g["sig"].to_numpy()).astype(np.uint8), axis=1).astype(np.int16)
         inter = m @ m.T
         sizes = m.sum(axis=1)
         union = sizes[:, None] + sizes[None, :] - inter
@@ -224,11 +387,12 @@ def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
         )
 
     df = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(pairs, batch_format="pandas")
+        sigs.map_batches(explode_prefix, batch_format="pyarrow")
+        .groupby(["lang", "pfx"])
+        .map_groups(verify_pairs, batch_format="pandas")
         .to_pandas()
     )
+    df = df.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
     return df.sort_values(["lang", "doc_a", "doc_b"], ignore_index=True)
 
 
@@ -285,7 +449,14 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection (rows-only oracle)
 
-_MERSENNE = (1 << 61) - 1
+#: 31-bit Mersenne prime — the hash domain.  With a, h < 2^31 the
+#: universal-hash product a*h + b < 2^62 + 2^31 fits uint64 EXACTLY, so
+#: the mod-p reduction is exact (a 61-bit prime would silently wrap
+#: a*h mod 2^64 first, degrading the family to an unanalyzed mapping).
+#: 31-bit minhash values are ample: per-doc shingle sets are ~10^3-10^4,
+#: so within-doc birthday collisions are ~1e-3 and shift estimates by
+#: at most one shingle.
+_MERSENNE = (1 << 31) - 1
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -295,6 +466,7 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         b = np.pad(b, (0, k - len(b)), constant_values=32)
     windows = np.lib.stride_tricks.sliding_window_view(b, k)
     weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64)) % np.uint64(_MERSENNE)
+    # windows < 2^8, weights < 2^31: the k-term dot < 2^42 — exact in uint64
     return (windows * weights).sum(axis=1, dtype=np.uint64) % np.uint64(_MERSENNE)
 
 
@@ -309,7 +481,8 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         h = np.unique(_shingle_hashes(text))
-        # (a*h + b) mod p for each perm: (P x H) -> min over H
+        # (a*h + b) mod p for each perm: (P x H) -> min over H; every
+        # intermediate < 2^62 + 2^31, so uint64 arithmetic is exact
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
@@ -337,6 +510,13 @@ def q_minhash_near_dups(
         concurrency=2,
     )
     rows_per_band = num_perm // bands
+    # Bounded shuffle buckets: the fine LSH key is (band, band_hash) —
+    # grouping the shuffle on band alone would hand one task an entire
+    # corpus-wide band; grouping on every fine key would make millions of
+    # ~1-row Ray groups.  Hash the fine key into NB buckets (NB scales
+    # with the cluster) and enumerate each bucket's fine groups with one
+    # vectorized lexsort + ragged-pair pass.
+    NB = 256
 
     def explode(t: pa.Table) -> pa.Table:
         sig = np.stack(t["sig"].to_numpy(zero_copy_only=False))
@@ -345,57 +525,58 @@ def q_minhash_near_dups(
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
             # deterministic band hash: polynomial combine of the band rows
-            bh = np.zeros(n, dtype=np.uint64)
+            bh = np.full(n, b + 1, dtype=np.uint64)
             for c in range(chunk.shape[1]):
                 bh = bh * np.uint64(1000003) + chunk[:, c].astype(np.uint64)
             band_ids.append(np.full(n, b, np.int32))
             doc_idx.append(t["doc_id"].to_numpy(zero_copy_only=False))
             band_hash.append(bh.astype(np.int64))
         sig_rep = np.tile(sig, (bands, 1))
+        bh_all = np.concatenate(band_hash)
         return pa.table(
             {
+                "bucket": pa.array((bh_all.view(np.uint64) % NB).astype(np.int32)),
                 "band": pa.array(np.concatenate(band_ids)),
-                "band_hash": pa.array(np.concatenate(band_hash)),
+                "band_hash": pa.array(bh_all),
                 "doc_id": pa.array(np.concatenate(doc_idx)),
                 "sig": pa.array(list(sig_rep.astype(np.int64))),
             }
         )
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per band; tiny per-bucket groups are handled with
-        # an in-process pandas groupby (avoids per-bucket task overhead —
-        # most LSH buckets are singletons)
-        out = []
-        for _, bg in g.groupby("band_hash", sort=False):
-            if len(bg) < 2:
-                continue
-            bg = bg.sort_values("doc_id", ignore_index=True)
-            sig = np.stack(bg["sig"].to_numpy())
-            ids = bg["doc_id"].to_numpy()
-            ia, ib = np.triu_indices(len(bg), k=1)
-            est = (sig[ia] == sig[ib]).mean(axis=1)
-            keep = est >= threshold
-            if keep.any():
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": ids[ia[keep]],
-                            "doc_b": ids[ib[keep]],
-                            "est_jaccard": np.round(est[keep], 4),
-                        }
-                    )
-                )
-        if not out:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")}
-            )
-        return pd.concat(out, ignore_index=True)
+    def band_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        band = g["band"].to_numpy(zero_copy_only=False)
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.stack(g["sig"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids, sig = band[order], bh[order], ids[order], sig[order]
+        sizes = _group_sizes_by_boundary(band, bh)
+        ia, ib = _ragged_pair_indices(sizes)
+        if not len(ia):
+            return empty
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 4), pa.float64()),
+            }
+        )
 
     df = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(band_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(band_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if df.empty:
@@ -406,86 +587,208 @@ def q_minhash_near_dups(
 
 # --------------------------------------------------------------------------
 def q_simhash(sf_dir: str) -> pd.DataFrame:
-    """64-bit SimHash over tokens (feature-hash weighted bit votes)."""
+    """64-bit SimHash over lowercased whitespace tokens.
+
+    Token hash = little-endian uint64 of md5 digest bytes [8:16) — the
+    exact value DuckDB's ``md5_number_lower`` returns, so the whole
+    pipeline is SQL-expressible and oracle-checked (bit votes via a
+    64-way unnest in SQL).  Output is the ``hex()``-style uppercase hex
+    string of the 64-bit fingerprint (sign-free on both sides).
+
+    Vectorized across the batch: one Arrow lower+split, md5 only per
+    UNIQUE token (np.unique inverse mapping), bit votes as one (tokens x
+    64) matrix reduced per doc with ``np.add.reduceat`` — no per-doc
+    Python loop.
+    """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def fn(t: pa.Table) -> pa.Table:
-        out = []
-        for s in t["text"].to_pylist():
-            toks = s.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = pd.util.hash_array(np.asarray(toks, object)).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
+        toks = _tokens(pc.utf8_lower(t["text"].combine_chunks()))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        starts, lens = offsets[:-1], np.diff(offsets)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+        n_docs = t.num_rows
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+                    for u in uniq
+                ),
+                np.uint64,
+                len(uniq),
             )
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            sh = np.uint64(0)
-            for j in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(j)
-            out.append(int(sh.astype(np.int64) if sh < (1 << 63) else int(sh) - (1 << 64)))
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+            hs = uh[inv]
+            votes_pm = (((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+            votes_pm[np.asarray(flat, object) == ""] = 0  # split('') edge: [''] token
+            doc_votes = np.add.reduceat(
+                np.vstack([votes_pm, np.zeros((1, 64), np.int64)]),
+                np.minimum(starts, len(hs)),
+                axis=0,
+            )
+            doc_votes[lens == 0] = 0
+        else:
+            doc_votes = np.zeros((n_docs, 64), np.int64)
+        sh = ((doc_votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        hexes = [format(int(v), "X") for v in sh]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hexes, pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard near-dup detection (exact baseline for the MinHash/LSH
-# estimators above): word-3-gram sets, pairwise Jaccard within a lang
-# block.  Blocking on lang keeps each pairwise task ~1/L of the corpus;
-# at 100 TB the MinHash+LSH variant (q_minhash_near_dups) is the scale
-# path and this exact version runs on LSH candidate pairs only.
+# n-gram Jaccard near-dup detection — EXACT, with scale-safe blocking.
+#
+# The naive version (pairwise Python-set Jaccard over a whole lang block
+# in one task) is O(n^2) per block and does not survive 100x.  This is
+# the standard prefix-filter set-similarity join instead (PPJoin family):
+# a pair with Jaccard >= t MUST share at least one gram among the first
+# ``s - ceil(t*s) + 1`` of each doc's grams under ANY fixed total order
+# (here: 64-bit gram-hash order).  So candidate generation is a linear
+# explode of prefix grams + a groupby — task size tracks gram-bucket
+# size, never corpus size — and the exact Jaccard verify touches only
+# candidate pairs (the output-size class, tiny for near-dup thresholds).
+# Scale refinement (documented, not needed at test scale): order grams
+# by ascending global frequency to shrink hot prefix buckets.
 def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def gramsets(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        out_sets = []
-        for s in texts:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        out = {"doc_id": [], "lang": [], "grams": []}
+        for did, lang, s in zip(ids, langs, texts):
             toks = (s or "").strip().split()
-            out_sets.append(
-                list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-                if len(toks) >= n
-                else None
+            if len(toks) < n:
+                continue
+            out["doc_id"].append(did)
+            out["lang"].append(lang)
+            out["grams"].append(
+                sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
             )
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
-                "grams": pa.array(out_sets, pa.list_(pa.string())),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "grams": pa.array(out["grams"], pa.list_(pa.string())),
             }
         )
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["grams"].notna()].sort_values("doc_id", ignore_index=True)
-        ids = g["doc_id"].to_numpy()
-        sets = [set(x) for x in g["grams"]]
-        rows = {"doc_a": [], "doc_b": [], "jac": []}
-        for i in range(len(ids)):
-            si = sets[i]
-            for j in range(i + 1, len(ids)):
-                inter = len(si & sets[j])
-                if not inter:
-                    continue
-                jac = inter / (len(si) + len(sets[j]) - inter)
-                if jac >= threshold:
-                    rows["doc_a"].append(ids[i])
-                    rows["doc_b"].append(ids[j])
-                    rows["jac"].append(round(jac, 4))
-        return pd.DataFrame(
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        """Emit (lang, gram_h, doc_id) for each doc's prefix grams —
+        vectorized across the batch via flattened offsets + lexsort."""
+        grams = t["grams"].combine_chunks()
+        offsets = grams.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(offsets)
+        n_docs = t.num_rows
+        flat = grams.flatten().to_numpy(zero_copy_only=False).astype(object)
+        if not len(flat):
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "gram_h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        flat_h = pd.util.hash_array(flat)
+        row = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.lexsort((flat_h, row))
+        rs, hs = row[order], flat_h[order]
+        first = np.concatenate([[True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])])
+        rs, hs = rs[first], hs[first]  # per-doc sorted distinct hashes
+        s_doc = np.bincount(rs, minlength=n_docs)
+        L_doc = s_doc - np.ceil(threshold * s_doc).astype(np.int64) + 1
+        starts = np.concatenate([[0], np.cumsum(s_doc)[:-1]])
+        pos = np.arange(len(rs)) - starts[rs]
+        keep = pos < L_doc[rs]
+        langs = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
-                "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
-                "jac": pd.Series(rows["jac"], dtype="float64"),
+                "bucket": pa.array((hs[keep] % np.uint64(256)).astype(np.int32)),
+                "lang": pa.array(langs[rs[keep]], pa.string()),
+                "gram_h": pa.array(hs[keep].view(np.int64)),
+                "doc_id": pa.array(dids[rs[keep]], pa.int64()),
             }
         )
 
-    df = (
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # one task = one bounded hash bucket of fine (lang, gram_h) keys;
+        # intra-key pairs enumerated vectorized (no per-key Python)
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows < 2:
+            return empty
+        langs = g["lang"].to_numpy(zero_copy_only=False).astype(object)
+        hs = g["gram_h"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hs, langs))
+        langs, hs, ids = langs[order], hs[order], ids[order]
+        sizes = _group_sizes_by_boundary(langs, hs)
+        ia, ib = _ragged_pair_indices(sizes)
+        if not len(ia):
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], pa.int64()),
+                "doc_b": pa.array(ids[ib], pa.int64()),
+            }
+        )
+
+    cand = (
         ds.map_batches(gramsets, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(block_pairs, batch_format="pandas")
+        .map_batches(explode_prefix, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jac": pd.Series(dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+
+    # exact verify on candidate pairs only: second (filtered) gram pass
+    cand_ids = pa.array(np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])), pa.int64())
+    gsets = (
+        ds.map_batches(gramsets, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    sets = dict(zip(gsets["doc_id"], (set(g) for g in gsets["grams"])))
+    rows = {"doc_a": [], "doc_b": [], "jac": []}
+    for a, b in zip(cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()):
+        sa, sb = sets.get(a), sets.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = len(sa & sb)
+        if not inter:
+            continue
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            rows["doc_a"].append(a)
+            rows["doc_b"].append(b)
+            rows["jac"].append(round(jac, 4))
+    df = pd.DataFrame(
+        {
+            "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
+            "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
+            "jac": pd.Series(rows["jac"], dtype="float64"),
+        }
     )
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 

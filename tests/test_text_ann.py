@@ -54,6 +54,30 @@ def test_dedup_exact_planted(dup_docs_dir):
     assert (dups["n_copies"] == 2).all()
 
 
+def test_byte_jaccard_prefix_filter_matches_duckdb(dup_docs_dir):
+    # the threshold<1 path (PPJoin-style prefix filtering) must be EXACT:
+    # identical output to the all-pairs DuckDB jaccard() reference
+    import duckdb
+
+    got = text.q_char_jaccard_pairs(dup_docs_dir, threshold=0.85)
+    con = duckdb.connect()
+    exp = (
+        con.sql(
+            f"""
+        select a.lang as lang, a.doc_id as doc_a, b.doc_id as doc_b,
+               round(jaccard(a.text, b.text), 4) as sim
+        from read_parquet('{dup_docs_dir}/documents.parquet') a
+        join read_parquet('{dup_docs_dir}/documents.parquet') b
+          on a.lang = b.lang and a.doc_id < b.doc_id
+        where jaccard(a.text, b.text) >= 0.85
+        order by lang, doc_a, doc_b"""
+        )
+        .df()
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_minhash_finds_planted_dups(dup_docs_dir):
     df = text.q_minhash_near_dups(dup_docs_dir, threshold=0.5)
     pairs = set(zip(df["doc_a"], df["doc_b"]))
@@ -72,11 +96,9 @@ def test_minhash_estimates_near_one_for_exact(dup_docs_dir):
 def test_simhash_hamming_small_for_near_dups(dup_docs_dir):
     df = text.q_simhash(dup_docs_dir).set_index("doc_id")["simhash"]
 
-    def ham(a, b):
-        return bin(np.uint64(a).astype(np.int64) ^ np.uint64(b).astype(np.int64) & 0xFFFFFFFFFFFFFFFF).count("1")
-
     def ham2(a, b):
-        return int(bin((int(a) & (2**64 - 1)) ^ (int(b) & (2**64 - 1))).count("1"))
+        # simhash is a hex() string (sign-free, shared with the SQL oracle)
+        return int(bin(int(a, 16) ^ int(b, 16)).count("1"))
 
     for i in range(5):
         assert ham2(df[i], df[100 + i]) == 0  # exact dup -> identical simhash
