@@ -1,0 +1,45 @@
+"""Shared Dataset read helpers.
+
+``read_parquet_clean`` strips the parquet files' pandas key-value schema
+metadata right after the read (zero-copy, fused into the read stage):
+pyarrow ``Schema.__hash__`` raises on metadata-bearing schemas, which
+makes Ray Data's schema-deduplication log a warning in every downstream
+reduce task and defeats its early-exit schema unification.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path: str, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    if isinstance(path, str) and path.endswith(".parquet") and "schema" not in kwargs:
+        # pass the (column-pruned) file schema with the pandas key-value
+        # metadata stripped (driver-side footer read): read tasks then
+        # emit metadata-free blocks directly and no strip stage is needed
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(path)
+        sel = pa.schema([full.field(c) for c in columns]) if columns else full
+        kwargs["schema"] = sel.remove_metadata()
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    ds = rd.read_parquet(path, columns=columns, **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def collect_table(ds: rd.Dataset) -> pa.Table:
+    """Materialize a SMALL dataset (dims, pruned query sets) into one
+    Arrow table on the caller, skipping the schemaless empty blocks a
+    filtered/mapped read can emit."""
+    import ray
+
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        raise ValueError("collect_table: dataset produced no rows")
+    return pa.concat_tables(blocks)

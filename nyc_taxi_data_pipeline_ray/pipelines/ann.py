@@ -20,15 +20,31 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.dataset as pads
 
 import ray
 import ray.data as rd
 
+from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
 
-def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pa.concat_tables(
-        ray.get(rd.read_parquet(f"{sf_dir}/embeddings.parquet").to_arrow_refs())
-    )
+
+def _vectors_where_id_below(sf_dir: str, upper: int) -> tuple[np.ndarray, np.ndarray]:
+    """Read ONLY the vectors with ``vec_id < upper`` — a pushed-down
+    parquet row filter, so query/training-sample selection never
+    materializes the full embeddings table on the driver (at 10^9
+    vectors the table is TBs; the selected rows are KBs)."""
+    blocks = [
+        b
+        for b in ray.get(
+            read_parquet_clean(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filter=pads.field("vec_id") < upper,
+            ).to_arrow_refs()
+        )
+        if b.num_rows  # fully-pruned blocks come back schemaless
+    ]
+    t = pa.concat_tables(blocks)
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     order = np.argsort(ids)
@@ -41,12 +57,11 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 
 def q_ann_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 5) -> pd.DataFrame:
     """Exact top-k cosine neighbours of the first ``num_queries`` vectors."""
-    qids_all, qmat_all = _emb_matrix(sf_dir)
-    qsel = qids_all < num_queries
-    qids, qmat = qids_all[qsel], _normalize_rows(qmat_all[qsel])
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    qmat = _normalize_rows(qmat)
     qref = ray.put((qids, qmat))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
         # plain task (not an actor): the broadcast ref resolves from the
@@ -85,32 +100,61 @@ def q_ann_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 5) -> pd.Dat
     return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)
 
 
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
+    """Exact cosine pairs >= threshold between two embedding blocks.
+    Each task pulls exactly TWO blocks from the object store (zero-copy
+    shared memory on the same node) — never the whole matrix."""
+    ia = ta["vec_id"].to_numpy(zero_copy_only=False)
+    ib = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = _normalize_rows(np.stack(ta["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+    mb = _normalize_rows(np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+    sims = ma @ mb.T
+    ri, rj = np.nonzero(sims >= threshold)
+    if same:
+        # one block against itself: each unordered pair shows up twice
+        keep = ia[ri] < ib[rj]
+        ri, rj = ri[keep], rj[keep]
+    a, b = ia[ri], ib[rj]
+    # distinct blocks are disjoint row sets: every cross pair appears
+    # exactly once, so a < b is a rename (min/max), not a filter
+    return pa.table(
+        {
+            "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+            "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+            "sim": pa.array(np.round(sims[ri, rj], 4), pa.float64()),
+        }
+    )
+
+
 def q_embedding_near_dup(sf_dir: str, *, threshold: float = 0.45) -> pd.DataFrame:
-    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
-    ids_all, mat_all = _emb_matrix(sf_dir)
-    ref = ray.put((ids_all, _normalize_rows(mat_all)))
+    """All pairs with cosine >= threshold (embedding-cosine near-dup).
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def block_pairs(t: pa.Table) -> pa.Table:
-        ids_l, mat_l = ray.get(ref)
-        bids = t["vec_id"].to_numpy(zero_copy_only=False)
-        bm = _normalize_rows(
-            np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        )
-        sims = bm @ mat_l.T  # (B x N)
-        bi, aj = np.nonzero(sims >= threshold)
-        keep = bids[bi] < ids_l[aj]  # dedupe mirrored pairs: a < b
-        bi, aj = bi[keep], aj[keep]
-        return pa.table(
+    Exact all-pairs expressed as a BLOCK-PAIR sweep: the table's Arrow
+    blocks stay in the object store; one Ray task per unordered block
+    pair (i <= j) does a bounded matmul and emits its qualifying pairs.
+    The O(n^2) compute is inherent to the exact problem and is sharded
+    across B(B+1)/2 tasks of bounded memory; no task and no driver ever
+    holds the full matrix.  (At 10^9 vectors use the LSH/IVF variants
+    below — exact all-pairs is the small/medium-corpus tool.)
+    """
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    refs = ds.to_arrow_refs()
+    futs = [
+        _block_pair_sims.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pd.DataFrame(
             {
-                "vec_a": pa.array(bids[bi], pa.int64()),
-                "vec_b": pa.array(ids_l[aj], pa.int64()),
-                "sim": pa.array(np.round(sims[bi, aj], 4), pa.float64()),
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
             }
         )
-
-    df = ds.map_batches(block_pairs, batch_format="pyarrow").to_pandas()
+    df = pa.concat_tables(parts).to_pandas()
     return df.sort_values(["vec_a", "vec_b"], ignore_index=True)
 
 
@@ -130,16 +174,15 @@ def q_ann_lsh(
     lift recall to ~1-(1-p)^12 ~ 0.63).  Exact cosine reranks the
     candidate union.  Tests measure recall vs :func:`q_ann_bruteforce`."""
     rng = np.random.default_rng(seed)
-    qids_all, qmat_all = _emb_matrix(sf_dir)
-    dim = qmat_all.shape[1]
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    qmat = _normalize_rows(qmat)
+    dim = qmat.shape[1]
     planes = rng.standard_normal((n_tables, dim, n_planes))
-    qsel = qids_all < num_queries
-    qids, qmat = qids_all[qsel], _normalize_rows(qmat_all[qsel])
     pow2 = 1 << np.arange(n_planes)
     qsig = np.stack([(qmat @ planes[t] > 0) @ pow2 for t in range(n_tables)], axis=1)  # (Q, L)
     qref = ray.put((qids, qmat, qsig, planes))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def bucket_scan(t: pa.Table) -> pa.Table:
         qids_l, qmat_l, qsig_l, planes_l = ray.get(qref)
@@ -209,19 +252,20 @@ def q_ann_ivf(
 ) -> pd.DataFrame:
     """Approximate top-k via IVF cells (rows-only query; recall vs
     brute force is asserted in tests, mirroring q_ann_lsh)."""
-    ids_all, mat_all = _emb_matrix(sf_dir)
-    norm_all = _normalize_rows(mat_all)
-    # train centroids on a deterministic sample (driver-side, tiny)
-    sample = norm_all[: min(sample_rows, len(norm_all))]
+    # train centroids on a deterministic PRUNED-READ sample (vec_id <
+    # sample_rows pushed down to the parquet scan) — the driver holds a
+    # few thousand vectors, never the full table
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    sample = _normalize_rows(sample_mat)
     cent = _kmeans_lite(sample, min(ncells, len(sample)))
 
-    qsel = ids_all < num_queries
-    qids, qmat = ids_all[qsel], norm_all[qsel]
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    qmat = _normalize_rows(qmat)
     # cells each query probes: nprobe nearest centroids
     qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     qref = ray.put((qids, qmat, qcells, cent))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def probe(t: pa.Table) -> pa.Table:
         qids_l, qmat_l, qcells_l, cent_l = ray.get(qref)

@@ -20,11 +20,13 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
@@ -135,9 +137,19 @@ def q_top_routes(sf_dir: str) -> pd.DataFrame:
         .groupby(["l_suppkey", "l_partkey"])
         .aggregate(Count(alias_name="n_lines"), Mean("revenue", alias_name="avg_revenue"))
     )
-    df = agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_lines"], 5)), batch_format="pyarrow"
-    ).to_pandas()
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        # distributed top-k: each aggregate block keeps its own top-100
+        # under the FINAL total order, so the driver merges at most
+        # 100 x num_blocks rows instead of the full (suppkey, partkey)
+        # aggregate (same pattern as q_ann_bruteforce's partial top-k)
+        df = df[df["n_lines"] >= 5].copy()
+        df["avg_revenue"] = df["avg_revenue"].round(2)
+        return df.sort_values(
+            ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True]
+        ).head(100)
+
+    df = agg.map_batches(partial_top, batch_format="pandas").to_pandas()
     if df.empty:
         return pd.DataFrame(
             {
@@ -147,28 +159,24 @@ def q_top_routes(sf_dir: str) -> pd.DataFrame:
                 "avg_revenue": pd.Series(dtype="float64"),
             }
         )
-    df["avg_revenue"] = df["avg_revenue"].round(2)
-    df = df.sort_values(
+    return df.sort_values(
         ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True], ignore_index=True
     ).head(100)
-    return df
 
 
 # --------------------------------------------------------------------------
 # J1: multi-way broadcast map-side join (obt_trips.sql:23-28)
 def q_obt_enriched(sf_dir: str) -> rd.Dataset:
+    from nyc_taxi_data_pipeline_ray.io import collect_table
+
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
-    part = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).to_arrow_refs()
-    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
-    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
-    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"])
 
     # pre-join the dim chain driver-side (supplier->nation->region is tiny),
     # then broadcast the two lookup tables once via ray.put
-    supp_t = pa.concat_tables(ray.get(supp.to_arrow_refs()))
-    nation_t = pa.concat_tables(ray.get(nation.to_arrow_refs()))
-    region_t = pa.concat_tables(ray.get(region.to_arrow_refs()))
-    part_t = pa.concat_tables(ray.get(part))
+    supp_t = collect_table(_rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]))
+    nation_t = collect_table(_rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    region_t = collect_table(_rp(sf_dir, "region", ["r_regionkey", "r_name"]))
+    part_t = collect_table(_rp(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]))
     sn = supp_t.join(nation_t, keys="s_nationkey", right_keys="n_nationkey")
     snr = sn.join(region_t, keys="n_regionkey", right_keys="r_regionkey")
     snr = snr.select(["s_suppkey", "s_name", "n_name", "r_name"])
@@ -576,16 +584,15 @@ def q_flag_frequency(sf_dir: str) -> pd.DataFrame:
     ds = q_event_scoring(sf_dir)
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        flags = t["flags"].to_numpy(zero_copy_only=False)
-        counts: dict[str, int] = {}
-        for s in flags:
-            if s:
-                for f in s.split(","):
-                    counts[f] = counts.get(f, 0) + 1
+        # vectorized flatten+count: Arrow split_pattern -> list_flatten ->
+        # value_counts (no Python loop over rows)
+        nz = t.filter(pc.not_equal(t["flags"], ""))
+        flat = pc.list_flatten(pc.split_pattern(nz["flags"], ","))
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "flag": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "flag": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

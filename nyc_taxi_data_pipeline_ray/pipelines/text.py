@@ -33,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
 from ray.data.aggregate import Count, Sum
 
 STOPWORDS = (
@@ -122,7 +124,7 @@ def _token_stop_counts(text) -> tuple[np.ndarray, np.ndarray]:
 # --------------------------------------------------------------------------
 def q_doc_token_stats(sf_dir: str) -> rd.Dataset:
     """Per-doc char/token counts — fully vectorized Arrow kernels."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         text = t["text"]
@@ -143,7 +145,7 @@ def q_doc_quality(sf_dir: str) -> rd.Dataset:
     """Quality scoring: stopword ratio + punctuation ratio + length band
     -> additive score (the text analog of the reference's additive fraud
     score, ``streaming/spark/fraud_detector.py:221-294``)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         text = t["text"].combine_chunks()
@@ -178,7 +180,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition on a 64-bit content hash, keep the
     first (min doc_id) per identical text (§2.7: the explicit version of
     the reference's implicit dup-collapsing merge, fct_trips.sql:1-7)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(np.asarray(t["text"].to_numpy(zero_copy_only=False), object))
@@ -254,7 +256,7 @@ def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
       rarity; candidates are generated per ``(lang, prefix_byte)``
       group and verified vectorized, then deduped.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     sigs = ds.map_batches(_byte_sigs, batch_format="pyarrow")
 
     if threshold >= 1.0:
@@ -400,7 +402,7 @@ def q_char_jaccard_pairs(sf_dir: str, threshold: float = 1.0) -> pd.DataFrame:
 def q_fingerprint(sf_dir: str) -> rd.Dataset:
     """md5 content fingerprint per document (surrogate-key analog,
     ``stg_trips.sql:4-13`` md5 surrogate key)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
@@ -414,7 +416,7 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     """Language ID heuristic: CJK byte-ratio for zh; else argmax of
     per-language stopword hit counts.  Rows-only oracle (the heuristic is
     not SQL-expressible); accuracy asserted in tests."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     marker_sets = {k: pa.array(sorted(v)) for k, v in _LANG_MARKERS.items()}
 
@@ -502,7 +504,7 @@ def q_minhash_near_dups(
     """MinHash signatures -> banded LSH buckets -> candidate pairs ->
     estimated-Jaccard filter.  Candidate generation is linear (explode to
     (band, band_hash) rows, one groupby); only bucket-mates are compared."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
@@ -600,7 +602,7 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     64) matrix reduced per doc with ``np.add.reduceat`` — no per-doc
     Python loop.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     shifts = np.arange(64, dtype=np.uint64)
 
@@ -654,7 +656,7 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 # Scale refinement (documented, not needed at test scale): order grams
 # by ascending global frequency to shrink hot prefix buckets.
 def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def gramsets(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -802,7 +804,7 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
     """Token counting, BPE-ish: one vectorized Arrow regex-count kernel
     per batch (``pc.count_substring_regex``) next to the whitespace count
     — the two token-budget estimators a training-data pipeline tracks."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         ws = pc.list_value_length(_tokens(t["text"]))
@@ -825,7 +827,7 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
     sharing most fingerprints are near-copies; asserted on planted
     duplicates in tests.  Returns (doc_id, n_fingerprints, fp_xor) where
     fp_xor is an order-free digest of the selected fingerprints."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     B = np.uint64(1_000_003)
 

@@ -64,19 +64,23 @@ def score_batch(batch: pa.Table) -> pa.Table:
         "high_turn_idx": turn >= 1000,
     }
 
-    score = np.zeros(n, np.int32)
-    flag_lists: list[list[str]] = [[] for _ in range(n)]
-    for name, points in RULES:
-        m = masks[name].astype(bool)
-        score += np.where(m, points, 0).astype(np.int32)
-        for i in np.nonzero(m)[0]:
-            flag_lists[i].append(name)
-    score = np.minimum(score, 100)
+    mask_mat = np.stack([masks[name].astype(bool) for name, _ in RULES], axis=1)  # (n, R)
+    points = np.array([p for _, p in RULES], np.int32)
+    score = np.minimum(mask_mat @ points, 100).astype(np.int32)
+    # list<string> flags built straight from the mask matrix: np.nonzero
+    # in row-major order IS the per-row rule order, so offsets + gathered
+    # names form the ListArray with no per-hit Python append loop
+    _, rule_nz = np.nonzero(mask_mat)
+    offsets = np.concatenate([[0], np.cumsum(mask_mat.sum(axis=1))]).astype(np.int32)
+    names = np.array([name for name, _ in RULES], object)
+    flag_col = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(names[rule_nz], pa.string())
+    )
 
     out = batch
     for col in (SCORE_COL, FLAGS_COL):
         if col in out.schema.names:
             out = out.drop_columns([col])
     out = out.append_column(SCORE_COL, pa.array(score, pa.int32()))
-    out = out.append_column(FLAGS_COL, pa.array(flag_lists, pa.list_(pa.string())))
+    out = out.append_column(FLAGS_COL, flag_col)
     return out
