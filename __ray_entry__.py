@@ -57,7 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": T.q_simhash,
         "ngram_jaccard": T.q_ngram_jaccard,
         "bpe_tokens": T.q_bpe_tokens,
-        "winnow_fingerprint": T.q_winnow_fingerprint,  # rows-only (MOSS-style)
+        "doc_categories": T.q_doc_categories,
+        "winnow_fingerprint": T.q_winnow_fingerprint,
         # similarity search over embeddings
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -309,9 +310,36 @@ def oracle_sql() -> dict[str, str]:
         "date_spine": """
             select cast(d as timestamp) as date_day,
                    cast(year(d) as integer) as year,
+                   cast(quarter(d) as integer) as quarter,
                    cast(month(d) as integer) as month,
+                   cast(weekofyear(d) as integer) as week_of_year,
+                   cast(day(d) as integer) as day_of_month,
                    cast(dayofweek(d) as integer) as day_of_week,
-                   dayofweek(d) in (0, 6) as is_weekend
+                   cast(dayofyear(d) as integer) as day_of_year,
+                   dayname(d) as day_name,
+                   monthname(d) as month_name,
+                   cast(date_trunc('month', d) as timestamp) as month_start,
+                   cast(date_trunc('quarter', d) as timestamp) as quarter_start,
+                   cast(date_trunc('year', d) as timestamp) as year_start,
+                   cast(last_day(d) as timestamp) as month_end,
+                   cast(year(d) as integer) as fiscal_year,
+                   cast(quarter(d) as integer) as fiscal_quarter,
+                   dayofweek(d) not in (0, 6) as is_weekday,
+                   dayofweek(d) in (0, 6) as is_weekend,
+                   (month(d) = 1 and day(d) = 1) or (month(d) = 7 and day(d) = 4)
+                     or (month(d) = 12 and day(d) = 25)
+                     or (month(d) = 11 and dayofweek(d) = 4 and day(d) between 22 and 28)
+                     as is_holiday,
+                   case
+                     when month(d) = 12 and day(d) = 31 then 'New Years Eve'
+                     when month(d) = 3 and day(d) = 17 then 'St Patricks Day'
+                     when month(d) = 11 and dayofweek(d) = 4 and day(d) between 22 and 28
+                       then 'Thanksgiving'
+                     when month(d) = 12 and day(d) between 20 and 31 then 'Holiday Season'
+                   end as special_event,
+                   case when d < date '2024-07-01' then 'v1'
+                        when d < date '2025-01-01' then 'v2'
+                        else 'v3' end as platform_era
             from (select unnest(generate_series(date '2024-01-01', date '2024-02-29',
                                                 interval 1 day)) as d) t
         """,
@@ -356,6 +384,48 @@ def oracle_sql() -> dict[str, str]:
         "sample_window": """
             select event_id, ts, event_type, value
             from events order by event_id limit 50 offset 1000
+        """,
+        "winnow_fingerprint": """
+            with cp as (
+              select doc_id, length(text) as n,
+                     list_transform(range(1, length(text)+1),
+                                    i -> unicode(text[i])::HUGEINT) as cps
+              from documents),
+            h as (
+              select doc_id,
+                     list_transform(range(1, n - 5 + 2), j ->
+                       ((cps[j]*1000012000054000108000081 + cps[j+1]*1000009000027000027
+                         + cps[j+2]*1000006000009 + cps[j+3]*1000003 + cps[j+4])
+                        % 18446744073709551616)) as hs
+              from cp where n >= 5),
+            w as (
+              select doc_id,
+                     list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                                    i -> list_min(hs[i:least(i+3, len(hs))])) as mins
+              from h),
+            f as (select doc_id, list_distinct(mins) as fps from w),
+            x as (
+              select f.doc_id,
+                     cast(len(fps) as bigint) as n_fingerprints,
+                     cast((select bit_xor(u.f % 9223372036854775808)
+                           from unnest(fps) as u(f)) as bigint) as fp_xor
+              from f)
+            select d.doc_id,
+                   coalesce(x.n_fingerprints, 0) as n_fingerprints,
+                   coalesce(x.fp_xor, 0) as fp_xor
+            from documents d left join x using (doc_id)
+            order by d.doc_id
+        """,
+        "doc_categories": """
+            with c as (
+              select lang,
+                     case when contains(text, 'spark') then 'engine'
+                          when contains(text, 'vector') then 'vectors'
+                          when contains(text, 'window') then 'analytics'
+                          else 'misc' end as topic
+              from documents)
+            select lang, topic, count(*) as n_docs
+            from c group by 1, 2 order by 1, 2
         """,
         "simhash": r"""
             with t as (

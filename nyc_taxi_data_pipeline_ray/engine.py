@@ -856,6 +856,8 @@ class CdcEngine:
         counters = mf.merge_counters(all_manifests)
         counters["partitions"] = len(self._live_pids())
         counters["committed_epochs"] = len(self._global_committed())
+        # keep-last-K alert ring (the capped Redis fraud-alert list analog)
+        counters["recent_rejects"] = mf.merge_alert_ring(all_manifests)
         return counters
 
 
@@ -971,8 +973,10 @@ def _apply_partition_group(
     n_valid_src = int(pc.sum(good[mg.NSRC]).as_py() or 0) if good.num_rows else 0
     n_bad_src = bad.num_rows if bad is not None else 0
 
+    alerts: list[dict] = []
     if bad is not None and bad.num_rows:
         _atomic_write_parquet(mf.rejects_path(lake_path, pid, group_id), bad)
+        alerts = _alert_ring_entries(bad, mf.ALERT_RING_K)
 
     delta = mg.resolve_lww(mg.with_run_seq(good, 0), drop_tombstones=False)
     delta = delta.drop_columns([mg.RUN_SEQ, mg.NSRC])
@@ -990,7 +994,7 @@ def _apply_partition_group(
         "min_lsn": pc.min(good["lsn"]).as_py() if good.num_rows else None,
         "max_lsn": pc.max(good["lsn"]).as_py() if good.num_rows else None,
     }
-    _write_manifest(lake_path, pid, group_id, new_epochs, counters)
+    _write_manifest(lake_path, pid, group_id, new_epochs, counters, alerts=alerts)
 
     # opportunistic LSM compaction when read amplification grows
     if len(mf.delta_runs(lake_path, pid)) > max_delta_runs:
@@ -1018,11 +1022,38 @@ def _report_row(pid: int, *, skipped: bool, **counts) -> pa.Table:
     return pa.table(row)
 
 
-def _write_manifest(lake_path, pid, group_id, epochs, counters) -> None:
-    mf.atomic_write_json(
-        mf.manifest_path(lake_path, pid, group_id),
-        {"pid": pid, "group_id": group_id, "epochs": epochs, "counters": counters},
+def _alert_ring_entries(bad: pa.Table, k: int) -> list[dict]:
+    """The K most recent reject rows as compact alert descriptors — the
+    manifest-resident analog of the reference's capped Redis alert list
+    (``fraud_detector.py:76-77`` lpush + ltrim 0..99).  Stored per
+    partition-epoch manifest and merged keep-last-K at read time
+    (:func:`state.manifest.merge_alert_ring`), so replays never
+    double-push."""
+    idx = pc.sort_indices(
+        bad.select(["ts", "lsn"]),
+        sort_keys=[("ts", "descending"), ("lsn", "descending")],
+        null_placement="at_end",
     )
+    top = bad.take(idx.slice(0, min(k, bad.num_rows)))
+    reasons = validate_mod.reject_reasons(top)
+    ts_us = pc.cast(top["ts"], pa.int64()).to_pylist()
+    return [
+        {
+            "ts": ts_us[i],
+            "lsn": top["lsn"][i].as_py(),
+            "conv_id": top["conv_id"][i].as_py(),
+            "turn_idx": top["turn_idx"][i].as_py(),
+            "reason": reasons[i],
+        }
+        for i in range(top.num_rows)
+    ]
+
+
+def _write_manifest(lake_path, pid, group_id, epochs, counters, alerts=None) -> None:
+    payload = {"pid": pid, "group_id": group_id, "epochs": epochs, "counters": counters}
+    if alerts:
+        payload["alerts"] = alerts
+    mf.atomic_write_json(mf.manifest_path(lake_path, pid, group_id), payload)
 
 
 def _atomic_write_parquet(path: str, table: pa.Table) -> None:

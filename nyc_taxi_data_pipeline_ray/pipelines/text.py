@@ -795,6 +795,34 @@ def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.Da
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
+# --------------------------------------------------------------------------
+#: first-match substring rules for topic labeling (CASE-WHEN order)
+_TOPIC_RULES = [("spark", "engine"), ("vector", "vectors"), ("window", "analytics")]
+
+
+def q_doc_categories(sf_dir: str) -> pd.DataFrame:
+    """Pattern-based categorization (P13): label each doc by ordered
+    substring rules via the reusable :class:`stages.categorize.
+    PatternCategorizer` actor-pool stage (the ``dim_zones.sql:5-8``
+    like-'%...%' flag derivation analog), then a tiny grouped count."""
+    from nyc_taxi_data_pipeline_ray.stages.categorize import PatternCategorizer
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    cat = ds.map_batches(
+        PatternCategorizer,
+        fn_constructor_args=("text", _TOPIC_RULES),
+        fn_constructor_kwargs={"default": "misc", "out_col": "topic"},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    df = (
+        cat.groupby(["lang", "topic"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return df.sort_values(["lang", "topic"], ignore_index=True)
+
+
 #: BPE-ish pre-tokenizer pattern (GPT-2 family simplified to RE2-safe,
 #: no lookaheads): contraction tails, letter runs, digit runs, punct runs.
 BPE_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
@@ -822,26 +850,30 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
 
 def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.DataFrame:
     """Document fingerprinting by winnowing (rolling Karp-Rabin k-gram
-    hashes, minimum per sliding window) — the standard near-copy
-    detector (Schleimer/Wilkerson/Aiken, MOSS).  Rows-only: two docs
-    sharing most fingerprints are near-copies; asserted on planted
-    duplicates in tests.  Returns (doc_id, n_fingerprints, fp_xor) where
-    fp_xor is an order-free digest of the selected fingerprints."""
+    hashes over CODEPOINTS, minimum per sliding window) — the standard
+    near-copy detector (Schleimer/Wilkerson/Aiken, MOSS).  Fully
+    SQL-expressible (codepoints via ``unicode()``, mod-2^64 polynomial in
+    HUGEINT, windowed ``list_min``), so it has a DuckDB oracle.  Returns
+    (doc_id, n_fingerprints, fp_xor) where fp_xor is the order-free xor
+    digest of the (mod-2^63-reduced) fingerprints; docs shorter than k
+    chars get (0, 0)."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     B = np.uint64(1_000_003)
+    SIGN = np.uint64((1 << 63) - 1)  # % 2^63 == mask off the top bit
 
     def fn(t: pa.Table) -> pa.Table:
         out = {"doc_id": [], "n_fingerprints": [], "fp_xor": []}
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            # codepoints, vectorized (no per-char loop)
+            b = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
             if len(b) < k:
                 out["doc_id"].append(did)
                 out["n_fingerprints"].append(0)
                 out["fp_xor"].append(0)
                 continue
-            # rolling Karp-Rabin over all k-grams, vectorized via cumulative
-            # polynomial trick: h[i] = sum b[i+j] * B^(k-1-j)
+            # rolling Karp-Rabin over all k-grams: h[i] = sum cp[i+j]*B^(k-1-j)
+            # (uint64 arithmetic wraps mod 2^64 — mirrored exactly in SQL)
             h = np.zeros(len(b) - k + 1, np.uint64)
             for j in range(k):  # k is tiny (5); the inner op is vectorized
                 h = h * B + b[j : j + len(h)]
@@ -850,9 +882,7 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
                 fps = np.unique(w.min(axis=1))
             else:
                 fps = np.unique(h.min(keepdims=True))
-            x = np.uint64(0)
-            for v in fps:
-                x ^= v
+            x = np.bitwise_xor.reduce(fps & SIGN) if len(fps) else np.uint64(0)
             out["doc_id"].append(did)
             out["n_fingerprints"].append(int(len(fps)))
             out["fp_xor"].append(int(x))
@@ -860,7 +890,7 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
                 "n_fingerprints": pa.array(out["n_fingerprints"], pa.int64()),
-                "fp_xor": pa.array([v % (1 << 63) for v in out["fp_xor"]], pa.int64()),
+                "fp_xor": pa.array(out["fp_xor"], pa.int64()),
             }
         )
 

@@ -50,20 +50,72 @@ def dim_tools() -> pa.Table:
 
 
 def date_spine(start: str = "2025-01-01", end: str = "2025-12-31") -> pa.Table:
-    """Generated calendar dimension (the dim_date analog,
-    ``nyc_taxi_dbt/models/marts/core/dim_date.sql:6-82``) — vectorized
-    from np.arange, no recursive CTE."""
+    """Generated calendar dimension at full reference parity (the
+    dim_date analog, ``nyc_taxi_dbt/models/marts/core/dim_date.sql:6-82``:
+    date parts, names, period starts/ends, business-day + holiday flags,
+    special events, and an era label — the reference's COVID-period
+    column re-flavored as a transcript platform era).  Vectorized via
+    pandas DatetimeIndex kernels, no recursive CTE; ``[start, end)``.
+    """
     import numpy as np
+    import pandas as pd
 
-    days = np.arange(start, end, dtype="datetime64[D]")
-    dow = ((days.astype("datetime64[D]").view("int64") + 4) % 7).astype(np.int32)  # 0=Sun
-    months = days.astype("datetime64[M]")
+    di = pd.date_range(start, end, inclusive="left")
+    dow = ((di.dayofweek.to_numpy() + 1) % 7).astype(np.int32)  # Sunday=0 (DuckDB)
+    month = di.month.to_numpy().astype(np.int32)
+    dom = di.day.to_numpy().astype(np.int32)
+    is_weekend = (dow == 0) | (dow == 6)
+    thanksgiving = (month == 11) & (dow == 4) & (dom >= 22) & (dom <= 28)
+    is_holiday = (
+        ((month == 1) & (dom == 1))
+        | ((month == 7) & (dom == 4))
+        | ((month == 12) & (dom == 25))
+        | thanksgiving
+    )
+    special_event = np.select(
+        [
+            (month == 12) & (dom == 31),
+            (month == 3) & (dom == 17),
+            thanksgiving,
+            (month == 12) & (dom >= 20) & (dom <= 31),
+        ],
+        ["New Years Eve", "St Patricks Day", "Thanksgiving", "Holiday Season"],
+        default=None,
+    )
+    era = np.select(
+        [di < pd.Timestamp("2024-07-01"), di < pd.Timestamp("2025-01-01")],
+        ["v1", "v2"],
+        default="v3",
+    )
+
+    def ts(idx) -> pa.Array:
+        return pa.array(idx.to_numpy().astype("datetime64[us]"), pa.timestamp("us"))
+
+    def i32(arr) -> pa.Array:
+        return pa.array(np.asarray(arr, np.int32), pa.int32())
+
     return pa.table(
         {
-            "date_day": pa.array(days.astype("datetime64[us]"), pa.timestamp("us")),
-            "year": pa.array(days.astype("datetime64[Y]").view("int64") + 1970, pa.int32()),
-            "month": pa.array((months.view("int64") % 12) + 1, pa.int32()),
+            "date_day": ts(di),
+            "year": i32(di.year),
+            "quarter": i32(di.quarter),
+            "month": pa.array(month, pa.int32()),
+            "week_of_year": i32(di.isocalendar().week.to_numpy()),
+            "day_of_month": pa.array(dom, pa.int32()),
             "day_of_week": pa.array(dow, pa.int32()),
-            "is_weekend": pa.array((dow == 0) | (dow == 6)),
+            "day_of_year": i32(di.dayofyear),
+            "day_name": pa.array(di.day_name().to_numpy(), pa.string()),
+            "month_name": pa.array(di.month_name().to_numpy(), pa.string()),
+            "month_start": ts(di.to_period("M").to_timestamp()),
+            "quarter_start": ts(di.to_period("Q").to_timestamp()),
+            "year_start": ts(di.to_period("Y").to_timestamp()),
+            "month_end": ts(di + pd.offsets.MonthEnd(0)),
+            "fiscal_year": i32(di.year),
+            "fiscal_quarter": i32(di.quarter),
+            "is_weekday": pa.array(~is_weekend),
+            "is_weekend": pa.array(is_weekend),
+            "is_holiday": pa.array(is_holiday),
+            "special_event": pa.array(special_event.astype(object), pa.string()),
+            "platform_era": pa.array(era.astype(object), pa.string()),
         }
     )

@@ -38,6 +38,36 @@ def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     return pc.fill_null(ok, False)
 
 
+def reject_reasons(batch: pa.Table) -> list[str]:
+    """First-failing-rule label per row (vectorized), for alert/dead-letter
+    introspection — the Pydantic ValidationError-message analog."""
+    import numpy as np
+
+    conv_bad = pc.or_kleene(
+        batch["conv_id"].is_null(), pc.equal(pc.fill_null(batch["conv_id"], ""), "")
+    ).to_numpy(zero_copy_only=False)
+    turn_bad = pc.or_kleene(
+        batch["turn_idx"].is_null(),
+        pc.less(pc.fill_null(batch["turn_idx"], -1), 0),
+    ).to_numpy(zero_copy_only=False)
+    ts_bad = batch["ts"].is_null().to_numpy(zero_copy_only=False)
+    lsn_bad = batch["lsn"].is_null().to_numpy(zero_copy_only=False)
+    op = pc.fill_null(batch["op"], "?")
+    op_bad = pc.invert(pc.is_in(op, value_set=pa.array(schemas.OPS))).to_numpy(
+        zero_copy_only=False
+    )
+    role_bad = pc.and_(
+        pc.not_equal(op, "delete"),
+        pc.invert(pc.is_in(pc.fill_null(batch["role"], "?"), value_set=pa.array(schemas.ROLES))),
+    ).to_numpy(zero_copy_only=False)
+    out = np.select(
+        [conv_bad, turn_bad, ts_bad, lsn_bad, op_bad, role_bad],
+        ["null_conv_id", "bad_turn_idx", "null_ts", "null_lsn", "bad_op", "bad_role"],
+        default="invalid",
+    )
+    return out.astype(str).tolist()
+
+
 def tag_valid(batch: pa.Table) -> pa.Table:
     """map_batches stage: appends the ``_valid`` boolean column."""
     if VALID_COL in batch.schema.names:

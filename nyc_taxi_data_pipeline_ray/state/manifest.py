@@ -161,3 +161,27 @@ def merge_counters(manifests: Iterable[dict]) -> dict:
             if isinstance(v, (int, float)):
                 total[k] = total.get(k, 0) + v
     return total
+
+
+#: capacity of the recent-alert ring (reference keeps the latest 100
+#: fraud alerts via Redis ``lpush`` + ``ltrim 0 99``,
+#: ``streaming/spark/fraud_detector.py:76-77``).
+ALERT_RING_K = 100
+
+
+def merge_alert_ring(manifests: Iterable[dict], k: int = ALERT_RING_K) -> list[dict]:
+    """Most-recent-K alert entries across all committed manifests.
+
+    Each manifest carries at most K ``alerts`` entries; the merge is a
+    keep-last-K monoid (concat -> sort by event recency -> truncate), so
+    the ring is exactly-once by construction — replaying a committed
+    epoch re-reads the same manifest instead of re-pushing entries (the
+    documented double-count weakness of the reference's Redis lpush).
+    Entries with a ``ts`` sort before ts-less ones; ``lsn`` breaks ties.
+    """
+    entries = [e for m in manifests for e in m.get("alerts", [])]
+    entries.sort(
+        key=lambda e: (e.get("ts") is not None, e.get("ts") or 0, e.get("lsn") or 0),
+        reverse=True,
+    )
+    return entries[:k]

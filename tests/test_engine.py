@@ -103,6 +103,29 @@ def test_rejects_dead_letter(applied):
     assert total == rep.rejects
 
 
+def test_alert_ring_keeps_most_recent_rejects(applied):
+    # the capped last-K alert list analog (fraud_detector.py:76-77
+    # lpush + ltrim 0..99): metrics() exposes the most recent K rejects,
+    # ordered by event recency, exactly-once under re-apply.
+    gen, wal, eng, _ = applied
+    ring = eng.metrics()["recent_rejects"]
+    assert 0 < len(ring) <= 100
+    stamps = [(e["ts"] is not None, e["ts"] or 0, e["lsn"]) for e in ring]
+    assert stamps == sorted(stamps, reverse=True)
+    # ring content == the actually-invalid events, most recent first
+    ev = gen.events_table()
+    bad_rows = [r for r in ev.to_pylist() if not oracle.is_valid_event(r)]
+    expected = sorted(
+        bad_rows,
+        key=lambda r: (r["ts"] is not None, r["ts"] or 0, r["lsn"]),
+        reverse=True,
+    )[: len(ring)]
+    assert [e["lsn"] for e in ring] == [r["lsn"] for r in expected]
+    # exactly-once: a no-op re-apply leaves the ring unchanged
+    eng.apply(wal)
+    assert eng.metrics()["recent_rejects"] == ring
+
+
 def test_exactly_once_reapply(applied):
     gen, wal, eng, _ = applied
     before = eng.metrics()
