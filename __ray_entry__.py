@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.q_dedup_exact,
         "byte_jaccard_dups": T.q_char_jaccard_pairs,
         "fingerprint": T.q_fingerprint,
-        "langid": T.q_langid,                       # rows-only (heuristic)
+        "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
         "simhash": T.q_simhash,
         "ngram_jaccard": T.q_ngram_jaccard,
@@ -384,6 +384,26 @@ def oracle_sql() -> dict[str, str]:
         "sample_window": """
             select event_id, ts, event_type, value
             from events order by event_id limit 50 offset 1000
+        """,
+        "langid": rf"""
+            with t as (
+              select doc_id, lang, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') as toks
+              from documents),
+            c as (
+              select doc_id, lang, text,
+                     len(list_filter(toks, x -> x in ('the','and','of','to','in','is','that','it','for','was'))) as c_en,
+                     len(list_filter(toks, x -> x in ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) as c_de,
+                     len(list_filter(toks, x -> x in ('le','la','les','et','est','une','dans','que','pour','des'))) as c_fr,
+                     len(list_filter(toks, x -> x in ('el','la','los','y','es','una','en','que','por','con'))) as c_es
+              from t)
+            select doc_id, lang,
+                   case when strlen(text) > 2 * greatest(length(text), 1) then 'zh'
+                        when c_en >= c_de and c_en >= c_fr and c_en >= c_es then 'en'
+                        when c_de >= c_fr and c_de >= c_es then 'de'
+                        when c_fr >= c_es then 'fr'
+                        else 'es' end as pred_lang
+            from c order by doc_id
         """,
         "winnow_fingerprint": """
             with cp as (

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 STOPWORDS = (
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "was",
@@ -177,27 +177,32 @@ def q_doc_quality(sf_dir: str) -> rd.Dataset:
 
 # --------------------------------------------------------------------------
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: hash-partition on a 64-bit content hash, keep the
-    first (min doc_id) per identical text (§2.7: the explicit version of
-    the reference's implicit dup-collapsing merge, fct_trips.sql:1-7)."""
+    """Exact dedup: keep the first (min doc_id) per identical text
+    (§2.7: the explicit version of the reference's implicit
+    dup-collapsing merge, fct_trips.sql:1-7).
+
+    The shuffle ships ONLY a 128-bit md5 content digest + doc_id — never
+    the multi-KB text payload (at 100 TB the text-bearing shuffle is the
+    bottleneck; 24 bytes/row is not).  Equal digest == equal text with
+    collision probability ~n^2/2^129 (≈10^-20 at 10^9 docs), the same
+    contract content-addressed dedup systems rely on.  Per-batch
+    pre-aggregation (Arrow group_by) collapses duplicates map-side
+    before the global aggregate.
+    """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(t["text"].to_numpy(zero_copy_only=False), object))
-        return t.append_column("h", pa.array(h.astype(np.int64)))
-
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # within one hash bucket: exact-text grouping guards collisions
-        out = g.groupby("text", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
-        )
-        return out[["doc_id", "n_copies"]]
+    def digest_combine(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        tbl = pa.table({"h": pa.array(h, pa.string()), "doc_id": t["doc_id"]})
+        # map-side combine: one row per distinct digest in this batch
+        agg = pa.TableGroupBy(tbl, "h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return agg.rename_columns(["h", "doc_id", "n"])
 
     df = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(digest_combine, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(first_per_text, batch_format="pandas")
-        .to_pandas()
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n", alias_name="n_copies"))
+        .to_pandas()[["doc_id", "n_copies"]]
     )
     df["n_copies"] = df["n_copies"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
