@@ -126,39 +126,60 @@ def q_orders_yearly(sf_dir: str) -> pd.DataFrame:
 # A4/O3: group -> having -> top-k with deterministic tiebreak
 # (insight_route_pricing.sql:3-19: route agg, count>=500, rank, limit 100)
 def q_top_routes(sf_dir: str) -> pd.DataFrame:
+    """Map-side partial (sum, count) per block, then one hash-bucket
+    shuffle on a single small-int key instead of a sort shuffle on the
+    high-cardinality (suppkey, partkey) composite: each bucket task
+    finalizes its keys (having + avg + partial top-100) and the driver
+    merges at most 100 x _TOP_ROUTE_BUCKETS rows.  At cluster scale the
+    bucket count is the shuffle width knob; the per-key partials keep
+    the exchanged bytes proportional to distinct keys, not input rows."""
     ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+    n_buckets = 32
 
     def pre(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_suppkey": t["l_suppkey"], "l_partkey": t["l_partkey"], "revenue": rev})
-
-    agg = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_suppkey", "l_partkey"])
-        .aggregate(Count(alias_name="n_lines"), Mean("revenue", alias_name="avg_revenue"))
-    )
-
-    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
-        # distributed top-k: each aggregate block keeps its own top-100
-        # under the FINAL total order, so the driver merges at most
-        # 100 x num_blocks rows instead of the full (suppkey, partkey)
-        # aggregate (same pattern as q_ann_bruteforce's partial top-k)
-        df = df[df["n_lines"] >= 5].copy()
-        df["avg_revenue"] = df["avg_revenue"].round(2)
-        return df.sort_values(
-            ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True]
-        ).head(100)
-
-    df = agg.map_batches(partial_top, batch_format="pandas").to_pandas()
-    if df.empty:
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
-                "l_suppkey": pd.Series(dtype="int64"),
-                "l_partkey": pd.Series(dtype="int64"),
-                "n_lines": pd.Series(dtype="int64"),
-                "avg_revenue": pd.Series(dtype="float64"),
+                "l_suppkey": t["l_suppkey"].to_numpy(),
+                "l_partkey": t["l_partkey"].to_numpy(),
+                "revenue": rev.to_numpy(),
             }
         )
+        g = (
+            df.groupby(["l_suppkey", "l_partkey"], sort=False)
+            .agg(n_lines=("revenue", "size"), sum_revenue=("revenue", "sum"))
+            .reset_index()
+        )
+        g["bucket"] = (
+            (g["l_suppkey"].to_numpy(np.uint64) * np.uint64(1000003) + g["l_partkey"].to_numpy(np.uint64))
+            % n_buckets
+        ).astype(np.int8)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_cols = ["l_suppkey", "l_partkey", "n_lines", "avg_revenue"]
+    out_types = {"l_suppkey": "int64", "l_partkey": "int64", "n_lines": "int64", "avg_revenue": "float64"}
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_suppkey", "l_partkey"], sort=False)
+            .agg(n_lines=("n_lines", "sum"), sum_revenue=("sum_revenue", "sum"))
+            .reset_index()
+        )
+        g = g[g["n_lines"] >= 5].copy()
+        g["avg_revenue"] = (g["sum_revenue"] / g["n_lines"]).round(2)
+        top = g.sort_values(
+            ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True]
+        ).head(100)[out_cols]
+        return top.astype(out_types)
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_types.items()})
     return df.sort_values(
         ["avg_revenue", "l_suppkey", "l_partkey"], ascending=[False, True, True], ignore_index=True
     ).head(100)
@@ -234,24 +255,42 @@ def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A1 count-distinct: two-level aggregate cascade (agg_monthly.sql:9)
+# A1 count-distinct: bucketed aggregate cascade (agg_monthly.sql:9).
+# Map-side (month, custkey) dedup per block, then ONE shuffle on a
+# custkey-hash bucket: each custkey lands in exactly one bucket, so the
+# per-bucket distinct counts are additive per month and the driver only
+# merges n_buckets x n_months partial rows (vs two full sort shuffles on
+# the high-cardinality (month, custkey) composite).
 def q_monthly_active_customers(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "orders", ["o_orderdate", "o_custkey"])
+    n_buckets = 32
 
     def pre(t: pa.Table) -> pa.Table:
         m = pc.strftime(t["o_orderdate"], format="%Y-%m")
-        return pa.table({"o_month": m, "o_custkey": t["o_custkey"]})
+        df = pd.DataFrame({"o_month": m.to_pandas(), "o_custkey": t["o_custkey"].to_numpy()})
+        g = df.groupby(["o_month", "o_custkey"], sort=False).size().reset_index(name="n")
+        g["bucket"] = (g["o_custkey"].to_numpy(np.uint64) % n_buckets).astype(np.int8)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_mc = (
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.groupby(["o_month", "o_custkey"], sort=False)["n"].sum().reset_index()
+        out = (
+            pairs.groupby("o_month", sort=False)
+            .agg(active_customers=("o_custkey", "size"), n_orders=("n", "sum"))
+            .reset_index()
+        )
+        return out.astype({"active_customers": "int64", "n_orders": "int64"})
+
+    df = (
         ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["o_month", "o_custkey"])
-        .aggregate(Count(alias_name="n"))
+        .groupby("bucket")
+        .map_groups(bucket_agg, batch_format="pandas")
+        .to_pandas()
     )
     df = (
-        per_mc.groupby("o_month")
-        .aggregate(Count(alias_name="active_customers"), Sum("n", alias_name="n_orders"))
-        .sort("o_month")
-        .to_pandas()
+        df.groupby("o_month", sort=True)
+        .agg(active_customers=("active_customers", "sum"), n_orders=("n_orders", "sum"))
+        .reset_index()
     )
     return df
 
