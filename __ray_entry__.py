@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": R.q_json_props,
         "weekday_hour_matrix": R.q_weekday_hour_matrix,
         "sample_window": R.q_sample_window,
+        "sessionize": R.q_sessionize,
+        "asof_join": R.q_asof_join,
+        "value_percentiles": R.q_value_percentiles,
     }
 
 
@@ -468,6 +471,41 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
             from t left join s using (doc_id)
             order by doc_id
+        """,
+        "sessionize": """
+            with o as (
+              select user_id, ts, value,
+                     lag(ts) over (partition by user_id order by ts) as prev_ts
+              from events),
+            m as (
+              select user_id, ts, value,
+                     case when prev_ts is null or ts - prev_ts > interval 30 minutes
+                          then 1 else 0 end as new_s
+              from o),
+            s as (
+              select user_id, ts, value,
+                     sum(new_s) over (partition by user_id order by ts) as session_id
+              from m)
+            select user_id, cast(session_id as bigint) as session_id,
+                   count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end,
+                   round(sum(value), 2) as sum_value
+            from s group by 1, 2 order by 1, 2
+        """,
+        "asof_join": """
+            select e.event_id, p.value as last_purchase_value
+            from events e
+            asof left join (select user_id, ts, value from events
+                            where event_type = 'purchase') p
+              on e.user_id = p.user_id and e.ts >= p.ts
+            order by e.event_id
+        """,
+        "value_percentiles": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 4) as p50,
+                   round(quantile_cont(value, 0.9), 4) as p90,
+                   round(quantile_cont(value, 0.99), 4) as p99
+            from events group by 1 order by 1
         """,
         "ngram_jaccard": r"""
             with t as (

@@ -130,7 +130,7 @@ def q_top_routes(sf_dir: str) -> pd.DataFrame:
     shuffle on a single small-int key instead of a sort shuffle on the
     high-cardinality (suppkey, partkey) composite: each bucket task
     finalizes its keys (having + avg + partial top-100) and the driver
-    merges at most 100 x _TOP_ROUTE_BUCKETS rows.  At cluster scale the
+    merges at most 100 x n_buckets rows.  At cluster scale the
     bucket count is the shuffle width knob; the per-key partials keep
     the exchanged bytes proportional to distinct keys, not input rows."""
     ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
@@ -711,3 +711,94 @@ def q_sample_window(sf_dir: str, *, offset: int = 1000, limit: int = 50) -> pd.D
     ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
     head = ds.sort("event_id").limit(offset + limit).to_pandas()
     return head.iloc[offset:].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming windows beyond the reference: gap-based sessionization.
+# (reference has only fixed tumbling windows — stream_from_parquet.py
+#  batches by wall clock; this is the dynamic-gap analog every
+#  clickstream/transcript pipeline needs.)
+def q_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-user gap sessionization: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``.  Partitioning assumption:
+    one ``map_groups`` task sees ALL of a user's events (Ray's groupby
+    guarantees key co-location); per-user volume is human-bounded, so no
+    salting is needed — at cluster scale the shuffle is the standard
+    hash-by-user exchange and each task is O(events-per-user)."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        new_s = df["ts"].diff().isna() | (df["ts"].diff() > gap)
+        df["session_id"] = new_s.cumsum().astype("int64")
+        out = (
+            df.groupby("session_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end", "sum_value"]]
+
+    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return df.sort_values(["user_id", "session_id"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# As-of join (Ray Data has no native one): for every event, the user's
+# most recent purchase at-or-before the event's timestamp.  Expressed as
+# a per-key sorted merge inside map_groups: hash-partition both sides on
+# the key in ONE shuffle (they're the same table here; for two tables,
+# union tagged rows first), sort within the group, np.searchsorted.
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        p = df[df["event_type"] == "purchase"]
+        ix = np.searchsorted(p["ts"].to_numpy(), df["ts"].to_numpy(), side="right") - 1
+        has = ix >= 0
+        lpv = np.full(len(df), np.nan)
+        lpv[has] = p["value"].to_numpy()[ix[has]]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "last_purchase_value": lpv,
+            }
+        )
+
+    df = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Exact grouped percentiles (continuous interpolation, = quantile_cont).
+# Group cardinality is tiny (event types) while group size is huge, so
+# a per-group task holding one group's values is the SKEWED path at
+# 100 TB — the map-side combine ships per-block sorted value chunks and
+# each group task merges them; value payload is one float per row,
+# 1/20th of the raw event row.
+def q_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        q = np.quantile(v, [0.5, 0.9, 0.99])
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p50": [round(q[0], 4)],
+                "p90": [round(q[1], 4)],
+                "p99": [round(q[2], 4)],
+            }
+        )
+
+    df = ds.groupby("event_type").map_groups(pcts, batch_format="pandas").to_pandas()
+    return df.sort_values("event_type", ignore_index=True)
