@@ -77,7 +77,7 @@ def ensure_wal() -> str:
     return d
 
 
-def run_headline(reps: int = 2) -> dict:
+def run_headline(reps: int = 3) -> dict:
     """Best of ``reps`` fresh-lake replays (page-writeback of the previous
     rep's staging/delta files makes single measurements noisy)."""
     import shutil
