@@ -35,6 +35,26 @@ def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _combine(
+    ds: rd.Dataset,
+    partial,
+    keys: list[str],
+    merges: dict[str, tuple[str, str]],
+) -> pd.DataFrame:
+    """Map-side combiner for SMALL group cardinality (bands, hours,
+    types, flags, days): ``partial`` reduces each Arrow block to one row
+    per group (pyarrow ``Table.group_by`` — vectorized, zero Python
+    rows), so only O(num_blocks x num_groups) partial rows ever leave
+    the workers; the driver folds them with one in-memory groupby.  No
+    distributed shuffle at all — this is the combiner half of the
+    100 TB plan, where the same partials feed a tiny final reduce
+    instead of an all-to-all exchange of raw rows.  High-cardinality
+    keys must use the hash-bucket shuffle pattern instead (see
+    q_top_routes / q_monthly_active_customers)."""
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(keys, sort=True, as_index=False).agg(**merges)
+
+
 # --------------------------------------------------------------------------
 # P1/P4/P8: projection + filter + vectorized arithmetic
 # (reference: stg_trips.sql:15-39 rename/select/null-drop;
@@ -75,28 +95,33 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
-
-    out = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
+        t = t.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ([], "count_all")]
         )
-        .to_pandas()
+
+    out = _combine(
+        ds,
+        partial,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity_sum", "sum"),
+            "sum_base_price": ("l_extendedprice_sum", "sum"),
+            "sum_disc_price": ("disc_price_sum", "sum"),
+            "count_order": ("count_all", "sum"),
+        },
     )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
     out = _round_cols(
         out,
         {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_price": 4},
     )
-    return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "avg_qty", "avg_price", "count_order"]
+    return out[cols].sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
 
 
 # --------------------------------------------------------------------------
@@ -104,17 +129,17 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def q_orders_yearly(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
-    def pre(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
             {"o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int32()), "o_totalprice": t["o_totalprice"]}
         )
+        return t.group_by("o_year").aggregate([("o_totalprice", "sum"), ([], "count_all")])
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("o_year")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
-        .sort("o_year")
-        .to_pandas()
+    df = _combine(
+        ds,
+        partial,
+        ["o_year"],
+        {"n_orders": ("count_all", "sum"), "sum_total": ("o_totalprice_sum", "sum")},
     )
     df["sum_total"] = df["sum_total"].round(2)
     prev = df["sum_total"].shift(1)
@@ -300,26 +325,29 @@ def q_monthly_active_customers(sf_dir: str) -> pd.DataFrame:
 def q_conditional_aggregates(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount", "l_tax"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         disc = pc.cast(pc.greater(t["l_discount"], 0.05), pa.int64())
         qty_hi_tax = pc.if_else(pc.greater(t["l_tax"], 0.04), t["l_quantity"], pa.scalar(0.0))
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "discounted": disc,
                 "qty_high_tax": qty_hi_tax,
             }
         )
-
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(
-            Count(alias_name="n_lines"),
-            Sum("discounted", alias_name="n_discounted"),
-            Sum("qty_high_tax", alias_name="qty_high_tax"),
+        return t.group_by("l_returnflag").aggregate(
+            [("discounted", "sum"), ("qty_high_tax", "sum"), ([], "count_all")]
         )
-        .to_pandas()
+
+    df = _combine(
+        ds,
+        partial,
+        ["l_returnflag"],
+        {
+            "n_lines": ("count_all", "sum"),
+            "n_discounted": ("discounted_sum", "sum"),
+            "qty_high_tax": ("qty_high_tax_sum", "sum"),
+        },
     )
     df["qty_high_tax"] = df["qty_high_tax"].round(2)
     df["discount_share_pct"] = (df["n_discounted"] / df["n_lines"] * 100).round(2)
@@ -332,16 +360,14 @@ def q_conditional_aggregates(sf_dir: str) -> pd.DataFrame:
 def q_value_bands(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["value", "event_type"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
         band = np.select([v < 10, v < 25, v < 50], ["low", "mid", "high"], default="extreme")
-        return pa.table({"band": pa.array(band), "value": t["value"]})
+        t = pa.table({"band": pa.array(band), "value": t["value"]})
+        return t.group_by("band").aggregate([("value", "sum"), ([], "count_all")])
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    df = _combine(
+        ds, partial, ["band"], {"n": ("count_all", "sum"), "sum_value": ("value_sum", "sum")}
     )
     df["sum_value"] = df["sum_value"].round(2)
     return df.sort_values("band", ignore_index=True)
@@ -352,17 +378,12 @@ def q_value_bands(sf_dir: str) -> pd.DataFrame:
 def q_hourly_events(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["ts", "value"])
 
-    def pre(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"hour": pc.cast(pc.hour(t["ts"]), pa.int32()), "value": t["value"]}
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"hour": pc.cast(pc.hour(t["ts"]), pa.int32()), "value": t["value"]})
+        return t.group_by("hour").aggregate([("value", "sum"), ([], "count_all")])
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .sort("hour")
-        .to_pandas()
+    df = _combine(
+        ds, partial, ["hour"], {"n_events": ("count_all", "sum"), "sum_value": ("value_sum", "sum")}
     )
     df["sum_value"] = df["sum_value"].round(2)
     return df
@@ -372,18 +393,27 @@ def q_hourly_events(sf_dir: str) -> pd.DataFrame:
 # A11 value_counts analog (fraud_detector.py:168-179 zone/payment counts)
 def q_event_type_stats(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_type", "value"])
-    df = (
-        ds.groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Mean("value", alias_name="avg_value"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "min"), ("value", "max"), ([], "count_all")]
         )
-        .to_pandas()
+
+    df = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {
+            "n": ("count_all", "sum"),
+            "sum_value": ("value_sum", "sum"),
+            "min_value": ("value_min", "min"),
+            "max_value": ("value_max", "max"),
+        },
     )
-    df["avg_value"] = df["avg_value"].round(4)
-    return df.sort_values("event_type", ignore_index=True)
+    df["avg_value"] = (df["sum_value"] / df["n"]).round(4)
+    return df[["event_type", "n", "avg_value", "min_value", "max_value"]].sort_values(
+        "event_type", ignore_index=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -432,17 +462,31 @@ def q_cdc_upsert_events(sf_dir: str) -> rd.Dataset:
 def q_user_daily_window(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    # high-cardinality (user, day) key: bucketed shuffle, not a sort
+    n_buckets = 32
+
+    def partial(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day")
-        return pa.table({"user_id": t["user_id"], "day": day, "value": t["value"]})
+        t = pa.table({"user_id": t["user_id"], "day": day, "value": t["value"]})
+        g = t.group_by(["user_id", "day"]).aggregate([("value", "sum"), ([], "count_all")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column("bucket", pa.array((uid % n_buckets).astype(np.int8)))
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "day"], sort=False)
+            .agg(n_events=("count_all", "sum"), sum_value=("value_sum", "sum"))
+            .reset_index()
+        )
+        g["sum_value"] = g["sum_value"].round(2)
+        return g.astype({"user_id": "int64", "n_events": "int64", "sum_value": "float64"})
 
     df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_agg, batch_format="pandas")
         .to_pandas()
     )
-    df["sum_value"] = df["sum_value"].round(2)
     return df.sort_values(["user_id", "day"], ignore_index=True)
 
 
@@ -450,15 +494,32 @@ def q_user_daily_window(sf_dir: str) -> pd.DataFrame:
 # O2/O3: top-k with deterministic tiebreak (insight_uber_effect.sql:4-11)
 def q_top_spenders(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
-    df = (
-        ds.map_batches(
-            lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    n_buckets = 32
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        g = t.group_by("user_id").aggregate([("value", "sum"), ([], "count_all")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column("bucket", pa.array((uid % n_buckets).astype(np.int8)))
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket final combine + partial top-10 under the FINAL
+        # total order; the driver merges 10 x n_buckets rows
+        g = (
+            df.groupby("user_id", sort=False)
+            .agg(total_spend=("value_sum", "sum"), n_purchases=("count_all", "sum"))
+            .reset_index()
         )
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_spend"), Count(alias_name="n_purchases"))
+        g["total_spend"] = g["total_spend"].round(2)
+        g = g.sort_values(["total_spend", "user_id"], ascending=[False, True]).head(10)
+        return g.astype({"user_id": "int64", "total_spend": "float64", "n_purchases": "int64"})
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas")
         .to_pandas()
     )
-    df["total_spend"] = df["total_spend"].round(2)
     return df.sort_values(
         ["total_spend", "user_id"], ascending=[False, True], ignore_index=True
     ).head(10)
@@ -469,17 +530,12 @@ def q_top_spenders(sf_dir: str) -> pd.DataFrame:
 def q_daily_revenue_lag(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["event_type"], "purchase"))
-        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]})
+        t = pa.table({"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]})
+        return t.group_by("day").aggregate([("value", "sum")])
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Sum("value", alias_name="revenue"))
-        .sort("day")
-        .to_pandas()
-    )
+    df = _combine(ds, partial, ["day"], {"revenue": ("value_sum", "sum")})
     df["revenue"] = df["revenue"].round(2)
     prev = df["revenue"].shift(1)
     df["dod_pct"] = ((df["revenue"] - prev) / prev * 100).round(2)
@@ -492,12 +548,12 @@ def q_daily_revenue_lag(sf_dir: str) -> pd.DataFrame:
 def q_event_anomalies(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_type", "value", "ts"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         hour = pc.hour(t["ts"])
         high_value = pc.cast(pc.greater(t["value"], 45.0), pa.int64())
         night = pc.cast(pc.or_(pc.greater_equal(hour, 22), pc.less(hour, 6)), pa.int64())
         err = pc.cast(pc.equal(t["event_type"], "error"), pa.int64())
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": t["event_type"],
                 "is_high_value": high_value,
@@ -505,17 +561,20 @@ def q_event_anomalies(sf_dir: str) -> pd.DataFrame:
                 "is_error": err,
             }
         )
-
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("is_high_value", alias_name="n_high_value"),
-            Sum("is_night", alias_name="n_night"),
-            Sum("is_error", alias_name="n_error"),
+        return t.group_by("event_type").aggregate(
+            [("is_high_value", "sum"), ("is_night", "sum"), ("is_error", "sum"), ([], "count_all")]
         )
-        .to_pandas()
+
+    df = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {
+            "n": ("count_all", "sum"),
+            "n_high_value": ("is_high_value_sum", "sum"),
+            "n_night": ("is_night_sum", "sum"),
+            "n_error": ("is_error_sum", "sum"),
+        },
     )
     df["high_value_pct"] = (df["n_high_value"] / df["n"] * 100).round(2)
     return df.sort_values("event_type", ignore_index=True)
@@ -524,11 +583,16 @@ def q_event_anomalies(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # A6: percent_rank over a grouped aggregate (insight_zone_heatmap.sql:3-42)
 def q_nation_customer_rank(sf_dir: str) -> pd.DataFrame:
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
-    df = (
-        cust.groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
-        .to_pandas()
+    cust = _rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("c_nationkey").aggregate([("c_acctbal", "sum"), ([], "count_all")])
+
+    df = _combine(
+        cust,
+        partial,
+        ["c_nationkey"],
+        {"n_customers": ("count_all", "sum"), "sum_acctbal": ("c_acctbal_sum", "sum")},
     )
     df["sum_acctbal"] = df["sum_acctbal"].round(2)
     df = df.sort_values(["n_customers", "c_nationkey"], ignore_index=True)
@@ -635,12 +699,7 @@ def q_flag_frequency(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    df = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("flag")
-        .aggregate(Sum("n", alias_name="n_events"))
-        .to_pandas()
-    )
+    df = _combine(ds, partial_counts, ["flag"], {"n_events": ("n", "sum")})
     return df.sort_values("flag", ignore_index=True)
 
 
@@ -653,24 +712,27 @@ def q_flag_frequency(sf_dir: str) -> pd.DataFrame:
 def q_json_props(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_type", "props"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
         kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "k": kv,
-                "n": pa.array(np.ones(t.num_rows, np.int64)),
-            }
+        t = pa.table({"event_type": t["event_type"], "k": kv})
+        # group_by sum skips nulls; count_all counts every row (matching
+        # the oracle's count(*) + avg over non-null extracts)
+        return t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "count"), ([], "count_all")]
         )
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("k", alias_name="sum_k"), Sum("n", alias_name="n"))
-        .to_pandas()
+    df = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {
+            "sum_k": ("k_sum", "sum"),
+            "n_k": ("k_count", "sum"),
+            "n": ("count_all", "sum"),
+        },
     )
-    df["avg_k"] = (df["sum_k"] / df["n"]).round(4)
+    df["avg_k"] = (df["sum_k"] / df["n_k"]).round(4)
     return df[["event_type", "n", "avg_k"]].sort_values("event_type", ignore_index=True)
 
 
@@ -682,26 +744,28 @@ def q_json_props(sf_dir: str) -> pd.DataFrame:
 def q_weekday_hour_matrix(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["ts", "value"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         dow = pc.add(pc.day_of_week(t["ts"]), 1)  # Mon=0 -> Mon=1
         dow = pc.if_else(pc.equal(dow, 7), pa.scalar(0, pa.int64()), pc.cast(dow, pa.int64()))
-        return pa.table(
+        t = pa.table(
             {
                 "dow": pc.cast(dow, pa.int32()),
                 "hour": pc.cast(pc.hour(t["ts"]), pa.int32()),
                 "value": t["value"],
-                "n": pa.array(np.ones(t.num_rows, np.int64)),
             }
         )
+        return t.group_by(["dow", "hour"]).aggregate([("value", "sum"), ([], "count_all")])
 
-    df = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["dow", "hour"])
-        .aggregate(Sum("n", alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    df = _combine(
+        ds,
+        partial,
+        ["dow", "hour"],
+        {"n_events": ("count_all", "sum"), "sum_value": ("value_sum", "sum")},
     )
     df["sum_value"] = df["sum_value"].round(2)
-    return df.sort_values(["dow", "hour"], ignore_index=True)
+    return df[["dow", "hour", "n_events", "sum_value"]].sort_values(
+        ["dow", "hour"], ignore_index=True
+    )
 
 
 # --------------------------------------------------------------------------
