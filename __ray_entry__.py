@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": T.q_bpe_tokens,
         "doc_categories": T.q_doc_categories,
         "winnow_fingerprint": T.q_winnow_fingerprint,
+        "normalize_text": T.q_normalize_text,
+        "pii_scrub": T.q_pii_scrub,
+        "stratified_sample": T.q_stratified_sample,
+        "chunk_documents": T.q_chunk_documents,
         # similarity search over embeddings
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -471,6 +475,60 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
             from t left join s using (doc_id)
             order by doc_id
+        """,
+        "normalize_text": r"""
+            with n as (
+              select doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                       as norm_text
+              from documents)
+            select doc_id, norm_text,
+                   cast(length(norm_text) as bigint) as n_chars
+            from n order by doc_id
+        """,
+        "pii_scrub": r"""
+            with a as (select doc_id, text as t0 from documents),
+            b as (
+              select doc_id,
+                     cast(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) as n_email,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') as t1
+              from a),
+            c as (
+              select doc_id, n_email,
+                     cast(len(regexp_extract_all(t1, 'https?://[^ \t\n\r]+')) as bigint) as n_url,
+                     regexp_replace(t1, 'https?://[^ \t\n\r]+', '<URL>', 'g') as t2
+              from b),
+            d as (
+              select doc_id, n_email, n_url,
+                     cast(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) as bigint)
+                       as n_phone,
+                     regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') as scrubbed
+              from c)
+            select doc_id, n_email, n_url, n_phone, scrubbed from d order by doc_id
+        """,
+        "stratified_sample": """
+            select doc_id, lang,
+                   case when md5_number_lower(cast(doc_id as varchar)) % 10 = 0
+                        then 'val' else 'train' end as split
+            from documents order by doc_id
+        """,
+        "chunk_documents": r"""
+            with t as (
+              select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            n as (select doc_id, toks, len(toks) as n from t),
+            c as (
+              select doc_id, toks, n,
+                     case when n <= 50 then 1
+                          else cast(ceil((n - 50) / 40.0) as int) + 1 end as nc
+              from n),
+            u as (select doc_id, toks, n, unnest(range(nc)) as i from c)
+            select doc_id, cast(i as bigint) as chunk_idx,
+                   cast(least(i*40 + 50, n) - i*40 as bigint) as n_tokens,
+                   array_to_string(toks[i*40 + 1 : least(i*40 + 50, n)], ' ') as chunk_text
+            from u order by doc_id, chunk_idx
         """,
         "sessionize": """
             with o as (

@@ -258,8 +258,13 @@ def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def pre(t: pa.Table) -> pa.Table:
+        # pre-aggregate before the shuffle: the downstream rollup is
+        # additive over o_orderstatus, so per-block (orderkey -> sum, n)
+        # partials join identically and the exchange ships one row per
+        # distinct orderkey per block instead of one per line item
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        t = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        return t.group_by("l_orderkey").aggregate([("revenue", "sum"), ([], "count_all")])
 
     li = li.map_batches(pre, batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
@@ -270,10 +275,17 @@ def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    df = (
-        joined.groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_lines"), Sum("revenue", alias_name="sum_revenue"))
-        .to_pandas()
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.group_by("o_orderstatus").aggregate(
+            [("revenue_sum", "sum"), ("count_all", "sum")]
+        )
+
+    df = _combine(
+        joined,
+        post,
+        ["o_orderstatus"],
+        {"n_lines": ("count_all_sum", "sum"), "sum_revenue": ("revenue_sum_sum", "sum")},
     )
     df["sum_revenue"] = df["sum_revenue"].round(2)
     return df.sort_values("o_orderstatus", ignore_index=True)

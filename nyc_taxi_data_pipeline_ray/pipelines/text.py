@@ -902,3 +902,114 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
         "doc_id", ignore_index=True
     )
+
+
+# --------------------------------------------------------------------------
+# Pretraining text cleanup: NFC unicode normalization + casefold +
+# whitespace collapse (the first stage of every LLM corpus pipeline;
+# one fused Arrow kernel chain, zero Python rows).
+def q_normalize_text(sf_dir: str) -> rd.Dataset:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.utf8_normalize(t["text"], form="NFC")
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": x,
+                "n_chars": pc.cast(pc.utf8_length(x), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: count + redact emails, URLs, phone-shaped spans with
+# sequential RE2 replacements (counts are measured on the text as it
+# looks when that pattern runs, matching the oracle's CTE chain).
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n\r]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii_batch(t: pa.Table) -> pa.Table:
+    x = t["text"]
+    cols: dict = {"doc_id": t["doc_id"]}
+    for name, pat, repl in _PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(x, pattern=pat), pa.int64())
+        x = pc.replace_substring_regex(x, pattern=pat, replacement=repl)
+    cols["scrubbed"] = x
+    return pa.table(cols)
+
+
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(scrub_pii_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified train/val split: assignment is a pure
+# function of doc_id (md5 low-64 mod 10), so any worker — and any
+# re-run — splits identically with no shared state and no shuffle.
+def q_stratified_sample(sf_dir: str, *, mod: int = 10) -> rd.Dataset:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode("utf-8")).digest()[8:16], "little")
+                for i in t["doc_id"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        split = np.where(h % mod == 0, "val", "train")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking for embedding/context pipelines: fixed-size
+# token windows with overlap, emitted as extra rows (flat-map shape —
+# map_batches returning more rows than it receives).
+def q_chunk_documents(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Dataset:
+    import math
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        ids = t["doc_id"].to_pylist()
+        out_id, out_idx, out_n, out_text = [], [], [], []
+        for did, tl in zip(ids, toks.to_pylist()):
+            n = len(tl)
+            nc = 1 if n <= size else math.ceil((n - size) / stride) + 1
+            for i in range(nc):
+                lo = i * stride
+                hi = min(lo + size, n)
+                out_id.append(did)
+                out_idx.append(i)
+                out_n.append(hi - lo)
+                out_text.append(" ".join(tl[lo:hi]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -201,3 +201,48 @@ def test_bpe_tokens_planted(dup_docs_dir):
     df = text.q_bpe_tokens(dup_docs_dir).to_pandas().set_index("doc_id")
     # BPE-ish tokens >= whitespace tokens (punct splits off)
     assert (df["n_bpe_tokens"] >= df["n_ws_tokens"]).all()
+
+
+def test_pii_scrub_redacts_crafted_strings():
+    import pyarrow as pa
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import scrub_pii_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at jane.doe+spam@example.co.uk or bob@x.io today",
+                    "see https://example.com/a?b=1 and call +1 (555) 123-4567 now",
+                    "nothing sensitive here",
+                ]
+            ),
+        }
+    )
+    out = scrub_pii_batch(t)
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_url"].to_pylist() == [0, 1, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0]
+    s = out["scrubbed"].to_pylist()
+    assert s[0] == "mail me at <EMAIL> or <EMAIL> today"
+    assert s[1] == "see <URL> and call <PHONE> now"
+    assert s[2] == "nothing sensitive here"
+
+
+def test_chunking_covers_all_tokens_with_overlap():
+    from nyc_taxi_data_pipeline_ray.pipelines.text import q_chunk_documents
+
+    out = q_chunk_documents("/root/testdata/sf0.001", size=50, stride=40).to_pandas()
+    # every chunk except a doc's last has exactly `size` tokens
+    last = out.groupby("doc_id")["chunk_idx"].transform("max")
+    assert (out.loc[out["chunk_idx"] < last, "n_tokens"] == 50).all()
+    # consecutive chunks overlap by size - stride tokens
+    import pandas as pd
+
+    g = out.sort_values(["doc_id", "chunk_idx"])
+    prev_text = g.groupby("doc_id")["chunk_text"].shift(1)
+    mask = g["chunk_idx"] > 0
+    for cur, prev in zip(g.loc[mask, "chunk_text"], prev_text[mask]):
+        overlap = " ".join(prev.split()[40:])
+        assert cur.startswith(overlap)
