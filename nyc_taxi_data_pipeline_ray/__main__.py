@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("snapshot", help="materialize the lake state as Parquet")
     sp.add_argument("--lake", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--as-of-epoch",
+        type=int,
+        default=None,
+        help="time-travel: state as of this epoch's commit group",
+    )
 
     args = p.parse_args(argv)
 
@@ -143,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(rep))
             return 0 if rep["passed"] else 1
         elif args.cmd == "snapshot":
-            eng.snapshot().write_parquet(args.out)
+            eng.snapshot(as_of_epoch=args.as_of_epoch).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
     finally:
         if owns_session:

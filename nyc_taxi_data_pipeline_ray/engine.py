@@ -776,9 +776,17 @@ class CdcEngine:
         return sorted(out)
 
     # -------------------------------------------------------------- snapshot
-    def snapshot(self, columns: list[str] | None = None) -> rd.Dataset:
+    def snapshot(
+        self, columns: list[str] | None = None, *, as_of_epoch: int | None = None
+    ) -> rd.Dataset:
         """The lake's current state as a Dataset (one merge task per
         partition; fully-compacted partitions are a plain columnar read).
+
+        ``as_of_epoch`` time-travels: the returned state is what the
+        lake held right after that epoch's commit group (manifests are
+        the ledger; deltas newer than the target are simply not read).
+        Raises if the target predates the compaction watermark or falls
+        inside a multi-epoch commit group.
 
         Output rows are unique on (conv_id, turn_idx) and sorted by that
         key *within* each partition — the stable turn ordering the
@@ -794,7 +802,7 @@ class CdcEngine:
 
         def read_one(batch: pa.Table) -> pa.Table:
             parts = [
-                _read_partition_state(lake_path, int(pid))
+                _read_partition_state(lake_path, int(pid), as_of_epoch)
                 for pid in batch["pid"].to_pylist()
             ]
             parts = [p for p in parts if p is not None and p.num_rows]
@@ -812,11 +820,13 @@ class CdcEngine:
             read_one, batch_format="pyarrow", batch_size=None
         )
 
-    def snapshot_table(self, columns: list[str] | None = None) -> pa.Table:
+    def snapshot_table(
+        self, columns: list[str] | None = None, *, as_of_epoch: int | None = None
+    ) -> pa.Table:
         """Materialized, globally key-sorted snapshot (tests / small lakes)."""
         batches = [
             b
-            for b in self.snapshot(columns=columns).iter_batches(
+            for b in self.snapshot(columns=columns, as_of_epoch=as_of_epoch).iter_batches(
                 batch_size=None, batch_format="pyarrow"
             )
             if b.num_rows
@@ -1063,8 +1073,17 @@ def _atomic_write_parquet(path: str, table: pa.Table) -> None:
     os.replace(tmp, path)
 
 
-def _partition_runs(lake_path: str, pid: int) -> list[pa.Table]:
-    """Base + committed deltas, oldest first, as Arrow tables."""
+def _partition_runs(
+    lake_path: str, pid: int, as_of_epoch: int | None = None
+) -> list[pa.Table]:
+    """Base + committed deltas, oldest first, as Arrow tables.
+
+    ``as_of_epoch`` time-travels to the state after that epoch's commit:
+    delta groups are named by their max epoch, so a group is included
+    iff ``group_id <= as_of_epoch``.  Raises if the target falls inside
+    a multi-epoch commit group (no mid-group state ever existed) or
+    below the compaction watermark (that history has been folded away —
+    the retention horizon of any LSM lake)."""
     runs: list[pa.Table] = []
     base = mf.current_base(lake_path, pid)
     through = -1
@@ -1072,15 +1091,35 @@ def _partition_runs(lake_path: str, pid: int) -> list[pa.Table]:
         gen, path = base
         markers = {m["generation"]: m for m in mf.read_compact_markers(lake_path, pid)}
         through = markers.get(gen, {}).get("through_group", -1)
-        runs.append(pq.read_table(path))
+        if as_of_epoch is not None and through > as_of_epoch:
+            raise ValueError(
+                f"as_of_epoch={as_of_epoch} predates partition {pid}'s compaction "
+                f"watermark (folded through group {through}); that history was "
+                "compacted away"
+            )
+    if as_of_epoch is not None:
+        # groups folded into the base (<= through) are history, not
+        # snapshot candidates — only live groups can straddle the target
+        for m in mf.read_manifests(lake_path, pid):
+            eps = m.get("epochs") or [m["group_id"]]
+            if m["group_id"] > through and min(eps) <= as_of_epoch < max(eps):
+                raise ValueError(
+                    f"as_of_epoch={as_of_epoch} falls inside commit group "
+                    f"{m['group_id']} (epochs {sorted(eps)}) of partition {pid}; "
+                    "snapshots exist only at commit-group boundaries"
+                )
+    if base is not None:
+        runs.append(pq.read_table(base[1]))
     for ep, path in mf.delta_runs(lake_path, pid):
-        if ep > through:
+        if ep > through and (as_of_epoch is None or ep <= as_of_epoch):
             runs.append(pq.read_table(path))
     return runs
 
 
-def _read_partition_state(lake_path: str, pid: int) -> pa.Table | None:
-    runs = _partition_runs(lake_path, pid)
+def _read_partition_state(
+    lake_path: str, pid: int, as_of_epoch: int | None = None
+) -> pa.Table | None:
+    runs = _partition_runs(lake_path, pid, as_of_epoch)
     if not runs:
         return None
     merged = mg.merge_runs(runs, drop_tombstones=True)

@@ -432,3 +432,31 @@ def test_get_conversation_point_lookup(tmp_path):
     assert got.select(cols).equals(want.select(cols))
     # unknown conversation -> empty, correct schema
     assert eng.get_conversation("no_such_conv").num_rows == 0
+
+
+def test_time_travel_snapshot_matches_prefix_oracle(tmp_path):
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    for _ in range(SPEC.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    events = gen.events_table()
+    for k in range(SPEC.num_epochs):
+        snap = eng.snapshot_table(as_of_epoch=k)
+        exp = oracle.replay(events.filter(pc.less_equal(events["epoch"], k)))
+        cols = sorted(exp.schema.names)
+        assert snap.select(cols).equals(exp.select(cols)), f"as_of_epoch={k}"
+    # latest as-of == current state
+    assert eng.snapshot_table(as_of_epoch=SPEC.num_epochs - 1).equals(eng.snapshot_table())
+
+
+def test_time_travel_rejects_mid_group_and_compacted_history(tmp_path):
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    eng.apply(wal)  # all 3 epochs commit as ONE group (group_id = 2)
+    with pytest.raises(Exception, match="inside commit group"):
+        eng.snapshot_table(as_of_epoch=1)
+    # boundary epoch is fine
+    snap = eng.snapshot_table(as_of_epoch=2)
+    assert snap.num_rows > 0
+    # compaction folds the history away -> earlier as-of raises
+    eng.compact(force=True)
+    with pytest.raises(Exception, match="compact"):
+        eng.snapshot_table(as_of_epoch=1)
