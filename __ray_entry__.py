@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": T.q_bpe_tokens,
         "doc_categories": T.q_doc_categories,
         "winnow_fingerprint": T.q_winnow_fingerprint,
+        "contamination": T.q_contamination,
+        "term_doc_freq": T.q_term_doc_freq,
         "normalize_text": T.q_normalize_text,
         "pii_scrub": T.q_pii_scrub,
         "stratified_sample": T.q_stratified_sample,
@@ -475,6 +477,38 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
             from t left join s using (doc_id)
             order by doc_id
+        """,
+        "contamination": r"""
+            with t as (
+              select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id,
+                     list_distinct(list_transform(range(1, array_length(toks) - 3),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                              || toks[i+3] || ' ' || toks[i+4])) as grams
+              from t where array_length(toks) >= 5),
+            b as (select list_distinct(flatten(list(grams))) as bg
+                  from g where doc_id < 20),
+            x as (select g.doc_id, len(list_intersect(g.grams, b.bg)) as n_overlap
+                  from g, b)
+            select d.doc_id,
+                   cast(coalesce(x.n_overlap, 0) as bigint) as n_overlap,
+                   coalesce(x.n_overlap, 0) > 0 as contaminated
+            from documents d left join x using (doc_id)
+            order by d.doc_id
+        """,
+        "term_doc_freq": rf"""
+            with t as (
+              select doc_id,
+                     list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '' and x not in ({stoplist}))) as toks
+              from documents),
+            u as (select doc_id, unnest(toks) as term from t)
+            select term, cast(count(*) as bigint) as df
+            from u group by 1
+            order by df desc, term limit 20
         """,
         "normalize_text": r"""
             with n as (

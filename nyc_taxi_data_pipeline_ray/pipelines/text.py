@@ -1013,3 +1013,85 @@ def q_chunk_documents(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Da
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination screening: flag corpus documents sharing any
+# word 5-gram with a held-out eval set.  The eval side is tiny by
+# definition, so its gram set is gathered once and broadcast via
+# ``ray.put`` — each scan task reads it zero-copy from the object store
+# and the corpus streams through one map_batches; no shuffle at all.
+def q_contamination(sf_dir: str, *, k: int = 5, bench_max_doc_id: int = 20) -> rd.Dataset:
+    import ray
+
+    from nyc_taxi_data_pipeline_ray.io import collect_table
+
+    def doc_grams(s: str) -> set[str]:
+        toks = (s or "").strip().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    bench = collect_table(
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], bench_max_doc_id)),
+            batch_format="pyarrow",
+        )
+    )
+    bench_grams: set[str] = set()
+    for s in bench["text"].to_pylist():
+        bench_grams |= doc_grams(s)
+    bench_ref = ray.put(bench_grams)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Screen:
+        def __init__(self):
+            self.grams = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n_overlap = [
+                len(doc_grams(s) & self.grams) for s in t["text"].to_pylist()
+            ]
+            arr = pa.array(n_overlap, pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_overlap": arr,
+                    "contaminated": pc.greater(arr, 0),
+                }
+            )
+
+    return ds.map_batches(Screen, batch_format="pyarrow", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary statistics: document frequency of non-stopword
+# terms, top-20.  The canonical word-count-with-combiner: each block
+# reduces to one row per distinct term (np.unique over (doc, term)
+# pairs), the driver folds the Zipf-bounded partials.  At 10^12-token
+# scale the fold becomes one hash-bucket groupby over term partials —
+# same partials, different final reduce.
+def q_term_doc_freq(sf_dir: str, *, top: int = 20) -> pd.DataFrame:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        keep = np.array([w != "" and w not in stop for w in flat], bool)
+        # distinct (doc, term) pairs, then per-term counts
+        uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
+        dedup = np.unique(np.stack([doc_of[keep], inv]), axis=1)
+        counts = np.bincount(dedup[1], minlength=len(uniq_terms))
+        return pa.table(
+            {
+                "term": pa.array(uniq_terms, pa.string()),
+                "df": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = parts.groupby("term", as_index=False)["df"].sum()
+    return df.sort_values(["df", "term"], ascending=[False, True], ignore_index=True).head(top)
