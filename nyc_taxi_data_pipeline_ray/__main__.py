@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
         help="time-travel: state as of this epoch's commit group",
     )
 
+    sp = sub.add_parser(
+        "changes", help="export the change feed (delta stream) as Parquet"
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--after-epoch", type=int, default=-1)
+    sp.add_argument("--through-epoch", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -150,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if rep["passed"] else 1
         elif args.cmd == "snapshot":
             eng.snapshot(as_of_epoch=args.as_of_epoch).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        elif args.cmd == "changes":
+            eng.changes(
+                after_epoch=args.after_epoch, through_epoch=args.through_epoch
+            ).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
     finally:
         if owns_session:

@@ -836,6 +836,79 @@ class CdcEngine:
         t = mg.concat_unified([pa.table(b) if isinstance(b, dict) else b for b in batches])
         return mg.sort_by_key(t)
 
+    def changes(
+        self, *, after_epoch: int = -1, through_epoch: int | None = None
+    ) -> rd.Dataset:
+        """Change data feed: the committed per-group delta runs with
+        commit group in ``(after_epoch, through_epoch]`` as one Dataset,
+        ``op`` retained (upserts AND tombstones) and each row tagged
+        with its ``change_group`` — the incremental-consumer surface: a
+        downstream sync reads only what changed since its last watermark
+        instead of re-scanning snapshots.  Raises if the window reaches
+        below a partition's compaction watermark (those deltas were
+        folded into the base — re-sync from a snapshot) or if a window
+        edge cuts through a multi-epoch commit group."""
+        pids = self._live_pids()
+        lake_path = self.cfg.path
+        feed_schema = pa.schema(
+            [("lsn", pa.int64()), ("op", pa.string())]
+            + list(schemas.TRANSCRIPT_SCHEMA)
+            + [("change_group", pa.int32())]
+        )
+        if not pids:
+            return rd.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in feed_schema})
+            )
+
+        def read_changes(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                base = mf.current_base(lake_path, pid)
+                through_g = -1
+                if base is not None:
+                    markers = {
+                        m["generation"]: m for m in mf.read_compact_markers(lake_path, pid)
+                    }
+                    through_g = markers.get(base[0], {}).get("through_group", -1)
+                if after_epoch < through_g:
+                    raise ValueError(
+                        f"changes after epoch {after_epoch} of partition {pid} were "
+                        f"folded into the base (compaction watermark {through_g}); "
+                        "re-sync from a snapshot"
+                    )
+                for m in mf.read_manifests(lake_path, pid):
+                    eps = m.get("epochs") or [m["group_id"]]
+                    lo, hi = min(eps), max(eps)
+                    for edge in (after_epoch, through_epoch):
+                        if edge is not None and lo <= edge < hi:
+                            raise ValueError(
+                                f"epoch {edge} falls inside commit group "
+                                f"{m['group_id']} (epochs {sorted(eps)}); the "
+                                "change feed is commit-group-granular"
+                            )
+                for ep, path in mf.delta_runs(lake_path, pid):
+                    if ep > after_epoch and (through_epoch is None or ep <= through_epoch):
+                        t = pq.read_table(path)
+                        t = t.drop_columns(
+                            [c for c in (mg.NSRC, mg.RUN_SEQ) if c in t.schema.names]
+                        )
+                        outs.append(
+                            t.append_column(
+                                "change_group",
+                                pa.array(np.full(t.num_rows, ep, np.int32)),
+                            )
+                        )
+            outs = [o for o in outs if o.num_rows]
+            if not outs:
+                return pa.table({f.name: pa.array([], f.type) for f in feed_schema})
+            return mg.concat_unified(outs)
+
+        ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+        return ds.repartition(len(pids)).map_batches(
+            read_changes, batch_format="pyarrow", batch_size=None
+        )
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 

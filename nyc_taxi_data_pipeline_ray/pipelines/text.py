@@ -1072,15 +1072,18 @@ def q_contamination(sf_dir: str, *, k: int = 5, bench_max_doc_id: int = 20) -> r
 # same partials, different final reduce.
 def q_term_doc_freq(sf_dir: str, *, top: int = 20) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    stop = set(STOPWORDS)
 
     def partial(t: pa.Table) -> pa.Table:
         toks = _tokens(pc.utf8_lower(t["text"]))
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         offsets = (offsets - offsets[0]).astype(np.int64)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
         doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
-        keep = np.array([w != "" and w not in stop for w in flat], bool)
+        drop = pc.or_(
+            pc.equal(flat_arr, ""), pc.is_in(flat_arr, value_set=pa.array(STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        keep = ~drop
         # distinct (doc, term) pairs, then per-term counts
         uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
         dedup = np.unique(np.stack([doc_of[keep], inv]), axis=1)

@@ -460,3 +460,54 @@ def test_time_travel_rejects_mid_group_and_compacted_history(tmp_path):
     eng.compact(force=True)
     with pytest.raises(Exception, match="compact"):
         eng.snapshot_table(as_of_epoch=1)
+
+
+def test_change_feed_reconstructs_state(tmp_path):
+    from nyc_taxi_data_pipeline_ray.state import merge as mg
+
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    for _ in range(SPEC.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    feed = mg.concat_unified(
+        [
+            b
+            for b in eng.changes().iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    groups = sorted(set(feed["change_group"].to_pylist()))
+    assert groups == [0, 1, 2]
+    # replaying the full feed (oldest group first) rebuilds the lake state
+    runs = [
+        feed.filter(pc.equal(feed["change_group"], g)).drop_columns(["change_group"])
+        for g in groups
+    ]
+    rebuilt = mg.merge_runs(runs, drop_tombstones=True)
+    rebuilt = rebuilt.drop_columns(
+        [c for c in ("op", "epoch") if c in rebuilt.schema.names]
+    )
+    rebuilt = mg.sort_by_key(rebuilt)
+    snap = eng.snapshot_table()
+    cols = sorted(snap.schema.names)
+    assert rebuilt.select(cols).equals(snap.select(cols))
+    # incremental window: only groups after the consumer's watermark
+    tail = mg.concat_unified(
+        [
+            b
+            for b in eng.changes(after_epoch=0).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    )
+    assert sorted(set(tail["change_group"].to_pylist())) == [1, 2]
+
+
+def test_change_feed_compaction_guard(tmp_path):
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    eng.apply(wal)
+    eng.compact(force=True)
+    with pytest.raises(Exception, match="folded into the base"):
+        eng.changes(after_epoch=-1).materialize()
+    # at-or-above the watermark: empty feed, no error
+    assert eng.changes(after_epoch=SPEC.num_epochs - 1).count() == 0
