@@ -249,7 +249,7 @@ def q_obt_enriched(sf_dir: str) -> rd.Dataset:
                 }
             )
 
-    return li.map_batches(Enrich, batch_format="pyarrow", concurrency=2)
+    return li.map_batches(Enrich, batch_format="pyarrow", concurrency=(2, 8))
 
 
 # --------------------------------------------------------------------------

@@ -514,7 +514,9 @@ def q_minhash_near_dups(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pyarrow",
-        concurrency=2,
+        # autoscaling: signatures are the CPU-heavy stage; scale to the
+        # session's CPUs, never demand more actors than can schedule
+        concurrency=(2, 16),
     )
     rows_per_band = num_perm // bands
     # Bounded shuffle buckets: the fine LSH key is (band, band_hash) —
@@ -818,7 +820,7 @@ def q_doc_categories(sf_dir: str) -> pd.DataFrame:
         fn_constructor_args=("text", _TOPIC_RULES),
         fn_constructor_kwargs={"default": "misc", "out_col": "topic"},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 8),
     )
     df = (
         cat.groupby(["lang", "topic"])
@@ -1060,7 +1062,10 @@ def q_contamination(sf_dir: str, *, k: int = 5, bench_max_doc_id: int = 20) -> r
                 }
             )
 
-    return ds.map_batches(Screen, batch_format="pyarrow", concurrency=2)
+    # autoscaling pool: up to 8 actors when CPUs allow, 1 is enough to
+    # make progress (a fixed pool larger than the session's CPUs would
+    # wait forever for actors that can never schedule)
+    return ds.map_batches(Screen, batch_format="pyarrow", concurrency=(1, 8))
 
 
 # --------------------------------------------------------------------------
