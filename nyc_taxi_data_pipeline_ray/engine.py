@@ -260,7 +260,9 @@ class _StageUnits:
             ends = np.concatenate([changes + 1, [len(pid_s)]])
             path = os.path.join(self.staging_dir, f"unit-{name}.parquet")
             tmp = path + ".tmp"
-            with pq.ParquetWriter(tmp, body.schema) as w:
+            with pq.ParquetWriter(
+                tmp, body.schema, use_dictionary=_dict_cols(body.schema)
+            ) as w:
                 for rg, (st, en) in enumerate(zip(starts, ends)):
                     w.write_table(body.slice(st, en - st), row_group_size=int(en - st))
                     index.setdefault(f"{int(pid_s[st])}:{int(salt_s[st])}", []).append(rg)
@@ -1139,10 +1141,18 @@ def _write_manifest(lake_path, pid, group_id, epochs, counters, alerts=None) -> 
     mf.atomic_write_json(mf.manifest_path(lake_path, pid, group_id), payload)
 
 
+def _dict_cols(schema: pa.Schema) -> list[str]:
+    """Dictionary-encode only the low-cardinality string columns.
+    Building a dictionary over the ~unique 2 KB ``text`` payloads is
+    pure overhead (~20% of write time measured) — the page falls back
+    to plain encoding anyway."""
+    return [c for c in ("conv_id", "role", "tool", "op", "model") if c in schema.names]
+
+
 def _atomic_write_parquet(path: str, table: pa.Table) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, use_dictionary=_dict_cols(table.schema))
     os.replace(tmp, path)
 
 
