@@ -794,7 +794,7 @@ def q_sample_window(sf_dir: str, *, offset: int = 1000, limit: int = 50) -> pd.D
 # (reference has only fixed tumbling windows — stream_from_parquet.py
 #  batches by wall clock; this is the dynamic-gap analog every
 #  clickstream/transcript pipeline needs.)
-def q_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
+def q_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     """Per-user gap sessionization: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``.  Partitioning assumption:
     one ``map_groups`` task sees ALL of a user's events (Ray's groupby
@@ -823,8 +823,9 @@ def q_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_id", "n_events", "session_start", "session_end", "sum_value"]]
 
-    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    return df.sort_values(["user_id", "session_id"], ignore_index=True)
+    # stays a streaming Dataset: session rows are event-scale output —
+    # consume with write_parquet / iter_batches, never a driver collect
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -833,7 +834,7 @@ def q_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
 # a per-key sorted merge inside map_groups: hash-partition both sides on
 # the key in ONE shuffle (they're the same table here; for two tables,
 # union tagged rows first), sort within the group, np.searchsorted.
-def q_asof_join(sf_dir: str) -> pd.DataFrame:
+def q_asof_join(sf_dir: str) -> rd.Dataset:
     ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
@@ -850,8 +851,8 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    df = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
-    return df.sort_values("event_id", ignore_index=True)
+    # event-scale output: keep it streaming (see q_sessionize)
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

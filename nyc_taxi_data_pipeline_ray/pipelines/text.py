@@ -417,7 +417,7 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------------
-def q_langid(sf_dir: str) -> pd.DataFrame:
+def q_langid(sf_dir: str) -> rd.Dataset:
     """Language ID heuristic: CJK byte-ratio for zh; else argmax of
     per-language stopword hit counts.  Rows-only oracle (the heuristic is
     not SQL-expressible); accuracy asserted in tests."""
@@ -450,7 +450,8 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
+    # per-doc output: stays a streaming Dataset (corpus-scale)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -595,7 +596,7 @@ def q_minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
-def q_simhash(sf_dir: str) -> pd.DataFrame:
+def q_simhash(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash over lowercased whitespace tokens.
 
     Token hash = little-endian uint64 of md5 digest bytes [8:16) — the
@@ -645,7 +646,8 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         hexes = [format(int(v), "X") for v in sh]
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hexes, pa.string())})
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
+    # per-doc output: stays a streaming Dataset (corpus-scale)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
