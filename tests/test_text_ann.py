@@ -94,7 +94,7 @@ def test_minhash_estimates_near_one_for_exact(dup_docs_dir):
 
 
 def test_simhash_hamming_small_for_near_dups(dup_docs_dir):
-    df = text.q_simhash(dup_docs_dir).set_index("doc_id")["simhash"]
+    df = text.q_simhash(dup_docs_dir).to_pandas().set_index("doc_id")["simhash"]
 
     def ham2(a, b):
         # simhash is a hex() string (sign-free, shared with the SQL oracle)
@@ -111,10 +111,10 @@ def test_langid_runs_and_is_deterministic():
     # the driver's synthetic documents have English-ish word-salad text
     # regardless of the lang label, so accuracy-vs-label is meaningless;
     # assert mechanics: valid predictions, determinism, en-dominance.
-    df = text.q_langid(SF_DIR)
+    df = text.q_langid(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
     assert set(df["pred_lang"]) <= {"en", "de", "fr", "es", "zh"}
     assert (df["pred_lang"] == "en").mean() > 0.5
-    df2 = text.q_langid(SF_DIR)
+    df2 = text.q_langid(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(df, df2)
 
 
@@ -137,7 +137,7 @@ def test_langid_on_real_language_samples():
             }
         )
         pq_mod.write_table(t, os.path.join(d, "documents.parquet"))
-        df = text.q_langid(d)
+        df = text.q_langid(d).to_pandas()
         acc = (df["pred_lang"] == df["lang"]).mean()
         assert acc == 1.0, df
 
