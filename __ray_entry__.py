@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": T.q_pii_scrub,
         "stratified_sample": T.q_stratified_sample,
         "chunk_documents": T.q_chunk_documents,
+        "corpus_prep": T.q_corpus_prep,
         # similarity search over embeddings
         "ann_bruteforce": A.q_ann_bruteforce,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -477,6 +478,25 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
             from t left join s using (doc_id)
             order by doc_id
+        """,
+        "corpus_prep": r"""
+            with nrm as (
+              select doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) as nt
+              from documents),
+            d as (select min(doc_id) as doc_id, nt from nrm group by nt),
+            t as (select doc_id, regexp_split_to_array(trim(nt), '\s+') as toks from d),
+            n as (select doc_id, toks, len(toks) as n from t),
+            c as (
+              select doc_id, toks, n,
+                     case when n <= 50 then 1
+                          else cast(ceil((n - 50) / 40.0) as int) + 1 end as nc
+              from n),
+            u as (select doc_id, toks, n, unnest(range(nc)) as i from c)
+            select doc_id, cast(i as bigint) as chunk_idx,
+                   cast(least(i*40 + 50, n) - i*40 as bigint) as n_tokens,
+                   array_to_string(toks[i*40 + 1 : least(i*40 + 50, n)], ' ') as chunk_text
+            from u order by doc_id, chunk_idx
         """,
         "contamination": r"""
             with t as (

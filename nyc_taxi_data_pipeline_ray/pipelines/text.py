@@ -912,14 +912,18 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
 # Pretraining text cleanup: NFC unicode normalization + casefold +
 # whitespace collapse (the first stage of every LLM corpus pipeline;
 # one fused Arrow kernel chain, zero Python rows).
+def _normalize_col(text_col) -> pa.Array:
+    x = pc.utf8_normalize(text_col, form="NFC")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
 def q_normalize_text(sf_dir: str) -> rd.Dataset:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        x = pc.utf8_normalize(t["text"], form="NFC")
-        x = pc.utf8_lower(x)
-        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
-        x = pc.utf8_trim_whitespace(x)
+        x = _normalize_col(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -988,35 +992,83 @@ def q_stratified_sample(sf_dir: str, *, mod: int = 10) -> rd.Dataset:
 # Sliding-window chunking for embedding/context pipelines: fixed-size
 # token windows with overlap, emitted as extra rows (flat-map shape —
 # map_batches returning more rows than it receives).
-def q_chunk_documents(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Dataset:
+def _chunk_batch(t: pa.Table, text_col: str, size: int, stride: int) -> pa.Table:
     import math
+
+    toks = _tokens(t[text_col])
+    ids = t["doc_id"].to_pylist()
+    out_id, out_idx, out_n, out_text = [], [], [], []
+    for did, tl in zip(ids, toks.to_pylist()):
+        n = len(tl)
+        nc = 1 if n <= size else math.ceil((n - size) / stride) + 1
+        for i in range(nc):
+            lo = i * stride
+            hi = min(lo + size, n)
+            out_id.append(did)
+            out_idx.append(i)
+            out_n.append(hi - lo)
+            out_text.append(" ".join(tl[lo:hi]))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def q_chunk_documents(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Dataset:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: _chunk_batch(t, "text", size, stride), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus preparation: normalize -> exact-dedup on normalized
+# text -> sliding-window chunk.  The composition every pretraining
+# corpus runs, expressed as ONE lazy Dataset pipeline: the only shuffle
+# is the 24-byte digest exchange that picks dedup winners; the winner
+# id-set (8 bytes/doc; a bloom filter at 10^10 docs) is broadcast back
+# via ray.put and the text never leaves its map tasks.
+def q_corpus_prep(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Dataset:
+    import ray
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(t: pa.Table) -> pa.Table:
-        toks = _tokens(t["text"])
-        ids = t["doc_id"].to_pylist()
-        out_id, out_idx, out_n, out_text = [], [], [], []
-        for did, tl in zip(ids, toks.to_pylist()):
-            n = len(tl)
-            nc = 1 if n <= size else math.ceil((n - size) / stride) + 1
-            for i in range(nc):
-                lo = i * stride
-                hi = min(lo + size, n)
-                out_id.append(did)
-                out_idx.append(i)
-                out_n.append(hi - lo)
-                out_text.append(" ".join(tl[lo:hi]))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "chunk_idx": pa.array(out_idx, pa.int64()),
-                "n_tokens": pa.array(out_n, pa.int64()),
-                "chunk_text": pa.array(out_text, pa.string()),
-            }
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "nt": _normalize_col(t["text"])})
+
+    normalized = ds.map_batches(norm, batch_format="pyarrow")
+
+    def digest_combine(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["nt"].to_pylist()]
+        tbl = pa.table({"h": pa.array(h, pa.string()), "doc_id": t["doc_id"]})
+        return pa.TableGroupBy(tbl, "h").aggregate([("doc_id", "min")]).rename_columns(
+            ["h", "doc_id"]
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    winners = (
+        normalized.map_batches(digest_combine, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    winners_ref = ray.put(np.sort(winners))
+
+    class KeepWinners:
+        def __init__(self):
+            self.ids = ray.get(winners_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), self.ids)
+            return t.filter(pa.array(keep))
+
+    return normalized.map_batches(KeepWinners, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
+        lambda t: _chunk_batch(t, "nt", size, stride), batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------
