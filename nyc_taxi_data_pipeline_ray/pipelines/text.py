@@ -25,6 +25,7 @@ generation linear.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -478,6 +479,13 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return (windows * weights).sum(axis=1, dtype=np.uint64) % np.uint64(_MERSENNE)
 
 
+@functools.lru_cache(maxsize=4)
+def _cached_minhasher(num_perm: int) -> "MinHasher":
+    """Per-worker-process MinHasher cache (params are seed-deterministic,
+    so every worker builds the identical instance)."""
+    return MinHasher(num_perm=num_perm)
+
+
 class MinHasher:
     """Stateful map_batches actor: permutation parameters built once."""
 
@@ -511,13 +519,13 @@ def q_minhash_near_dups(
     estimated-Jaccard filter.  Candidate generation is linear (explode to
     (band, band_hash) rows, one groupby); only bucket-mates are compared."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # plain task pool, NOT an actor pool: MinHasher setup is just
+    # drawing 2x64 ints, so the per-process cached instance gives the
+    # once-per-worker reuse an actor would — without paying actor
+    # spawns per query (measured: actor pool cost >> signature compute
+    # at this corpus size)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pyarrow",
-        # autoscaling: signatures are the CPU-heavy stage; scale to the
-        # session's CPUs, never demand more actors than can schedule
-        concurrency=(2, 16),
+        lambda t: _cached_minhasher(num_perm)(t), batch_format="pyarrow"
     )
     rows_per_band = num_perm // bands
     # Bounded shuffle buckets: the fine LSH key is (band, band_hash) —
