@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 STOPWORDS = (
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "was",
@@ -817,25 +817,32 @@ def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.Da
 _TOPIC_RULES = [("spark", "engine"), ("vector", "vectors"), ("window", "analytics")]
 
 
+@functools.lru_cache(maxsize=1)
+def _topic_categorizer():
+    from nyc_taxi_data_pipeline_ray.stages.categorize import PatternCategorizer
+
+    return PatternCategorizer("text", _TOPIC_RULES, default="misc", out_col="topic")
+
+
 def q_doc_categories(sf_dir: str) -> pd.DataFrame:
     """Pattern-based categorization (P13): label each doc by ordered
     substring rules via the reusable :class:`stages.categorize.
     PatternCategorizer` actor-pool stage (the ``dim_zones.sql:5-8``
     like-'%...%' flag derivation analog), then a tiny grouped count."""
-    from nyc_taxi_data_pipeline_ray.stages.categorize import PatternCategorizer
-
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    cat = ds.map_batches(
-        PatternCategorizer,
-        fn_constructor_args=("text", _TOPIC_RULES),
-        fn_constructor_kwargs={"default": "misc", "out_col": "topic"},
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # label (cached per-worker categorizer, plain task pool), then
+        # reduce the block to (lang, topic) partial counts — the text
+        # payload never leaves the map task and the ~20-group final
+        # fold happens on the driver (combiner pattern, no shuffle)
+        cat = _topic_categorizer()(t).select(["lang", "topic"])
+        return pa.TableGroupBy(cat, ["lang", "topic"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     df = (
-        cat.groupby(["lang", "topic"])
-        .aggregate(Count(alias_name="n_docs"))
-        .to_pandas()
+        parts.groupby(["lang", "topic"], sort=True, as_index=False)
+        .agg(n_docs=("count_all", "sum"))
     )
     return df.sort_values(["lang", "topic"], ignore_index=True)
 
