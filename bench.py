@@ -130,6 +130,7 @@ def run_headline(reps: int = 3) -> dict:
 def run_queries() -> dict:
     import __ray_entry__ as E
 
+    os.sync()  # drain replay-lake writeback so query timings don't compete
     out = {}
     for name, fn in E.queries().items():
         if name in QUERY_SKIP:
