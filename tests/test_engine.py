@@ -511,3 +511,26 @@ def test_change_feed_compaction_guard(tmp_path):
         eng.changes(after_epoch=-1).materialize()
     # at-or-above the watermark: empty feed, no error
     assert eng.changes(after_epoch=SPEC.num_epochs - 1).count() == 0
+
+
+def test_time_travel_across_schema_evolution(tmp_path):
+    spec = WalSpec(seed=9, num_conversations=60, num_epochs=4, events_per_epoch=600, evolve_at_epoch=2)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    for _ in range(spec.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    events = gen.events_table()
+    # pre-evolution snapshot: no v2 'model' column in any committed delta
+    pre = eng.snapshot_table(as_of_epoch=1)
+    assert "model" not in pre.schema.names
+    exp = oracle.replay(events.filter(pc.less_equal(events["epoch"], 1)))
+    cols = sorted(set(pre.schema.names) & set(exp.schema.names))
+    # pre-evolution state legitimately keeps the narrow v1 turn_idx:int32;
+    # the oracle ran over the unified (widened) events table — compare values
+    target = pa.schema([exp.schema.field(c) for c in cols])
+    assert pre.select(cols).cast(target).equals(exp.select(cols))
+    # post-evolution snapshot carries the evolved column and full equality
+    post = eng.snapshot_table(as_of_epoch=3)
+    assert "model" in post.schema.names
+    exp2 = oracle.replay(events)
+    cols2 = sorted(exp2.schema.names)
+    assert post.select(cols2).equals(exp2.select(cols2))
