@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": R.q_json_props,
         "weekday_hour_matrix": R.q_weekday_hour_matrix,
         "sample_window": R.q_sample_window,
+        "daily_revenue_ma": R.q_daily_revenue_ma,
+        "top_events_per_type": R.q_top_events_per_type,
         "sessionize": R.q_sessionize,
         "asof_join": R.q_asof_join,
         "value_percentiles": R.q_value_percentiles,
@@ -583,6 +585,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(least(i*40 + 50, n) - i*40 as bigint) as n_tokens,
                    array_to_string(toks[i*40 + 1 : least(i*40 + 50, n)], ' ') as chunk_text
             from u order by doc_id, chunk_idx
+        """,
+        "daily_revenue_ma": """
+            with d as (select date_trunc('day', ts) as day, round(sum(value), 2) as revenue
+                       from events where event_type = 'purchase' group by 1)
+            select day, revenue,
+                   round(avg(revenue) over (order by day
+                         rows between 6 preceding and current row), 2) as ma7
+            from d order by day
+        """,
+        "top_events_per_type": """
+            with r as (
+              select event_type, event_id, value,
+                     row_number() over (partition by event_type
+                                        order by value desc, event_id) as rk
+              from events)
+            select event_type, cast(rk as bigint) as rk, event_id, value
+            from r where rk <= 3 order by event_type, rk
         """,
         "sessionize": """
             with o as (

@@ -879,3 +879,51 @@ def q_value_percentiles(sf_dir: str) -> pd.DataFrame:
 
     df = ds.groupby("event_type").map_groups(pcts, batch_format="pandas").to_pandas()
     return df.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# A8+: trailing moving-average frame window (7-day revenue MA).  The
+# daily rollup is a map-side combine (days are few); the O(days) frame
+# runs on the driver — the standard shape for small-keyed windows.
+def q_daily_revenue_ma(sf_dir: str, *, window: int = 7) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        t = pa.table({"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]})
+        return t.group_by("day").aggregate([("value", "sum")])
+
+    df = _combine(ds, partial, ["day"], {"revenue": ("value_sum", "sum")})
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    df["revenue"] = df["revenue"].round(2)
+    # DuckDB rounds half away from zero; pandas .round is half-to-even
+    df["ma7"] = round_half_away(
+        df["revenue"].rolling(window, min_periods=1).mean().to_numpy(), 2
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# Grouped top-k: the k highest-value events per type with deterministic
+# tiebreak — per-block partial top-k per group (combiner), driver folds
+# O(blocks x groups x k) candidate rows.
+def q_top_events_per_type(sf_dir: str, *, k: int = 3) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["event_type", "value", "event_id"], ascending=[True, False, True])
+            .groupby("event_type", sort=False)
+            .head(k)
+        )
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["event_type", "value", "event_id"], ascending=[True, False, True])
+        .groupby("event_type", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rk"] = out.groupby("event_type").cumcount().astype("int64") + 1
+    return out[["event_type", "rk", "event_id", "value"]]
