@@ -150,7 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             select doc_id, md5(text) as fingerprint from documents
         """,
-        "bpe_tokens": """
+        "bpe_tokens": r"""
             select doc_id,
                    cast(array_length(regexp_split_to_array(trim(text), '\s+')) as bigint)
                      as n_ws_tokens,
