@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": T.q_bpe_tokens,
         "doc_categories": T.q_doc_categories,
         "winnow_fingerprint": T.q_winnow_fingerprint,
+        "repetition_stats": T.q_repetition_stats,
         "contamination": T.q_contamination,
         "term_doc_freq": T.q_term_doc_freq,
         "normalize_text": T.q_normalize_text,
@@ -480,6 +481,27 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, hex(coalesce(s.sh, 0)) as simhash
             from t left join s using (doc_id)
             order by doc_id
+        """,
+        "repetition_stats": r"""
+            with t as (
+              select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, toks,
+                     case when array_length(toks) >= 3
+                          then list_transform(range(1, array_length(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          else [] end as grams
+              from t)
+            select doc_id,
+                   cast(len(grams) as bigint) as n_grams,
+                   cast(len(list_distinct(grams)) as bigint) as n_distinct,
+                   case when len(grams) = 0 then 0.0
+                        else round(1 - cast(len(list_distinct(grams)) as double)
+                                   / len(grams), 4) end as dup_gram_frac,
+                   round(list_aggregate(list_transform(toks, x -> length(x)), 'avg'), 4)
+                     as mean_tok_len
+            from g order by doc_id
         """,
         "corpus_prep": r"""
             with nrm as (

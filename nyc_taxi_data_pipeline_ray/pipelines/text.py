@@ -1172,3 +1172,49 @@ def q_term_doc_freq(sf_dir: str, *, top: int = 20) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     df = parts.groupby("term", as_index=False)["df"].sum()
     return df.sort_values(["df", "term"], ascending=[False, True], ignore_index=True).head(top)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filter: fraction of a doc's word 3-grams that
+# are repeats (1 - distinct/total) plus mean token length — the
+# rule-based quality signals used to drop boilerplate/spam from
+# pretraining corpora (Rae et al. 2021, "Scaling Language Models",
+# table A1).  Mean token length is fully vectorized (Arrow offsets +
+# segment sums); the per-doc gram distinct-count follows the gramsets
+# precedent (inner ops vectorized, outer loop per doc).
+def q_repetition_stats(sf_dir: str, *, n: int = 3) -> rd.Dataset:
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        n_toks = np.diff(offsets)
+        flat = toks.flatten()
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_lens = _segment_sums(tok_lens, offsets)
+        mean_tok_len = round_half_away(sum_lens / np.maximum(n_toks, 1), 4)
+        n_grams = np.zeros(t.num_rows, np.int64)
+        n_distinct = np.zeros(t.num_rows, np.int64)
+        toklists = toks.to_pylist()
+        for i, tl in enumerate(toklists):
+            if len(tl) < n:
+                continue
+            grams = [" ".join(tl[j : j + n]) for j in range(len(tl) - n + 1)]
+            n_grams[i] = len(grams)
+            n_distinct[i] = len(set(grams))
+        frac = round_half_away(
+            1.0 - n_distinct / np.maximum(n_grams, 1), 4
+        )
+        frac[n_grams == 0] = 0.0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "dup_gram_frac": pa.array(frac, pa.float64()),
+                "mean_tok_len": pa.array(mean_tok_len, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -246,3 +246,31 @@ def test_chunking_covers_all_tokens_with_overlap():
     for cur, prev in zip(g.loc[mask, "chunk_text"], prev_text[mask]):
         overlap = " ".join(prev.split()[40:])
         assert cur.startswith(overlap)
+
+
+def test_repetition_stats_flags_boilerplate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import q_repetition_stats
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "buy now " * 50,                      # pure boilerplate
+                        "alpha beta gamma delta epsilon zeta",  # all distinct
+                        "ab",                                  # too short for 3-grams
+                    ]
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = q_repetition_stats(d).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_gram_frac"] > 0.9
+    assert out.loc[2, "dup_gram_frac"] == 0.0
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_gram_frac"] == 0.0
