@@ -931,6 +931,34 @@ class CdcEngine:
         return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
 
     # --------------------------------------------------------------- metrics
+    def describe(self) -> dict:
+        """Physical lake statistics from parquet FOOTERS only (no data
+        read): per-partition base generation, delta-run count, rows and
+        bytes — the ``SHOW TABLE``/ops surface a lake operator reads
+        before deciding to compact or re-shard."""
+        parts = []
+        for pid in self._live_pids():
+            entry = {"pid": pid, "base_generation": None, "base_rows": 0,
+                     "delta_runs": 0, "delta_rows": 0, "bytes": 0}
+            base = mf.current_base(self.cfg.path, pid)
+            if base is not None:
+                gen, path = base
+                entry["base_generation"] = gen
+                entry["base_rows"] = pq.ParquetFile(path).metadata.num_rows
+                entry["bytes"] += os.path.getsize(path)
+            for _, path in mf.delta_runs(self.cfg.path, pid):
+                entry["delta_runs"] += 1
+                entry["delta_rows"] += pq.ParquetFile(path).metadata.num_rows
+                entry["bytes"] += os.path.getsize(path)
+            parts.append(entry)
+        return {
+            "partitions": len(parts),
+            "total_rows": sum(p["base_rows"] + p["delta_rows"] for p in parts),
+            "total_bytes": sum(p["bytes"] for p in parts),
+            "max_delta_runs": max((p["delta_runs"] for p in parts), default=0),
+            "per_partition": parts,
+        }
+
     def metrics(self) -> dict:
         """Monoid-merged lineage counters across all committed
         partition-epoch manifests (the Redis-dashboard analog,

@@ -534,3 +534,20 @@ def test_time_travel_across_schema_evolution(tmp_path):
     exp2 = oracle.replay(events)
     cols2 = sorted(exp2.schema.names)
     assert post.select(cols2).equals(exp2.select(cols2))
+
+
+def test_describe_reports_physical_stats(tmp_path):
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    for _ in range(SPEC.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    d = eng.describe()
+    assert d["partitions"] == 4
+    assert d["max_delta_runs"] >= 1
+    assert d["total_bytes"] > 0
+    # footer row counts cover every live row (upserts incl. superseded
+    # versions across runs >= final distinct keys)
+    assert d["total_rows"] >= eng.snapshot_table().num_rows
+    eng.compact(force=True)
+    d2 = eng.describe()
+    assert d2["max_delta_runs"] == 0
+    assert all(p["base_generation"] is not None for p in d2["per_partition"])
