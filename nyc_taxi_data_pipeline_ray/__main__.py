@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     for name, help_ in [
         ("compact", "fold delta runs into new base generations"),
         ("metrics", "print monoid-merged lineage counters"),
+        ("describe", "print physical lake statistics (footers only)"),
         ("check", "run the transcript data-quality check suite"),
     ]:
         sp = sub.add_parser(name, help=help_)
@@ -150,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"compacted_partitions": eng.compact()}))
         elif args.cmd == "metrics":
             print(json.dumps(eng.metrics()))
+        elif args.cmd == "describe":
+            print(json.dumps(eng.describe()))
         elif args.cmd == "check":
             from nyc_taxi_data_pipeline_ray.stages import checks as ck
 
