@@ -551,3 +551,36 @@ def test_describe_reports_physical_stats(tmp_path):
     d2 = eng.describe()
     assert d2["max_delta_runs"] == 0
     assert all(p["base_generation"] is not None for p in d2["per_partition"])
+
+
+def test_incremental_feed_on_time_travel_base(tmp_path):
+    # the consumer-sync invariant: snapshot(as_of=k) + changes(after=k)
+    # replayed through the LWW merge == the current lake state
+    from nyc_taxi_data_pipeline_ray.state import merge as mg
+
+    gen, wal, eng = _build(str(tmp_path), SPEC)
+    for _ in range(SPEC.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    base = eng.snapshot_table(as_of_epoch=0)
+    base = base.append_column("op", pa.array(["insert"] * base.num_rows))
+    feed = mg.concat_unified(
+        [
+            b
+            for b in eng.changes(after_epoch=0).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    )
+    groups = sorted(set(feed["change_group"].to_pylist()))
+    runs = [base] + [
+        feed.filter(pc.equal(feed["change_group"], g)).drop_columns(["change_group"])
+        for g in groups
+    ]
+    rebuilt = mg.merge_runs(runs, drop_tombstones=True)
+    rebuilt = mg.sort_by_key(
+        rebuilt.drop_columns([c for c in ("op", "epoch") if c in rebuilt.schema.names])
+    )
+    snap = eng.snapshot_table()
+    cols = sorted(snap.schema.names)
+    assert rebuilt.select(cols).equals(snap.select(cols))
