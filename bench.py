@@ -202,8 +202,7 @@ def scaling() -> None:
     ensure_wal()
     ray.shutdown()
 
-    results = {}
-    for ncpu in (lo, hi, 32):
+    def run_at(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -212,7 +211,18 @@ def scaling() -> None:
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        return json.loads(out.strip().splitlines()[-1])
+
+    # interleave the two ratio configs across two rounds and keep each
+    # config's best: the VM's multi-minute CPU-steal windows then hit
+    # BOTH sides of the ratio instead of biasing one
+    results: dict = {}
+    for _ in range(2):
+        for ncpu in (lo, hi):
+            r = run_at(ncpu)
+            if ncpu not in results or r["value"] < results[ncpu]["value"]:
+                results[ncpu] = r
+    results[32] = run_at(32)
     eff = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
     print(
         json.dumps(
