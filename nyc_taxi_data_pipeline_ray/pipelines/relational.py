@@ -858,27 +858,131 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
 # --------------------------------------------------------------------------
 # Exact grouped percentiles (continuous interpolation, = quantile_cont).
 # Group cardinality is tiny (event types) while group size is huge, so
-# a per-group task holding one group's values is the SKEWED path at
-# 100 TB — the map-side combine ships per-block sorted value chunks and
-# each group task merges them; value payload is one float per row,
-# 1/20th of the raw event row.
-def q_value_percentiles(sf_dir: str) -> pd.DataFrame:
+# ANY plan that hands one task a whole group's values is the skewed
+# path at 100 TB.  This is the distributed exact-quantile pattern
+# instead — no shuffle, no task (and no driver) ever holds a group's
+# values:
+#   1. per-block (type -> min/max/count) partials, tiny driver fold;
+#   2. per-block fixed-bin histograms (one vectorized digitize+bincount
+#      per type), folded to locate the bin holding each needed order
+#      statistic;
+#   3. per-block extraction of distinct (value, n) pairs ONLY inside
+#      the needed bins (identical-value skew collapses to one row), so
+#      the exact order stats + numpy-identical linear interpolation run
+#      over a few rows per quantile.
+def _np_lerp(a: float, b: float, t: float) -> float:
+    """numpy's quantile interpolation, bit-exactly (incl. the t >= 0.5
+    branch) — keeps the output hash-identical to the np.quantile it
+    replaces (which matched the DuckDB quantile_cont oracle)."""
+    d = b - a
+    return b - d * (1 - t) if t >= 0.5 else a + d * t
+
+
+def q_value_percentiles(
+    sf_dir: str, *, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99), n_bins: int = 4096
+) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_type", "value"])
 
-    def pcts(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy()
-        q = np.quantile(v, [0.5, 0.9, 0.99])
+    # pass 1: per-type min/max/count (map-side combine, tiny fold)
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate(
+            [("value", "min"), ("value", "max"), ([], "count_all")]
+        )
+
+    stats = _combine(
+        ds,
+        mm_partial,
+        ["event_type"],
+        {"lo": ("value_min", "min"), "hi": ("value_max", "max"), "n": ("count_all", "sum")},
+    )
+    types = stats["event_type"].to_numpy().astype(object)
+    lo = dict(zip(types, stats["lo"]))
+    width = {
+        ty: max((h - l) / n_bins, 1e-300)
+        for ty, l, h in zip(types, stats["lo"], stats["hi"])
+    }
+    n_of = dict(zip(types, stats["n"].astype(np.int64)))
+
+    def bins_of(ty: str, v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo[ty]) / width[ty]).astype(np.int64), 0, n_bins - 1)
+
+    # pass 2: per-block histograms, one list-column row per type
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_ty, out_h = [], []
+        for ty, g in df.groupby("event_type", sort=False):
+            out_ty.append(ty)
+            out_h.append(np.bincount(bins_of(ty, g["value"].to_numpy()), minlength=n_bins))
+        return pd.DataFrame({"event_type": out_ty, "hist": out_h})
+
+    hp = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hists = {ty: np.zeros(n_bins, np.int64) for ty in types}
+    for ty, h in zip(hp["event_type"], hp["hist"]):
+        hists[ty] += np.asarray(h, np.int64)
+
+    # locate the bin of every needed order statistic (floor/ceil of each
+    # virtual index h = q*(n-1)) and its below-bin cumulative count
+    need_bins: dict[str, set[int]] = {ty: set() for ty in types}
+    ranks: dict[str, list[tuple[int, int]]] = {}
+    for ty in types:
+        n = n_of[ty]
+        cum = np.cumsum(hists[ty])
+        ks: list[tuple[int, int]] = []
+        for q in quantiles:
+            h = q * (n - 1)
+            for k in {int(np.floor(h)), int(np.ceil(h))}:
+                b = int(np.searchsorted(cum, k, side="right"))
+                need_bins[ty].add(b)
+                ks.append((k, b))
+        ranks[ty] = ks
+
+    # pass 3: distinct (value, n) pairs inside needed bins only
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "value": [], "n": []}
+        for ty, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy()
+            keep = v[np.isin(bins_of(ty, v), list(need_bins[ty]))]
+            if not len(keep):
+                continue
+            vals, cnts = np.unique(keep, return_counts=True)
+            out["event_type"].extend([ty] * len(vals))
+            out["value"].extend(vals)
+            out["n"].extend(cnts)
         return pd.DataFrame(
             {
-                "event_type": [df["event_type"].iloc[0]],
-                "p50": [round(q[0], 4)],
-                "p90": [round(q[1], 4)],
-                "p99": [round(q[2], 4)],
+                "event_type": pd.Series(out["event_type"], dtype="object"),
+                "value": pd.Series(out["value"], dtype="float64"),
+                "n": pd.Series(out["n"], dtype="int64"),
             }
         )
 
-    df = ds.groupby("event_type").map_groups(pcts, batch_format="pandas").to_pandas()
-    return df.sort_values("event_type", ignore_index=True)
+    ex = ds.map_batches(extract, batch_format="pandas").to_pandas()
+    ex = ex.groupby(["event_type", "value"], as_index=False)["n"].sum()
+
+    rows: dict[str, list] = {"event_type": []}
+    for qi in range(len(quantiles)):
+        rows[f"p{int(quantiles[qi] * 100)}"] = []
+    for ty in sorted(types):
+        n = n_of[ty]
+        cum = np.cumsum(hists[ty])
+        below = cum - hists[ty]
+        g = ex[ex["event_type"] == ty].sort_values("value")
+        gv = g["value"].to_numpy()
+        gb = bins_of(ty, gv)
+        gc = g["n"].to_numpy()
+
+        def order_stat(k: int, b: int) -> float:
+            inbin = gb == b
+            vals, cnts = gv[inbin], gc[inbin]
+            return float(vals[np.searchsorted(np.cumsum(cnts), k - below[b], side="right")])
+
+        stat = {k: order_stat(k, b) for k, b in ranks[ty]}
+        rows["event_type"].append(ty)
+        for q in quantiles:
+            h = q * (n - 1)
+            f, c = int(np.floor(h)), int(np.ceil(h))
+            v = _np_lerp(stat[f], stat[c], h - f)
+            rows[f"p{int(q * 100)}"].append(round(np.float64(v), 4))
+    return pd.DataFrame(rows)
 
 
 # --------------------------------------------------------------------------

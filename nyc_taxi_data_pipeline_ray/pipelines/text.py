@@ -778,38 +778,102 @@ def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.Da
         return empty
     cand = cand.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
 
-    # exact verify on candidate pairs only: second (filtered) gram pass
-    cand_ids = pa.array(np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])), pa.int64())
-    gsets = (
-        ds.map_batches(gramsets, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    sets = dict(zip(gsets["doc_id"], (set(g) for g in gsets["grams"])))
-    rows = {"doc_a": [], "doc_b": [], "jac": []}
-    for a, b in zip(cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()):
-        sa, sb = sets.get(a), sets.get(b)
-        if sa is None or sb is None:
-            continue
-        inter = len(sa & sb)
-        if not inter:
-            continue
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= threshold:
-            rows["doc_a"].append(a)
-            rows["doc_b"].append(b)
-            rows["jac"].append(round(jac, 4))
-    df = pd.DataFrame(
-        {
-            "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
-            "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
-            "jac": pd.Series(rows["jac"], dtype="float64"),
-        }
+    # exact verify on candidate pairs only, DISTRIBUTED: gram sets are
+    # routed to bounded pair-bucket tasks, never collected on the driver
+    df = _distributed_pair_jaccard(
+        ds.map_batches(gramsets, batch_format="pyarrow"), cand, threshold
     )
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _distributed_pair_jaccard(
+    gram_ds: rd.Dataset, cand: pd.DataFrame, threshold: float, *, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Exact-Jaccard verify of candidate pairs — fully distributed.
+
+    ``cand`` (doc_a, doc_b) is the driver-resident candidate list: it is
+    OUTPUT-class (near-dup pairs at realistic thresholds), so holding it
+    on the driver is fine.  What must NOT land on the driver is the gram
+    sets (corpus-class payload): instead, a tiny doc->(pair, bucket)
+    routing table is broadcast via ``ray.put``; one ``map_batches`` pass
+    over ``gram_ds`` replicates each candidate doc's gram list to the
+    bucket of every pair it participates in (candidate-class fan-out),
+    and one bounded ``groupby(bucket)`` scores each pair's two gram sets
+    inside the task.  The driver only ever sees (pair_id, jac) rows.
+    """
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jac": pd.Series(dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    import ray
+
+    pair_id = np.arange(len(cand), dtype=np.int64)
+    routes = pd.DataFrame(
+        {
+            "doc_id": np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]),
+            "pair_id": np.concatenate([pair_id, pair_id]),
+            "side": np.concatenate(
+                [np.zeros(len(cand), np.int8), np.ones(len(cand), np.int8)]
+            ),
+        }
+    )
+    routes["bucket"] = (routes["pair_id"] % n_buckets).astype(np.int32)
+    routes_ref = ray.put(routes)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(routes_ref)
+        return df[["doc_id", "grams"]].merge(r, on="doc_id")[
+            ["bucket", "pair_id", "side", "grams"]
+        ]
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_id", "side"], ignore_index=True)
+        grams = g["grams"].to_numpy()
+        pids = g["pair_id"].to_numpy()
+        out_pid, out_jac = [], []
+        # rows come in (side 0, side 1) pairs; a doc filtered out of
+        # gram_ds (too short) leaves a singleton — skip it
+        i, m = 0, len(g)
+        while i < m:
+            if i + 1 < m and pids[i + 1] == pids[i]:
+                sa, sb = set(grams[i]), set(grams[i + 1])
+                inter = len(sa & sb)
+                if inter:
+                    jac = inter / (len(sa) + len(sb) - inter)
+                    if jac >= threshold:
+                        out_pid.append(pids[i])
+                        out_jac.append(round(jac, 4))
+                i += 2
+            else:
+                i += 1
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(out_pid, dtype="int64"),
+                "jac": pd.Series(out_jac, dtype="float64"),
+            }
+        )
+
+    scored = (
+        gram_ds.map_batches(route, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+    )
+    if scored.empty:
+        return empty
+    out = cand.reset_index(drop=True).iloc[scored["pair_id"].to_numpy()]
+    return pd.DataFrame(
+        {
+            "doc_a": out["doc_a"].to_numpy(),
+            "doc_b": out["doc_b"].to_numpy(),
+            "jac": scored["jac"].to_numpy(),
+        }
+    )
 
 
 # --------------------------------------------------------------------------
