@@ -614,16 +614,36 @@ def q_nation_customer_rank(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A5: having + row_number rank + tier CASE (insight_tipping_patterns.sql:3-19)
+# A5: having + row_number rank + tier CASE (insight_tipping_patterns.sql:3-19).
+# custkey is high-cardinality, so this is the bucketed having+combine
+# pattern (q_top_routes): per-block (custkey -> n, sum) partials, one
+# hash-bucket shuffle, per-bucket final combine + HAVING filter — the
+# driver merges only the survivors (the having-pruned output class).
 def q_customer_tiers(sf_dir: str) -> pd.DataFrame:
-    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_buckets = 32
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_totalprice", "sum"), ([], "count_all")])
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column("bucket", pa.array((ck % n_buckets).astype(np.int8)))
+
+    def bucket_having(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_orders=("count_all", "sum"), total_spend=("o_totalprice_sum", "sum"))
+            .reset_index()
+        )
+        g = g[g["n_orders"] >= 5].copy()
+        g["total_spend"] = g["total_spend"].round(2)
+        return g.astype({"o_custkey": "int64", "n_orders": "int64", "total_spend": "float64"})
+
     df = (
-        orders.groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend"))
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_having, batch_format="pandas")
         .to_pandas()
     )
-    df = df[df["n_orders"] >= 5].copy()
-    df["total_spend"] = df["total_spend"].round(2)
     df = df.sort_values(
         ["total_spend", "o_custkey"], ascending=[False, True], ignore_index=True
     )

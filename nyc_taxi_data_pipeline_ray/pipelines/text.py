@@ -177,7 +177,7 @@ def q_doc_quality(sf_dir: str) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------------
-def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact dedup: keep the first (min doc_id) per identical text
     (§2.7: the explicit version of the reference's implicit
     dup-collapsing merge, fct_trips.sql:1-7).
@@ -188,7 +188,9 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     collision probability ~n^2/2^129 (≈10^-20 at 10^9 docs), the same
     contract content-addressed dedup systems rely on.  Per-batch
     pre-aggregation (Arrow group_by) collapses duplicates map-side
-    before the global aggregate.
+    before the global aggregate.  Output is one row per DISTINCT text —
+    corpus-class — so it stays a streaming Dataset (write_parquet /
+    iter_batches it; never a driver collect).
     """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -199,14 +201,17 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         agg = pa.TableGroupBy(tbl, "h").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return agg.rename_columns(["h", "doc_id", "n"])
 
-    df = (
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_copies": pc.cast(t["n_copies"], pa.int64())}
+        )
+
+    return (
         ds.map_batches(digest_combine, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n", alias_name="n_copies"))
-        .to_pandas()[["doc_id", "n_copies"]]
+        .map_batches(finish, batch_format="pyarrow")
     )
-    df["n_copies"] = df["n_copies"].astype("int64")
-    return df.sort_values("doc_id", ignore_index=True)
 
 
 # --------------------------------------------------------------------------
@@ -936,7 +941,19 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.DataFrame:
+def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated [start, start+count) ranges — one vectorized shot."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.repeat(starts.astype(np.int64), counts) + (
+        np.arange(total) - np.repeat(csum, counts)
+    )
+
+
+def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> rd.Dataset:
     """Document fingerprinting by winnowing (rolling Karp-Rabin k-gram
     hashes over CODEPOINTS, minimum per sliding window) — the standard
     near-copy detector (Schleimer/Wilkerson/Aiken, MOSS).  Fully
@@ -944,47 +961,79 @@ def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> pd.Data
     HUGEINT, windowed ``list_min``), so it has a DuckDB oracle.  Returns
     (doc_id, n_fingerprints, fp_xor) where fp_xor is the order-free xor
     digest of the (mod-2^63-reduced) fingerprints; docs shorter than k
-    chars get (0, 0)."""
+    chars get (0, 0).
+
+    Fully vectorized ACROSS the batch (no per-doc Python loop): one
+    encode of the concatenated batch text, one rolling-hash pass, one
+    global sliding-window min, ragged per-doc index selection, and a
+    lexsort + reduceat pass for per-doc distinct/xor.  Per-doc output
+    stays a streaming Dataset (corpus-scale).
+    """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     B = np.uint64(1_000_003)
     SIGN = np.uint64((1 << 63) - 1)  # % 2^63 == mask off the top bit
 
     def fn(t: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "n_fingerprints": [], "fp_xor": []}
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            # codepoints, vectorized (no per-char loop)
-            b = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-            if len(b) < k:
-                out["doc_id"].append(did)
-                out["n_fingerprints"].append(0)
-                out["fp_xor"].append(0)
-                continue
-            # rolling Karp-Rabin over all k-grams: h[i] = sum cp[i+j]*B^(k-1-j)
-            # (uint64 arithmetic wraps mod 2^64 — mirrored exactly in SQL)
-            h = np.zeros(len(b) - k + 1, np.uint64)
-            for j in range(k):  # k is tiny (5); the inner op is vectorized
-                h = h * B + b[j : j + len(h)]
-            if len(h) >= window:
-                w = np.lib.stride_tricks.sliding_window_view(h, window)
-                fps = np.unique(w.min(axis=1))
-            else:
-                fps = np.unique(h.min(keepdims=True))
-            x = np.bitwise_xor.reduce(fps & SIGN) if len(fps) else np.uint64(0)
-            out["doc_id"].append(did)
-            out["n_fingerprints"].append(int(len(fps)))
-            out["fp_xor"].append(int(x))
+        texts = ["" if s is None else s for s in t["text"].to_pylist()]
+        nd = len(texts)
+        lens = np.fromiter((len(s) for s in texts), np.int64, nd)
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32).astype(np.uint64)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]]) if nd else np.zeros(0, np.int64)
+        g = np.maximum(lens - k + 1, 0)  # k-grams per doc
+
+        n_h = max(len(codes) - k + 1, 0)
+        h = np.zeros(n_h, np.uint64)
+        for j in range(k):  # k is tiny (5); each op is vectorized
+            h = h * B + codes[j : j + n_h]
+
+        # window-min entries per doc: g-window+1 for long docs, 1 for
+        # short-but-hashable docs (min over all its grams)
+        large = g >= window
+        small = (g > 0) & ~large
+        doc_parts, fp_parts = [], []
+        if large.any() and n_h >= window:
+            wmin = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            cnt = (g[large] - window + 1).astype(np.int64)
+            doc_parts.append(np.repeat(np.nonzero(large)[0], cnt))
+            fp_parts.append(wmin[_ragged_arange(doc_start[large], cnt)])
+        if small.any():
+            s0 = doc_start[small]
+            # min over [s, s+g) via paired-boundary reduceat (sentinel
+            # guards the s+g == len(h) edge)
+            hx = np.concatenate([h, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
+            bounds = np.column_stack([s0, s0 + g[small]]).ravel()
+            doc_parts.append(np.nonzero(small)[0])
+            fp_parts.append(np.minimum.reduceat(hx, bounds)[::2])
+
+        n_fps = np.zeros(nd, np.int64)
+        fp_xor = np.zeros(nd, np.uint64)
+        if doc_parts:
+            doc_idx = np.concatenate(doc_parts)
+            fps = np.concatenate(fp_parts)
+            order = np.lexsort((fps, doc_idx))
+            doc_idx, fps = doc_idx[order], fps[order]
+            first = np.concatenate(
+                [[True], (doc_idx[1:] != doc_idx[:-1]) | (fps[1:] != fps[:-1])]
+            )
+            doc_u, fps_u = doc_idx[first], fps[first] & SIGN
+            n_fps = np.bincount(doc_u, minlength=nd).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(n_fps)[:-1]])
+            xored = np.bitwise_xor.reduceat(
+                np.concatenate([fps_u, [np.uint64(0)]]), np.minimum(starts, len(fps_u))
+            )
+            xored[n_fps == 0] = 0
+            fp_xor = xored
+
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "n_fingerprints": pa.array(out["n_fingerprints"], pa.int64()),
-                "fp_xor": pa.array(out["fp_xor"], pa.int64()),
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array(n_fps, pa.int64()),
+                "fp_xor": pa.array(fp_xor.astype(np.int64), pa.int64()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id", ignore_index=True
-    )
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -1105,13 +1154,51 @@ def q_chunk_documents(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Da
 
 
 # --------------------------------------------------------------------------
+# Bloom filter over int64 keys — the standard broadcast semi-join
+# prefilter.  The driver (and every worker) holds only the m-bit
+# bitmap, never the key set: 10^10 winner ids at 10 bits/key is a
+# ~12 GB id array but a ~1.5 GB s bitmap shared zero-copy via the
+# object store.  Membership is probabilistic (false positives only),
+# so callers pair it with an exact recheck on the survivors.
+def _bloom_hashes(ids: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions by double hashing two splitmix64 streams."""
+    x = ids.astype(np.uint64)
+
+    def mix(seed: int) -> np.ndarray:
+        z = x + np.uint64(seed)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    h1 = mix(0x9E3779B97F4A7C15)
+    h2 = mix(0xD1B54A32D192ED03) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(bits)
+
+
+def _bloom_set(bm: np.ndarray, ids: np.ndarray, bits: int, k: int) -> None:
+    pos = _bloom_hashes(ids, bits, k).reshape(-1)
+    np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64), (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8))
+
+
+def _bloom_test(bm: np.ndarray, ids: np.ndarray, bits: int, k: int) -> np.ndarray:
+    pos = _bloom_hashes(ids, bits, k)
+    hit = (bm[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
+# --------------------------------------------------------------------------
 # End-to-end corpus preparation: normalize -> exact-dedup on normalized
 # text -> sliding-window chunk.  The composition every pretraining
-# corpus runs, expressed as ONE lazy Dataset pipeline: the only shuffle
-# is the 24-byte digest exchange that picks dedup winners; the winner
-# id-set (8 bytes/doc; a bloom filter at 10^10 docs) is broadcast back
-# via ray.put and the text never leaves its map tasks.
-def q_corpus_prep(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Dataset:
+# corpus runs, expressed as ONE lazy Dataset pipeline.  Dedup topology:
+# the winner election is the 24-byte digest exchange; the winner id SET
+# never lands on the driver — a bloom filter over winner ids is folded
+# driver-side (bitmap only), losers are dropped by the broadcast bloom
+# probe, and an inner join of the (output-class) survivors against the
+# winner-id Dataset removes bloom false positives exactly.
+def q_corpus_prep(
+    sf_dir: str, *, size: int = 50, stride: int = 40, bloom_bits: int = 1 << 22, bloom_k: int = 8
+) -> rd.Dataset:
     import ray
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1128,25 +1215,48 @@ def q_corpus_prep(sf_dir: str, *, size: int = 50, stride: int = 40) -> rd.Datase
             ["h", "doc_id"]
         )
 
-    winners = (
+    # winner ids stay a (materialized, multi-consumer) Dataset — blocks
+    # live in the object store, spillable, never a driver array
+    win_ids = (
         normalized.map_batches(digest_combine, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()["doc_id"]
-        .to_numpy()
+        .map_batches(lambda t: t.select(["doc_id"]).rename_columns(["win_id"]), batch_format="pyarrow")
+        .materialize()
     )
-    winners_ref = ray.put(np.sort(winners))
 
-    class KeepWinners:
+    nbytes = bloom_bits // 8
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        _bloom_set(bm, t["win_id"].to_numpy(zero_copy_only=False), bloom_bits, bloom_k)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = win_ids.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    bm = np.zeros(nbytes, np.uint8)
+    for b in parts["bm"]:
+        bm |= np.frombuffer(b, np.uint8)
+    bm_ref = ray.put(bm)
+
+    class BloomKeep:
         def __init__(self):
-            self.ids = ray.get(winners_ref)
+            self.bm = ray.get(bm_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), self.ids)
+            keep = _bloom_test(
+                self.bm, t["doc_id"].to_numpy(zero_copy_only=False), bloom_bits, bloom_k
+            )
             return t.filter(pa.array(keep))
 
-    return normalized.map_batches(KeepWinners, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
-        lambda t: _chunk_batch(t, "nt", size, stride), batch_format="pyarrow"
+    suspects = normalized.map_batches(BloomKeep, batch_format="pyarrow", concurrency=(1, 8))
+    # exact recheck: drop bloom false positives with an inner hash join
+    # against the winner ids (only output-class survivor text shuffles)
+    confirmed = suspects.join(
+        win_ids, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("win_id",)
+    )
+    return confirmed.map_batches(
+        lambda t: _chunk_batch(t.select(["doc_id", "nt"]), "nt", size, stride),
+        batch_format="pyarrow",
     )
 
 

@@ -48,7 +48,7 @@ def dup_docs_dir(tmp_path_factory):
 
 
 def test_dedup_exact_planted(dup_docs_dir):
-    df = text.q_dedup_exact(dup_docs_dir)
+    df = text.q_dedup_exact(dup_docs_dir).to_pandas()
     dups = df[df["n_copies"] > 1]
     assert set(dups["doc_id"]) == {0, 1, 2, 3, 4}
     assert (dups["n_copies"] == 2).all()
@@ -181,7 +181,7 @@ def test_ann_ivf_recall():
 
 
 def test_winnow_fingerprint_planted(dup_docs_dir):
-    df = text.q_winnow_fingerprint(dup_docs_dir)
+    df = text.q_winnow_fingerprint(dup_docs_dir).to_pandas()
     by_id = df.set_index("doc_id")
     # exact copies share the identical fingerprint digest and count
     for i in range(5):
