@@ -54,9 +54,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": T.q_fingerprint,
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
+        # exactness witness: LSH candidates reranked by exact char-5-gram
+        # Jaccard (the rerank is SQL-expressible; full oracle)
+        "minhash_rerank": T.q_minhash_rerank,
         "simhash": T.q_simhash,
         "ngram_jaccard": T.q_ngram_jaccard,
         "bpe_tokens": T.q_bpe_tokens,
+        "bpe_real_tokens": T.q_bpe_real_tokens,      # rows-only (learned merges)
         "doc_categories": T.q_doc_categories,
         "winnow_fingerprint": T.q_winnow_fingerprint,
         "repetition_stats": T.q_repetition_stats,
@@ -72,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": A.q_embedding_near_dup,
         "ann_lsh": A.q_ann_lsh,                      # rows-only (approximate)
         "ann_ivf": A.q_ann_ivf,                      # rows-only (approximate)
+        # exactness witnesses: degenerate configs that provably equal
+        # brute force (0 hyperplanes = every vector collides; probing
+        # all 16 IVF cells = exhaustive scan) — full brute-force oracle
+        "ann_lsh_exhaustive": lambda sf: A.q_ann_lsh(sf, n_planes=0, n_tables=1),
+        "ann_ivf_exhaustive": lambda sf: A.q_ann_ivf(sf, nprobe=16),
         # multimodal plumbing (stubbed decode)
         "media_features": M.q_media_features,        # rows-only (synthetic)
         "filter_project": R.q_filter_project,
@@ -86,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": R.q_hourly_events,
         "event_type_stats": R.q_event_type_stats,
         "cdc_upsert_events": R.q_cdc_upsert_events,
+        # time travel + change feed, driver-visible (engine §2.9 analogs)
+        "cdc_as_of": R.q_cdc_as_of,
+        "cdc_changes_feed": R.q_cdc_changes_feed,
         "user_daily_window": R.q_user_daily_window,
         "top_spenders": R.q_top_spenders,
         "daily_revenue_lag": R.q_daily_revenue_lag,
@@ -159,6 +171,41 @@ def oracle_sql() -> dict[str, str]:
                        $re$'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+$re$)) as bigint)
                      as n_bpe_tokens
             from documents
+        """,
+        "minhash_rerank": """
+            with g as (
+              select doc_id, list_distinct(list_transform(range(1, length(text) - 3),
+                  i -> substring(text, i, 5))) as grams
+              from documents where length(text) >= 5)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(cast(len(list_intersect(a.grams, b.grams)) as double)
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) as jac
+            from g a join g b on a.doc_id < b.doc_id
+            where cast(len(list_intersect(a.grams, b.grams)) as double)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                  >= 0.8
+            order by doc_a, doc_b
+        """,
+        "ann_lsh_exhaustive": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        "ann_ivf_exhaustive": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
         """,
         "ann_bruteforce": """
             with q as (select vec_id as qid, cast(embedding as double[]) as qe
@@ -265,6 +312,33 @@ def oracle_sql() -> dict[str, str]:
                                                order by ts desc, event_id desc) as rn
                   from events) t
             where rn = 1
+        """,
+        "cdc_as_of": """
+            select event_id, ts, user_id, event_type, value
+            from (select *, row_number() over (partition by user_id, event_type
+                                               order by ts desc, event_id desc) as rn
+                  from events
+                  where event_id < (select max(event_id) // 2 from events)) t
+            where rn = 1
+        """,
+        "cdc_changes_feed": """
+            with cut as (select max(event_id) // 2 as c from events),
+            cur as (
+              select user_id, event_type, event_id, ts, value
+              from (select *, row_number() over (partition by user_id, event_type
+                                                 order by ts desc, event_id desc) as rn
+                    from events) t where rn = 1),
+            base as (
+              select user_id, event_type, event_id
+              from (select *, row_number() over (partition by user_id, event_type
+                                                 order by ts desc, event_id desc) as rn
+                    from events where event_id < (select c from cut)) t
+              where rn = 1)
+            select cur.user_id, cur.event_type, cur.event_id, cur.ts, cur.value,
+                   case when base.event_id is null then 'insert' else 'update' end
+                     as change_type
+            from cur left join base using (user_id, event_type)
+            where base.event_id is null or base.event_id != cur.event_id
         """,
         "user_daily_window": """
             select user_id, date_trunc('day', ts) as day, count(*) as n_events,

@@ -432,40 +432,126 @@ def q_event_type_stats(sf_dir: str) -> pd.DataFrame:
 # ST1 analog over the driver's events table: CDC-style last-writer-wins
 # upsert keyed by (user_id, event_type), LWW on (ts, event_id)
 # (fct_trips.sql:1-7 merge; our engine's keyed merge as a pure Dataset op)
+def _lww_combine(t: pa.Table) -> pa.Table:
+    """Keep the last-writer row per (user_id, event_type) — LWW on
+    (ts, event_id) — via one vectorized sort + boundary filter."""
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("user_id", "ascending"),
+            ("event_type", "ascending"),
+            ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return t
+    u = t["user_id"].combine_chunks()
+    e = t["event_type"].combine_chunks()
+    same = pc.and_(
+        pc.equal(u.slice(0, n - 1), u.slice(1)), pc.equal(e.slice(0, n - 1), e.slice(1))
+    ).to_numpy(zero_copy_only=False)
+    mask = np.empty(n, bool)
+    mask[-1] = True
+    mask[:-1] = ~same.astype(bool)
+    return t.filter(pa.array(mask))
+
+
 def q_cdc_upsert_events(sf_dir: str) -> rd.Dataset:
     ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-
-    def combine(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("user_id", "ascending"),
-                ("event_type", "ascending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        n = t.num_rows
-        if n == 0:
-            return t
-        u = t["user_id"].combine_chunks()
-        e = t["event_type"].combine_chunks()
-        same = pc.and_(
-            pc.equal(u.slice(0, n - 1), u.slice(1)), pc.equal(e.slice(0, n - 1), e.slice(1))
-        ).to_numpy(zero_copy_only=False)
-        mask = np.empty(n, bool)
-        mask[-1] = True
-        mask[:-1] = ~same.astype(bool)
-        return t.filter(pa.array(mask))
 
     # per-batch combine (combiner), then per-key-group final resolve:
     # one shuffle on user_id, exactly the engine's apply topology
     return (
-        ds.map_batches(combine, batch_format="pyarrow")
+        ds.map_batches(_lww_combine, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(combine, batch_format="pyarrow")
+        .map_groups(_lww_combine, batch_format="pyarrow")
     )
+
+
+def _half_max_event_id(sf_dir: str) -> int:
+    """Epoch-boundary stand-in for time travel over the events table:
+    half the max event_id, via a per-block partial-max fold (one pruned
+    single-column scan, no shuffle)."""
+    ds = _rp(sf_dir, "events", ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"mx": pa.array([pc.max(t["event_id"]).as_py()], pa.int64())})
+
+    mx = ds.map_batches(partial, batch_format="pyarrow").to_pandas()["mx"].max()
+    return int(mx) // 2
+
+
+# --------------------------------------------------------------------------
+# §2.9 time travel, driver-visible: the keyed LWW state AS OF an epoch
+# boundary (the query-level analog of the engine's ``as_of_epoch``,
+# engine.py ``as_of``/``changes``; reference analog: re-running the
+# dbt snapshot on a frozen raw set).  Boundary = half the max event_id.
+def q_cdc_as_of(sf_dir: str) -> rd.Dataset:
+    cutoff = _half_max_event_id(sf_dir)
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return _lww_combine(t.filter(pc.less(t["event_id"], cutoff)))
+
+    return ds.map_batches(pre, batch_format="pyarrow").groupby("user_id").map_groups(
+        _lww_combine, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 change-data feed, driver-visible: what changed between the as-of
+# state and the current state (the engine's ``changes()`` as a pure
+# Dataset op).  ONE shuffle on user_id; the map-side combiner keeps at
+# most two rows per key per block (LWW overall + LWW below the cutoff),
+# so the exchange ships key-class rows, not raw events.
+def q_cdc_changes_feed(sf_dir: str) -> rd.Dataset:
+    cutoff = _half_max_event_id(sf_dir)
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cur = _lww_combine(t)
+        base = _lww_combine(t.filter(pc.less(t["event_id"], cutoff)))
+        both = pa.concat_tables([cur, base])
+        # drop exact duplicates (a key whose LWW is already below cutoff)
+        return _dedupe_rows(both)
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        cur = df.drop_duplicates("event_type", keep="last")
+        below = df[df["event_id"] < cutoff]
+        base = below.drop_duplicates("event_type", keep="last")
+        m = cur.merge(
+            base[["event_type", "event_id"]], on="event_type", how="left", suffixes=("", "_b")
+        )
+        changed = m["event_id_b"].isna() | (m["event_id_b"] != m["event_id"])
+        out = m[changed].copy()
+        out["change_type"] = np.where(out["event_id_b"].isna(), "insert", "update")
+        return out[["user_id", "event_type", "event_id", "ts", "value", "change_type"]]
+
+    return ds.map_batches(pre, batch_format="pyarrow").groupby("user_id").map_groups(
+        diff, batch_format="pandas"
+    )
+
+
+def _dedupe_rows(t: pa.Table) -> pa.Table:
+    """Drop fully-identical rows (vectorized: sort by all keys, keep
+    boundary rows) — used by the changes-feed combiner."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[("user_id", "ascending"), ("event_type", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    n = t.num_rows
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    e = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+    i = t["event_id"].to_numpy(zero_copy_only=False)
+    dup = np.zeros(n, bool)
+    dup[1:] = (u[1:] == u[:-1]) & (e[1:] == e[:-1]) & (i[1:] == i[:-1])
+    return t.filter(pa.array(~dup))
 
 
 # --------------------------------------------------------------------------
@@ -802,11 +888,25 @@ def q_weekday_hour_matrix(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------------------------------------
 # O6: deterministic skip/head slicing of an ordered stream
-# (reference: stream_from_parquet.py:163-168 iloc[skip:] + head(count))
+# (reference: stream_from_parquet.py:163-168 iloc[skip:] + head(count)).
+# No global sort shuffle: each block keeps its (offset+limit) smallest
+# rows by event_id (a partial min-k — any block's rank-(offset+limit)
+# row bounds the answer), the driver merges n_blocks x (offset+limit)
+# candidate rows and slices.  At 100 TB the read itself would also be
+# pruned by an event_id range predicate when the lake is id-sorted.
 def q_sample_window(sf_dir: str, *, offset: int = 1000, limit: int = 50) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-    head = ds.sort("event_id").limit(offset + limit).to_pandas()
-    return head.iloc[offset:].reset_index(drop=True)
+    need = offset + limit
+
+    def partial_min_k(t: pa.Table) -> pa.Table:
+        if t.num_rows <= need:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("event_id", "ascending")])[:need]
+        return t.take(idx)
+
+    cand = ds.map_batches(partial_min_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("event_id", kind="mergesort", ignore_index=True)
+    return cand.iloc[offset : offset + limit].reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

@@ -609,6 +609,45 @@ def q_minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
+def q_minhash_rerank(
+    sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
+) -> pd.DataFrame:
+    """Exactness witness for the MinHash family: LSH candidates (one
+    row per band — a pair with char-5-gram Jaccard >= 0.8 misses all 64
+    single-hash bands with p = (1-J)^64 ~ 1e-45, and the est>=0.5 gate
+    passes with p ~ 1-1e-8; both deterministic under the fixed seed and
+    verified against the oracle) reranked by EXACT char-5-gram Jaccard
+    via the distributed pair-verify used by q_ngram_jaccard.  The
+    rerank IS SQL-expressible, so this query has a full DuckDB oracle
+    even though the signatures don't.
+    """
+    cand = q_minhash_near_dups(sf_dir, num_perm=num_perm, bands=num_perm, threshold=0.5)
+    cand = cand[["doc_a", "doc_b"]]
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chargrams(t: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            if len(s) < 5:
+                continue
+            out_id.append(did)
+            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "grams": pa.array(out_g, pa.list_(pa.string())),
+            }
+        )
+
+    df = _distributed_pair_jaccard(
+        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+    )
+    return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
 def q_simhash(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash over lowercased whitespace tokens.
 
@@ -818,23 +857,37 @@ def _distributed_pair_jaccard(
     import ray
 
     pair_id = np.arange(len(cand), dtype=np.int64)
-    routes = pd.DataFrame(
+    routes = pa.table(
         {
-            "doc_id": np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]),
-            "pair_id": np.concatenate([pair_id, pair_id]),
-            "side": np.concatenate(
-                [np.zeros(len(cand), np.int8), np.ones(len(cand), np.int8)]
+            "doc_id": pa.array(
+                np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]),
+                pa.int64(),
             ),
+            "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
+            "side": pa.array(
+                np.concatenate([np.zeros(len(cand), np.int8), np.ones(len(cand), np.int8)])
+            ),
+            "bucket": pa.array((np.concatenate([pair_id, pair_id]) % n_buckets).astype(np.int32)),
         }
     )
-    routes["bucket"] = (routes["pair_id"] % n_buckets).astype(np.int32)
     routes_ref = ray.put(routes)
 
-    def route(df: pd.DataFrame) -> pd.DataFrame:
+    def route(t: pa.Table) -> pa.Table:
+        # one arrow index_in + take: replicate each candidate doc's gram
+        # list to every (pair, bucket) it participates in
         r = ray.get(routes_ref)
-        return df[["doc_id", "grams"]].merge(r, on="doc_id")[
-            ["bucket", "pair_id", "side", "grams"]
-        ]
+        idx = pc.index_in(r["doc_id"], value_set=t["doc_id"].combine_chunks())
+        hit = pc.is_valid(idx)
+        rr = r.filter(hit)
+        grams = pc.take(t["grams"].combine_chunks(), idx.filter(hit))
+        return pa.table(
+            {
+                "bucket": rr["bucket"],
+                "pair_id": rr["pair_id"],
+                "side": rr["side"],
+                "grams": grams,
+            }
+        )
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pair_id", "side"], ignore_index=True)
@@ -864,7 +917,7 @@ def _distributed_pair_jaccard(
         )
 
     scored = (
-        gram_ds.map_batches(route, batch_format="pandas")
+        gram_ds.map_batches(route, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(score, batch_format="pandas")
         .to_pandas()
@@ -951,6 +1004,142 @@ def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.repeat(starts.astype(np.int64), counts) + (
         np.arange(total) - np.repeat(csum, counts)
     )
+
+
+# --------------------------------------------------------------------------
+# Real merge-based BPE (Sennrich et al. 2016 / GPT-2 style): learn a
+# merge table from a PRUNED-READ corpus sample on the driver, broadcast
+# the ranks once, tokenize distributed with a per-actor word cache.
+# The honest token-budget estimator next to the pre-tokenizer piece
+# count of q_bpe_tokens.  Not SQL-expressible (iterative merges) ->
+# rows-only driver check; merge behavior is pytest-asserted.
+def _learn_bpe_merges(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning over a word-frequency dict.
+    Deterministic: ties on pair count break lexicographically."""
+    from collections import Counter
+
+    vocab: dict[tuple[str, ...], int] = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_token_count(word: str, ranks: dict[tuple[str, str], int], cache: dict[str, int]) -> int:
+    """GPT-2-style greedy lowest-rank merging; returns the token count."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = sym[best_i], sym[best_i + 1]
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    cache[word] = len(sym)
+    return len(sym)
+
+
+def q_bpe_real_tokens(
+    sf_dir: str, *, n_merges: int = 200, sample_max_doc_id: int = 50, max_vocab_words: int = 5000
+) -> rd.Dataset:
+    """Token counts under a LEARNED BPE vocabulary.
+
+    Train: pre-tokenize a pushed-down parquet sample (``doc_id <
+    sample_max_doc_id`` — KBs on the driver, never the corpus), learn
+    ``n_merges`` merges.  Apply: broadcast the rank table via
+    ``ray.put``; an autoscaling actor pool tokenizes each doc with a
+    per-actor word->count cache (Zipf makes the hit rate ~1), emitting
+    (doc_id, n_bpe_real_tokens, n_pieces).  Invariant tested:
+    n_pieces <= n_bpe_real_tokens <= n_chars.
+    """
+    import re
+
+    import ray
+
+    from nyc_taxi_data_pipeline_ray.io import collect_table
+
+    import pyarrow.dataset as pads
+
+    pat = re.compile(BPE_PATTERN)
+    sample = collect_table(
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id") < sample_max_doc_id,
+        )
+    )
+    wc: dict[str, int] = {}
+    for s in sample["text"].to_pylist():
+        for w in pat.findall(s or ""):
+            wc[w] = wc.get(w, 0) + 1
+    if len(wc) > max_vocab_words:
+        top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab_words]
+        wc = dict(top)
+    merges = _learn_bpe_merges(wc, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    ranks_ref = ray.put(ranks)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Tokenize:
+        def __init__(self):
+            self.ranks = ray.get(ranks_ref)
+            self.pat = re.compile(BPE_PATTERN)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n_tok, n_pieces = [], []
+            for s in t["text"].to_pylist():
+                words = self.pat.findall(s or "")
+                n_pieces.append(len(words))
+                n_tok.append(sum(_bpe_token_count(w, self.ranks, self.cache) for w in words))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bpe_real_tokens": pa.array(n_tok, pa.int64()),
+                    "n_pieces": pa.array(n_pieces, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Tokenize, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def q_winnow_fingerprint(sf_dir: str, *, k: int = 5, window: int = 4) -> rd.Dataset:

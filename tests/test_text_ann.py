@@ -274,3 +274,39 @@ def test_repetition_stats_flags_boilerplate(tmp_path):
     assert out.loc[1, "dup_gram_frac"] > 0.9
     assert out.loc[2, "dup_gram_frac"] == 0.0
     assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_gram_frac"] == 0.0
+
+
+def test_bpe_real_learns_merges_and_bounds(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import (
+        _bpe_token_count,
+        _learn_bpe_merges,
+        q_bpe_real_tokens,
+    )
+
+    # deterministic greedy merges on a crafted word-count table
+    merges = _learn_bpe_merges({"aaab": 10, "aab": 5}, 3)
+    assert merges[0] == ("a", "a")  # most frequent pair first
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _bpe_token_count("aaab", ranks, {}) == 1  # fully merged
+    assert _bpe_token_count("zzz", ranks, {}) == 3   # no applicable merges
+
+    d = str(tmp_path)
+    texts = ["the quick brown fox " * 20, "the the the the", "xyz"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = q_bpe_real_tokens(d, n_merges=50, sample_max_doc_id=10).to_pandas().set_index("doc_id")
+    for i, s in enumerate(texts):
+        n_chars = len(s.replace(" ", ""))
+        assert out.loc[i, "n_pieces"] <= out.loc[i, "n_bpe_real_tokens"] <= n_chars
+    # 'the' repeats in the training sample -> it merges to one token
+    assert out.loc[1, "n_bpe_real_tokens"] == 4
