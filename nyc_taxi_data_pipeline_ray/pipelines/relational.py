@@ -22,7 +22,6 @@ import ray
 import ray.data as rd
 
 from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1056,7 +1055,8 @@ def q_value_percentiles(
         ranks[ty] = ks
 
     # pass 3: distinct (value, n) pairs inside needed bins only
-    def extract(df: pd.DataFrame) -> pd.DataFrame:
+    # (typed Arrow output so empty blocks keep a schema)
+    def extract(df: pd.DataFrame) -> pa.Table:
         out = {"event_type": [], "value": [], "n": []}
         for ty, g in df.groupby("event_type", sort=False):
             v = g["value"].to_numpy()
@@ -1067,11 +1067,11 @@ def q_value_percentiles(
             out["event_type"].extend([ty] * len(vals))
             out["value"].extend(vals)
             out["n"].extend(cnts)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": pd.Series(out["event_type"], dtype="object"),
-                "value": pd.Series(out["value"], dtype="float64"),
-                "n": pd.Series(out["n"], dtype="int64"),
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "value": pa.array(out["value"], pa.float64()),
+                "n": pa.array(out["n"], pa.int64()),
             }
         )
 

@@ -612,16 +612,18 @@ def q_minhash_near_dups(
 def q_minhash_rerank(
     sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
 ) -> pd.DataFrame:
-    """Exactness witness for the MinHash family: LSH candidates (one
-    row per band — a pair with char-5-gram Jaccard >= 0.8 misses all 64
-    single-hash bands with p = (1-J)^64 ~ 1e-45, and the est>=0.5 gate
-    passes with p ~ 1-1e-8; both deterministic under the fixed seed and
-    verified against the oracle) reranked by EXACT char-5-gram Jaccard
-    via the distributed pair-verify used by q_ngram_jaccard.  The
-    rerank IS SQL-expressible, so this query has a full DuckDB oracle
-    even though the signatures don't.
+    """Exactness witness for the MinHash family: LSH candidates (2-row
+    bands x 32 — a pair with char-5-gram Jaccard >= 0.8 misses every
+    band with p = (1-J^2)^32 ~ 6e-15, and the est>=0.5 gate passes with
+    p ~ 1-1e-8; both deterministic under the fixed seed and verified
+    against the oracle.  1-row bands would be even safer but share
+    common-shingle minima between UNRELATED docs, exploding candidate
+    pairs quadratically) reranked by EXACT char-5-gram Jaccard via the
+    distributed pair-verify used by q_ngram_jaccard.  The rerank IS
+    SQL-expressible, so this query has a full DuckDB oracle even
+    though the signatures don't.
     """
-    cand = q_minhash_near_dups(sf_dir, num_perm=num_perm, bands=num_perm, threshold=0.5)
+    cand = q_minhash_near_dups(sf_dir, num_perm=num_perm, bands=num_perm // 2, threshold=0.5)
     cand = cand[["doc_a", "doc_b"]]
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1427,25 +1429,58 @@ def q_corpus_prep(
         bm |= np.frombuffer(b, np.uint8)
     bm_ref = ray.put(bm)
 
-    class BloomKeep:
-        def __init__(self):
-            self.bm = ray.get(bm_ref)
+    def bloom_keep(t: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: the bitmap resolves from the
+        # LOCAL object store via shared memory on every call (zero-copy)
+        bmv = ray.get(bm_ref)
+        keep = _bloom_test(
+            bmv, t["doc_id"].to_numpy(zero_copy_only=False), bloom_bits, bloom_k
+        )
+        return t.filter(pa.array(keep))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = _bloom_test(
-                self.bm, t["doc_id"].to_numpy(zero_copy_only=False), bloom_bits, bloom_k
-            )
-            return t.filter(pa.array(keep))
+    suspects = normalized.map_batches(bloom_keep, batch_format="pyarrow")
 
-    suspects = normalized.map_batches(BloomKeep, batch_format="pyarrow", concurrency=(1, 8))
-    # exact recheck: drop bloom false positives with an inner hash join
-    # against the winner ids (only output-class survivor text shuffles)
-    confirmed = suspects.join(
-        win_ids, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("win_id",)
+    # exact recheck: drop bloom false positives with a bounded-bucket
+    # hash semi-join (union tagged suspect/winner rows, one groupby on
+    # doc_id%NB) — only output-class survivor text shuffles
+    NB = 64
+
+    def tag_suspect(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ids.astype(np.uint64) % NB).astype(np.int32)),
+                "doc_id": t["doc_id"],
+                "nt": t["nt"],
+                "is_w": pa.array(np.zeros(len(ids), np.int8)),
+            }
+        )
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        ids = t["win_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ids.astype(np.uint64) % NB).astype(np.int32)),
+                "doc_id": t["win_id"],
+                "nt": pa.array([""] * len(ids), pa.string()),
+                "is_w": pa.array(np.ones(len(ids), np.int8)),
+            }
+        )
+
+    def confirm(g: pa.Table) -> pa.Table:
+        is_w = g["is_w"].to_numpy(zero_copy_only=False).astype(bool)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~is_w & np.isin(ids, ids[is_w])
+        return g.filter(pa.array(keep)).select(["doc_id", "nt"])
+
+    confirmed = (
+        suspects.map_batches(tag_suspect, batch_format="pyarrow")
+        .union(win_ids.map_batches(tag_winner, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(confirm, batch_format="pyarrow")
     )
     return confirmed.map_batches(
-        lambda t: _chunk_batch(t.select(["doc_id", "nt"]), "nt", size, stride),
-        batch_format="pyarrow",
+        lambda t: _chunk_batch(t, "nt", size, stride), batch_format="pyarrow"
     )
 
 
@@ -1504,11 +1539,14 @@ def q_contamination(sf_dir: str, *, k: int = 5, bench_max_doc_id: int = 20) -> r
 # Corpus vocabulary statistics: document frequency of non-stopword
 # terms, top-20.  The canonical word-count-with-combiner: each block
 # reduces to one row per distinct term (np.unique over (doc, term)
-# pairs), the driver folds the Zipf-bounded partials.  At 10^12-token
-# scale the fold becomes one hash-bucket groupby over term partials —
-# same partials, different final reduce.
+# pairs); the final reduce is a bounded hash-bucket groupby over the
+# term partials — each term lands wholly in one bucket, so per-bucket
+# (fold + partial top-k under the final order) is exact and the driver
+# merges only k x n_buckets candidate rows.  Holds at 10^12 tokens:
+# partial rows are Zipf-bounded per block, buckets bound task size.
 def q_term_doc_freq(sf_dir: str, *, top: int = 20) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_buckets = 32
 
     def partial(t: pa.Table) -> pa.Table:
         toks = _tokens(pc.utf8_lower(t["text"]))
@@ -1525,15 +1563,26 @@ def q_term_doc_freq(sf_dir: str, *, top: int = 20) -> pd.DataFrame:
         uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
         dedup = np.unique(np.stack([doc_of[keep], inv]), axis=1)
         counts = np.bincount(dedup[1], minlength=len(uniq_terms))
+        bucket = (pd.util.hash_array(uniq_terms) % np.uint64(n_buckets)).astype(np.int32)
         return pa.table(
             {
+                "bucket": pa.array(bucket),
                 "term": pa.array(uniq_terms, pa.string()),
                 "df": pa.array(counts, pa.int64()),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    df = parts.groupby("term", as_index=False)["df"].sum()
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["df"].sum()
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(top)
+        return g.astype({"term": "object", "df": "int64"})
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
     return df.sort_values(["df", "term"], ascending=[False, True], ignore_index=True).head(top)
 
 
