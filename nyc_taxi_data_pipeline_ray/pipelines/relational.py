@@ -228,27 +228,28 @@ def q_obt_enriched(sf_dir: str) -> rd.Dataset:
     part_ref = ray.put(part_t)
     snr_ref = ray.put(snr)
 
-    class Enrich:
-        def __init__(self):
-            self.part = ray.get(part_ref)
-            self.snr = ray.get(snr_ref)
+    def enrich(t: pa.Table) -> pa.Table:
+        # plain task pool: the broadcast dim tables resolve from the
+        # LOCAL object store via shared memory on every call (zero-copy
+        # Arrow), so there is no per-actor spin-up and concurrency
+        # follows the CPU count instead of a fixed pool size
+        part = ray.get(part_ref)
+        snr_l = ray.get(snr_ref)
+        pidx = pc.index_in(t["l_partkey"], value_set=part["p_partkey"])
+        sidx = pc.index_in(t["l_suppkey"], value_set=snr_l["s_suppkey"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "p_brand": pc.take(part["p_brand"], pidx),
+                "p_type": pc.take(part["p_type"], pidx),
+                "s_name": pc.take(snr_l["s_name"], sidx),
+                "nation_name": pc.take(snr_l["n_name"], sidx),
+                "region_name": pc.take(snr_l["r_name"], sidx),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pidx = pc.index_in(t["l_partkey"], value_set=self.part["p_partkey"])
-            sidx = pc.index_in(t["l_suppkey"], value_set=self.snr["s_suppkey"])
-            return pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "l_linenumber": t["l_linenumber"],
-                    "p_brand": pc.take(self.part["p_brand"], pidx),
-                    "p_type": pc.take(self.part["p_type"], pidx),
-                    "s_name": pc.take(self.snr["s_name"], sidx),
-                    "nation_name": pc.take(self.snr["n_name"], sidx),
-                    "region_name": pc.take(self.snr["r_name"], sidx),
-                }
-            )
-
-    return li.map_batches(Enrich, batch_format="pyarrow", concurrency=(2, 8))
+    return li.map_batches(enrich, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -981,10 +982,11 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
 # path at 100 TB.  This is the distributed exact-quantile pattern
 # instead — no shuffle, no task (and no driver) ever holds a group's
 # values:
-#   1. per-block (type -> min/max/count) partials, tiny driver fold;
+#   1. global value range from parquet FOOTER statistics (no scan;
+#      per-block min/max partials only if a writer omitted stats);
 #   2. per-block fixed-bin histograms (one vectorized digitize+bincount
 #      per type), folded to locate the bin holding each needed order
-#      statistic;
+#      statistic (per-type counts fall out of the same fold);
 #   3. per-block extraction of distinct (value, n) pairs ONLY inside
 #      the needed bins (identical-value skew collapses to one row), so
 #      the exact order stats + numpy-identical linear interpolation run
@@ -997,46 +999,61 @@ def _np_lerp(a: float, b: float, t: float) -> float:
     return b - d * (1 - t) if t >= 0.5 else a + d * t
 
 
+def _footer_min_max(sf_dir: str, table: str, column: str) -> tuple[float, float] | None:
+    """Global (min, max) of a column from parquet ROW-GROUP STATISTICS —
+    a driver-side footer read, zero data scanned.  None if any row
+    group lacks stats (caller falls back to a scan)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    ci = f.schema_arrow.names.index(column)
+    mins, maxs = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return float(min(mins)), float(max(maxs))
+
+
 def q_value_percentiles(
     sf_dir: str, *, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99), n_bins: int = 4096
 ) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_type", "value"])
 
-    # pass 1: per-type min/max/count (map-side combine, tiny fold)
-    def mm_partial(t: pa.Table) -> pa.Table:
-        return t.group_by("event_type").aggregate(
-            [("value", "min"), ("value", "max"), ([], "count_all")]
-        )
+    # pass 1: GLOBAL value range from parquet footer statistics (no
+    # scan); scan fallback only when a writer omitted stats
+    mm = _footer_min_max(sf_dir, "events", "value")
+    if mm is None:
+        def mm_partial(t: pa.Table) -> pa.Table:
+            return t.group_by([]).aggregate([("value", "min"), ("value", "max")])
 
-    stats = _combine(
-        ds,
-        mm_partial,
-        ["event_type"],
-        {"lo": ("value_min", "min"), "hi": ("value_max", "max"), "n": ("count_all", "sum")},
-    )
-    types = stats["event_type"].to_numpy().astype(object)
-    lo = dict(zip(types, stats["lo"]))
-    width = {
-        ty: max((h - l) / n_bins, 1e-300)
-        for ty, l, h in zip(types, stats["lo"], stats["hi"])
-    }
-    n_of = dict(zip(types, stats["n"].astype(np.int64)))
+        p = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+        mm = (float(p["value_min"].min()), float(p["value_max"].max()))
+    lo_g, hi_g = mm
+    width = max((hi_g - lo_g) / n_bins, 1e-300)
 
-    def bins_of(ty: str, v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo[ty]) / width[ty]).astype(np.int64), 0, n_bins - 1)
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo_g) / width).astype(np.int64), 0, n_bins - 1)
 
     # pass 2: per-block histograms, one list-column row per type
+    # (global bin edges; per-type counts fall out of the histogram sums)
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         out_ty, out_h = [], []
         for ty, g in df.groupby("event_type", sort=False):
             out_ty.append(ty)
-            out_h.append(np.bincount(bins_of(ty, g["value"].to_numpy()), minlength=n_bins))
+            out_h.append(np.bincount(bins_of(g["value"].to_numpy()), minlength=n_bins))
         return pd.DataFrame({"event_type": out_ty, "hist": out_h})
 
     hp = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
-    hists = {ty: np.zeros(n_bins, np.int64) for ty in types}
+    hists: dict[str, np.ndarray] = {}
     for ty, h in zip(hp["event_type"], hp["hist"]):
+        if ty not in hists:
+            hists[ty] = np.zeros(n_bins, np.int64)
         hists[ty] += np.asarray(h, np.int64)
+    types = np.array(sorted(hists), dtype=object)
+    n_of = {ty: int(hists[ty].sum()) for ty in types}
 
     # locate the bin of every needed order statistic (floor/ceil of each
     # virtual index h = q*(n-1)) and its below-bin cumulative count
@@ -1060,7 +1077,7 @@ def q_value_percentiles(
         out = {"event_type": [], "value": [], "n": []}
         for ty, g in df.groupby("event_type", sort=False):
             v = g["value"].to_numpy()
-            keep = v[np.isin(bins_of(ty, v), list(need_bins[ty]))]
+            keep = v[np.isin(bins_of(v), list(need_bins[ty]))]
             if not len(keep):
                 continue
             vals, cnts = np.unique(keep, return_counts=True)
@@ -1087,7 +1104,7 @@ def q_value_percentiles(
         below = cum - hists[ty]
         g = ex[ex["event_type"] == ty].sort_values("value")
         gv = g["value"].to_numpy()
-        gb = bins_of(ty, gv)
+        gb = bins_of(gv)
         gc = g["n"].to_numpy()
 
         def order_stat(k: int, b: int) -> float:

@@ -612,18 +612,22 @@ def q_minhash_near_dups(
 def q_minhash_rerank(
     sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
 ) -> pd.DataFrame:
-    """Exactness witness for the MinHash family: LSH candidates (2-row
-    bands x 32 — a pair with char-5-gram Jaccard >= 0.8 misses every
-    band with p = (1-J^2)^32 ~ 6e-15, and the est>=0.5 gate passes with
-    p ~ 1-1e-8; both deterministic under the fixed seed and verified
-    against the oracle.  1-row bands would be even safer but share
-    common-shingle minima between UNRELATED docs, exploding candidate
-    pairs quadratically) reranked by EXACT char-5-gram Jaccard via the
-    distributed pair-verify used by q_ngram_jaccard.  The rerank IS
-    SQL-expressible, so this query has a full DuckDB oracle even
-    though the signatures don't.
+    """Exactness witness for the MinHash family: the PRODUCTION LSH
+    candidates (4-row bands x 16, est >= 0.5) reranked by EXACT
+    char-5-gram Jaccard via the distributed pair-verify used by
+    q_ngram_jaccard.  The rerank IS SQL-expressible, so this query has
+    a full DuckDB oracle even though the signatures don't.
+
+    Recall math (deterministic under the fixed seed, then hash-checked
+    against the oracle): a J-similar pair misses all 16 bands with
+    p = (1-J^4)^16 — 2e-4 at J = 0.8, 4e-10 at J = 0.93 (the weakest
+    qualifying pair in the test corpus is 0.9286).  Fewer rows per band
+    would shrink the miss bound further but makes candidate counts
+    quadratic in corpus-wide shingle sharing (unrelated docs collide at
+    J^rows per band), which is why the production config is the right
+    witness config too.
     """
-    cand = q_minhash_near_dups(sf_dir, num_perm=num_perm, bands=num_perm // 2, threshold=0.5)
+    cand = q_minhash_near_dups(sf_dir, num_perm=num_perm, bands=16, threshold=0.5)
     cand = cand[["doc_a", "doc_b"]]
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

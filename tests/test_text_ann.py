@@ -310,3 +310,20 @@ def test_bpe_real_learns_merges_and_bounds(tmp_path):
         assert out.loc[i, "n_pieces"] <= out.loc[i, "n_bpe_real_tokens"] <= n_chars
     # 'the' repeats in the training sample -> it merges to one token
     assert out.loc[1, "n_bpe_real_tokens"] == 4
+
+
+def test_bloom_filter_membership():
+    import numpy as np
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import _bloom_set, _bloom_test
+
+    bits, k = 1 << 16, 8
+    bm = np.zeros(bits // 8, np.uint8)
+    ids = np.arange(0, 5000, 7, dtype=np.int64)
+    _bloom_set(bm, ids, bits, k)
+    # no false negatives, ever
+    assert _bloom_test(bm, ids, bits, k).all()
+    # false-positive rate stays near the design point for this load
+    probe = np.arange(100000, 200000, dtype=np.int64)
+    fp = _bloom_test(bm, probe, bits, k).mean()
+    assert fp < 0.01, fp
