@@ -473,8 +473,11 @@ def q_cdc_upsert_events(sf_dir: str) -> rd.Dataset:
 
 def _half_max_event_id(sf_dir: str) -> int:
     """Epoch-boundary stand-in for time travel over the events table:
-    half the max event_id, via a per-block partial-max fold (one pruned
-    single-column scan, no shuffle)."""
+    half the max event_id — from parquet FOOTER statistics (no scan),
+    falling back to a per-block partial-max fold."""
+    mm = _footer_min_max(sf_dir, "events", "event_id")
+    if mm is not None:
+        return int(mm[1]) // 2
     ds = _rp(sf_dir, "events", ["event_id"])
 
     def partial(t: pa.Table) -> pa.Table:

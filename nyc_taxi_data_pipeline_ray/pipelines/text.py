@@ -12,9 +12,16 @@ Operators:
 - byte-set Jaccard similar pairs    -> :func:`q_char_jaccard_pairs` (SQL
   oracle via DuckDB ``jaccard`` — byte-set semantics, verified)
 - md5 fingerprint                   -> :func:`q_fingerprint` (SQL oracle)
-- language ID (stopword heuristic)  -> :func:`q_langid` (rows-only)
+- language ID (stopword heuristic)  -> :func:`q_langid` (SQL oracle)
 - MinHash + LSH near-dup            -> :func:`q_minhash_near_dups` (rows-only)
-- SimHash                           -> :func:`q_simhash` (rows-only)
+- MinHash exactness witness         -> :func:`q_minhash_rerank` (SQL oracle)
+- SimHash                           -> :func:`q_simhash` (SQL oracle)
+- n-gram Jaccard (exact, PPJoin)    -> :func:`q_ngram_jaccard` (SQL oracle)
+- winnowing fingerprints            -> :func:`q_winnow_fingerprint` (SQL oracle)
+- learned-merge BPE token counts    -> :func:`q_bpe_real_tokens` (rows-only)
+- normalization / PII scrub / split / chunking / contamination /
+  term doc-frequency / Gopher repetition / corpus-prep composition
+  (all SQL-oracled; see each function)
 
 Scale notes: exact dedup groups on a 64-bit content hash (not the text
 itself) so the shuffle key is 8 bytes/row; pairwise Jaccard is bounded
