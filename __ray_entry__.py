@@ -58,7 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,
         "simhash": T.q_simhash,
+        # exact Hamming<=3 pairs via pigeonhole banding (full oracle)
+        "simhash_near_dups": T.q_simhash_near_dups,
         "ngram_jaccard": T.q_ngram_jaccard,
+        # connected components over the ngram-Jaccard pair graph
+        # (distributed min-label propagation; recursive-CTE oracle)
+        "dedup_clusters": T.q_dedup_clusters,
         "bpe_tokens": T.q_bpe_tokens,
         "bpe_real_tokens": T.q_bpe_real_tokens,      # rows-only (learned merges)
         "doc_categories": T.q_doc_categories,
@@ -66,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.q_repetition_stats,
         "contamination": T.q_contamination,
         "term_doc_freq": T.q_term_doc_freq,
+        # top-k TF-IDF terms per doc (raw-idf scoring for cross-engine
+        # bit-exactness; full oracle)
+        "tfidf_topk": T.q_tfidf_topk,
         "normalize_text": T.q_normalize_text,
         "pii_scrub": T.q_pii_scrub,
         "stratified_sample": T.q_stratified_sample,
@@ -556,6 +564,33 @@ def oracle_sql() -> dict[str, str]:
             from t left join s using (doc_id)
             order by doc_id
         """,
+        "simhash_near_dups": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x != '') as toks
+              from documents),
+            e as (select doc_id, unnest(toks) as tok from t),
+            b as (
+              select e.doc_id, j.j,
+                     sum(case when (md5_number_lower(tok) >> j.j) & 1 = 1
+                         then 1 else -1 end) as vote
+              from e, (select unnest(range(64)) as j) j
+              group by 1, 2),
+            s as (
+              select doc_id,
+                     cast(sum(case when vote > 0 then (1::UBIGINT << j) else 0 end)
+                          as UBIGINT) as sh
+              from b group by 1),
+            f as (
+              select t.doc_id, coalesce(s.sh, 0::UBIGINT) as sh
+              from t left join s using (doc_id))
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(bit_count(xor(a.sh, b.sh)) as bigint) as hamming
+            from f a join f b on a.doc_id < b.doc_id
+            where bit_count(xor(a.sh, b.sh)) <= 3
+            order by doc_a, doc_b
+        """,
         "repetition_stats": r"""
             with t as (
               select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
@@ -627,6 +662,30 @@ def oracle_sql() -> dict[str, str]:
             select term, cast(count(*) as bigint) as df
             from u group by 1
             order by df desc, term limit 20
+        """,
+        "tfidf_topk": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x != '') as toks
+              from documents),
+            p as (select doc_id, unnest(toks) as term from t),
+            tf as (select doc_id, term, count(*) as tf from p group by 1, 2),
+            df as (select term, count(*) as df from tf group by 1),
+            n as (select count(*) as nd from documents),
+            s as (
+              select tf.doc_id, tf.term,
+                     (tf.tf * cast((select nd from n) as double)) / df.df as score
+              from tf join df using (term)),
+            r as (
+              select doc_id, term, score,
+                     row_number() over (partition by doc_id
+                                        order by score desc, term) as term_rank
+              from s)
+            select doc_id, cast(term_rank as bigint) as term_rank, term,
+                   round(score, 4) as score
+            from r where term_rank <= 5
+            order by doc_id, term_rank
         """,
         "normalize_text": r"""
             with n as (
@@ -752,5 +811,29 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                   >= 0.5
             order by doc_a, doc_b
+        """,
+        "dedup_clusters": r"""
+            with recursive t as (
+              select doc_id, lang, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, lang,
+                     list_distinct(list_transform(range(1, array_length(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as grams
+              from t where array_length(toks) >= 3),
+            p as (
+              select a.doc_id as doc_a, b.doc_id as doc_b
+              from g a join g b on a.lang = b.lang and a.doc_id < b.doc_id
+              where cast(len(list_intersect(a.grams, b.grams)) as double)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.5),
+            e as (select doc_a as a, doc_b as b from p
+                  union select doc_b, doc_a from p),
+            reach as (
+              select a, b from e
+              union
+              select reach.a, e.b from reach join e on reach.b = e.a)
+            select a as doc_id, least(a, min(b)) as cluster_id
+            from reach group by a order by doc_id
         """,
     }

@@ -16,7 +16,12 @@ Operators:
 - MinHash + LSH near-dup            -> :func:`q_minhash_near_dups` (rows-only)
 - MinHash exactness witness         -> :func:`q_minhash_rerank` (SQL oracle)
 - SimHash                           -> :func:`q_simhash` (SQL oracle)
+- SimHash near-dup pairs (EXACT
+  Hamming<=k, pigeonhole banding)   -> :func:`q_simhash_near_dups` (SQL oracle)
 - n-gram Jaccard (exact, PPJoin)    -> :func:`q_ngram_jaccard` (SQL oracle)
+- near-dup clusters (distributed
+  connected components)             -> :func:`q_dedup_clusters` (SQL oracle)
+- top-k TF-IDF terms per doc        -> :func:`q_tfidf_topk` (SQL oracle)
 - winnowing fingerprints            -> :func:`q_winnow_fingerprint` (SQL oracle)
 - learned-merge BPE token counts    -> :func:`q_bpe_real_tokens` (rows-only)
 - normalization / PII scrub / split / chunking / contamination /
@@ -677,42 +682,404 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
     """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    shifts = np.arange(64, dtype=np.uint64)
-
     def fn(t: pa.Table) -> pa.Table:
-        toks = _tokens(pc.utf8_lower(t["text"].combine_chunks()))
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        offsets = (offsets - offsets[0]).astype(np.int64)
-        starts, lens = offsets[:-1], np.diff(offsets)
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
-        n_docs = t.num_rows
-        if len(flat):
-            uniq, inv = np.unique(flat, return_inverse=True)
-            uh = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
-                    for u in uniq
-                ),
-                np.uint64,
-                len(uniq),
-            )
-            hs = uh[inv]
-            votes_pm = (((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
-            votes_pm[np.asarray(flat, object) == ""] = 0  # split('') edge: [''] token
-            doc_votes = np.add.reduceat(
-                np.vstack([votes_pm, np.zeros((1, 64), np.int64)]),
-                np.minimum(starts, len(hs)),
-                axis=0,
-            )
-            doc_votes[lens == 0] = 0
-        else:
-            doc_votes = np.zeros((n_docs, 64), np.int64)
-        sh = ((doc_votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        hexes = [format(int(v), "X") for v in sh]
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hexes, pa.string())})
+        sigs = _simhash_batch(t)
+        hexes = [format(int(v), "X") for v in sigs["sh"].to_numpy()]
+        return pa.table({"doc_id": sigs["doc_id"], "simhash": pa.array(hexes, pa.string())})
 
     # per-doc output: stays a streaming Dataset (corpus-scale)
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_batch(t: pa.Table) -> pa.Table:
+    """Per-batch 64-bit SimHash kernel: ``doc_id, sh (uint64)``.
+
+    Vectorized across the batch: one Arrow lower+split, md5 only per
+    UNIQUE token (np.unique inverse mapping), bit votes as one (tokens x
+    64) matrix reduced per doc with ``np.add.reduceat`` — no per-doc
+    Python loop.
+    """
+    shifts = _SIMHASH_SHIFTS
+    toks = _tokens(pc.utf8_lower(t["text"].combine_chunks()))
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+    n_docs = t.num_rows
+    if len(flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uh = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+                for u in uniq
+            ),
+            np.uint64,
+            len(uniq),
+        )
+        hs = uh[inv]
+        votes_pm = (((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+        votes_pm[np.asarray(flat, object) == ""] = 0  # split('') edge: [''] token
+        doc_votes = np.add.reduceat(
+            np.vstack([votes_pm, np.zeros((1, 64), np.int64)]),
+            np.minimum(starts, len(hs)),
+            axis=0,
+        )
+        doc_votes[lens == 0] = 0
+    else:
+        doc_votes = np.zeros((n_docs, 64), np.int64)
+    sh = ((doc_votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return pa.table({"doc_id": t["doc_id"], "sh": pa.array(sh, pa.uint64())})
+
+
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+# --------------------------------------------------------------------------
+def q_simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
+    """EXACT Hamming-distance near-dup pairs over 64-bit SimHash
+    fingerprints, via multi-index (pigeonhole) banding.
+
+    Split the 64 bits into ``max_hamming + 1`` contiguous bands: any pair
+    with Hamming distance <= k differs in at most k bands, so it matches
+    EXACTLY on at least one band — candidate generation by banded
+    equality has 100% recall, no probabilistic miss (unlike MinHash LSH).
+    Candidates are verified by true popcount(xor) inside the bucket task,
+    so the result is exact and fully SQL-oracle-checkable
+    (``bit_count(xor(a.sh, b.sh)) <= k`` self-join in DuckDB).
+
+    Scale shape mirrors ``q_minhash_near_dups``: linear explode to
+    (band, band_value) rows, shuffle on a bounded 256-bucket hash of the
+    fine key, one vectorized lexsort + ragged-pair enumeration per
+    bucket.  Each task's work tracks bucket size, never corpus size;
+    16-bit bands keep random collisions at ~n^2/65536 per band.
+    Reference analog: the dedup intent of the reference's staging
+    uniqueness checks (``dbt`` unique tests), upgraded to near-dup.
+    """
+    bands = max_hamming + 1
+    base, rem = divmod(64, bands)
+    widths = np.array([base + (1 if i < rem else 0) for i in range(bands)], np.uint64)
+    offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = np.array([(1 << int(w)) - 1 for w in widths], np.uint64)
+    NB = 256
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(_simhash_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(sh)
+        band_val = ((sh[None, :] >> offs[:, None]) & masks[:, None]).reshape(-1)
+        band_id = np.repeat(np.arange(bands, dtype=np.int32), n)
+        bucket = (
+            (band_val * np.uint64(1000003) + band_id.astype(np.uint64) + np.uint64(1)) % NB
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "band": pa.array(band_id),
+                "band_val": pa.array(band_val.view(np.int64)),
+                "doc_id": pa.array(np.tile(ids, bands)),
+                "sh": pa.array(np.tile(sh, bands).view(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        band = g["band"].to_numpy(zero_copy_only=False)
+        bv = g["band_val"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sh = g["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, sh = band[order], bv[order], ids[order], sh[order]
+        ia, ib = _ragged_pair_indices(_group_sizes_by_boundary(band, bv))
+        if not len(ia):
+            return empty
+        x = np.bitwise_xor(sh[ia], sh[ib]).view(np.uint8).reshape(len(ia), 8)
+        ham = _POPCOUNT8[x].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    df = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    # a pair equal in several bands is emitted once per matching band
+    df = df.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+    return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def _connected_components(edges: pa.Table, *, num_buckets: int = 64) -> pd.DataFrame:
+    """Distributed connected components by min-label propagation.
+
+    Input: an edge table ``(doc_a, doc_b)`` (the output class of any
+    near-dup pair detector).  Output: ``(doc_id, cluster_id)`` for every
+    endpoint, ``cluster_id`` = smallest doc_id in the component.
+
+    Each round is two BOUNDED shuffles over (node-hash % num_buckets)
+    buckets — no driver-side graph, no whole-component task:
+
+    1. message pass: bucket by source node; inside the bucket one
+       searchsorted lookup attaches each node's current label to its
+       outgoing edges, emitting ``(neighbor, label)`` + ``(self, label)``;
+    2. min-reduce: bucket by destination node; per-node min via one
+       sort + ``np.minimum.reduceat``.
+
+    Labels only decrease, so the fixpoint test is one tiny ``sum()``
+    aggregate per round; rounds = O(component diameter) (near-dup
+    clusters are shallow).  Per-round state (one int64 pair per node)
+    stays in the object store via ``materialize()`` — bounded by node
+    count, never corpus size.
+    """
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+    )
+    if edges.num_rows == 0:
+        return empty
+    a = edges["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    NB = num_buckets
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return ((x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+            np.int64
+        ) % NB
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(bucket_of(u)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+            }
+        )
+    ).materialize()
+    nodes = np.unique(u)
+    labels_ds = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(bucket_of(nodes)),
+                "u": pa.array(nodes),
+                "v": pa.array(np.full(len(nodes), -1, np.int64)),  # marker: label row
+                "label": pa.array(nodes),
+            }
+        )
+    ).materialize()
+    prev_sum = int(nodes.sum())
+
+    def send_messages(g: pa.Table) -> pa.Table:
+        gu = g["u"].to_numpy(zero_copy_only=False)
+        gv = g["v"].to_numpy(zero_copy_only=False)
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        is_lab = gv == -1
+        ln, lv = gu[is_lab], lab[is_lab]
+        order = np.argsort(ln)
+        ln, lv = ln[order], lv[order]
+        eu, ev = gu[~is_lab], gv[~is_lab]
+        elab = lv[np.searchsorted(ln, eu)]
+        node = np.concatenate([ev, ln])
+        cand = np.concatenate([elab, lv])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(node)),
+                "node": pa.array(node),
+                "cand": pa.array(cand),
+            }
+        )
+
+    def min_reduce(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        cand = g["cand"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand, node))
+        node, cand = node[order], cand[order]
+        starts = np.flatnonzero(np.concatenate([[True], node[1:] != node[:-1]]))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(node[starts])),
+                "u": pa.array(node[starts]),
+                "v": pa.array(np.full(len(starts), -1, np.int64)),
+                "label": pa.array(cand[starts]),  # first in group = min
+            }
+        )
+
+    for _ in range(64):  # diameter bound; near-dup graphs converge in a few
+        labels_ds = (
+            labels_ds.union(
+                edges_ds.map_batches(
+                    lambda t: t.append_column(
+                        "label", pa.array(np.zeros(t.num_rows, np.int64))
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("bucket")
+            .map_groups(send_messages, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(min_reduce, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = int(labels_ds.sum("label"))
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    df = labels_ds.select_columns(["u", "label"]).to_pandas()
+    df = df.rename(columns={"u": "doc_id", "label": "cluster_id"})
+    return df.sort_values("doc_id", ignore_index=True).astype("int64")
+
+
+def q_tfidf_topk(sf_dir: str, *, k: int = 5) -> rd.Dataset:
+    """Top-k TF-IDF terms per document.
+
+    Score = ``tf(t, d) * N / df(t)`` — raw inverse document frequency
+    instead of the usual ``ln(N/df)``: the ranking inside a document is
+    the same monotone family, and a single IEEE division is EXACTLY
+    rounded, so numpy and DuckDB produce bit-identical doubles (libm
+    ``ln`` implementations can differ in the last ulp, which would make
+    a 4-decimal round and a rank boundary engine-dependent).
+
+    Two bounded shuffles, no joins:
+
+    1. per-batch distinct ``(doc, term, tf)`` rows, shuffled on
+       ``hash(term) % NB`` — every row of a term lands in one task, so
+       that task knows the term's EXACT global df (rows are distinct
+       per doc) and can emit scored rows immediately;
+    2. scored rows shuffled on ``hash(doc) % NB`` — one vectorized
+       lexsort + per-doc rank slice keeps the top k.
+
+    Per-doc output stays a streaming Dataset.  Scale caveat (documented,
+    like ``q_term_doc_freq``): a Zipf-head term's rows cannot split
+    across tasks in shuffle 1; at 10^12 (doc, term) rows, count df for
+    the head separately (salted partial counts + tiny merge, the
+    combiner ``q_term_doc_freq`` already uses), broadcast that small
+    head-df table, and let shuffle 1 carry only the tail.
+    """
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    NB = 64
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_term_tf(t: pa.Table) -> pa.Table:
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        keep = ~pc.equal(flat_arr, "").to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of[keep]]
+        uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
+        pair, tf = np.unique(np.stack([docs, inv]), axis=1, return_counts=True)
+        terms = uniq_terms[pair[1]]
+        bucket = (pd.util.hash_array(terms.astype(object)) % np.uint64(NB)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pa.array(pair[0], pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        terms = g["term"].to_numpy(zero_copy_only=False).astype(object)
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        terms, docs, tf = terms[order], docs[order], tf[order]
+        starts = np.flatnonzero(np.concatenate([[True], terms[1:] != terms[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(terms)]]))
+        df_row = np.repeat(sizes, sizes)  # rows are distinct per doc -> df
+        score = (tf * float(n_docs)) / df_row
+        b2 = ((docs.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % NB
+        return pa.table(
+            {
+                "bucket": pa.array(b2.astype(np.int32)),
+                "doc_id": pa.array(docs, pa.int64()),
+                "term": pa.array(terms.astype(str), pa.string()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    def doc_topk(g: pa.Table) -> pa.Table:
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        terms = g["term"].to_numpy(zero_copy_only=False).astype(object)
+        score = g["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -score, docs))
+        docs, terms, score = docs[order], terms[order], score[order]
+        starts = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+        rank = np.arange(len(docs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(docs)]]))
+        )
+        keepk = rank < k
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keepk], pa.int64()),
+                "term_rank": pa.array(rank[keepk] + 1, pa.int64()),
+                "term": pa.array(terms[keepk].astype(str), pa.string()),
+                "score": pa.array(round_half_away(score[keepk], 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(doc_term_tf, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_topk, batch_format="pyarrow")
+    )
+
+
+def q_dedup_clusters(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    n-gram-Jaccard pair graph (``q_ngram_jaccard``), each doc labeled
+    with the smallest doc_id in its component — the canonical-
+    representative election a corpus dedup needs when A~B and B~C but
+    A is not directly similar to C.
+
+    Pairs are the output class of the detector (tiny at near-dup
+    thresholds); components are found by distributed min-label
+    propagation (:func:`_connected_components`) — bounded bucket
+    shuffles, no driver-side union-find.  Oracle: DuckDB recursive-CTE
+    transitive closure over the same pair predicate.
+    """
+    pairs = q_ngram_jaccard(sf_dir, threshold=threshold)
+    return _connected_components(
+        pa.table(
+            {
+                "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
+            }
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -107,6 +107,52 @@ def test_simhash_hamming_small_for_near_dups(dup_docs_dir):
     assert np.mean(near) < np.mean(far)
 
 
+def test_simhash_near_dups_pigeonhole_exact(dup_docs_dir):
+    # multi-index banding must equal the brute-force Hamming<=k self-join
+    # EXACTLY (pigeonhole: <=k differing bits -> >=1 identical band)
+    for k in (0, 3, 6):
+        got = text.q_simhash_near_dups(dup_docs_dir, max_hamming=k)
+        sh = {
+            r["doc_id"]: int(r["simhash"], 16)
+            for r in text.q_simhash(dup_docs_dir).to_pandas().to_dict("records")
+        }
+        ids = sorted(sh)
+        exp = sorted(
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= k
+        )
+        assert [tuple(r) for r in got.itertuples(index=False)] == exp, f"k={k}"
+    # the planted exact dups must appear at hamming 0
+    got3 = text.q_simhash_near_dups(dup_docs_dir, max_hamming=3)
+    pairs = {(a, b): h for a, b, h in got3.itertuples(index=False)}
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 0
+
+
+def test_connected_components_multihop():
+    # chain 10-11-12-13-14 (A~B, B~C, ... but A not directly ~ E) must
+    # collapse to one cluster labeled 10 — multi-round propagation;
+    # plus a separate pair and a triangle
+    edges = pa.table(
+        {
+            "doc_a": pa.array([14, 13, 12, 11, 100, 7, 8, 7], pa.int64()),
+            "doc_b": pa.array([13, 12, 11, 10, 101, 8, 9, 9], pa.int64()),
+        }
+    )
+    df = text._connected_components(edges)
+    got = dict(zip(df["doc_id"], df["cluster_id"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   100: 100, 101: 100, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_empty():
+    edges = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    df = text._connected_components(edges)
+    assert len(df) == 0 and list(df.columns) == ["doc_id", "cluster_id"]
+
+
 def test_langid_runs_and_is_deterministic():
     # the driver's synthetic documents have English-ish word-salad text
     # regardless of the lang label, so accuracy-vs-label is meaningless;
