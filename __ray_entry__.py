@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_aggregates": R.q_conditional_aggregates,
         "value_bands": R.q_value_bands,
         "hourly_events": R.q_hourly_events,
+        # overlapping 1h/15min hopping windows (streaming-window analog)
+        "hopping_window": R.q_hopping_window,
+        # NOT EXISTS anti-join with combiner-distinct right side
+        "customers_no_orders": R.q_customers_no_orders,
         "event_type_stats": R.q_event_type_stats,
         "cdc_upsert_events": R.q_cdc_upsert_events,
         # time travel + change feed, driver-visible (engine §2.9 analogs)
@@ -308,6 +312,24 @@ def oracle_sql() -> dict[str, str]:
             select cast(hour(ts) as integer) as hour, count(*) as n_events,
                    round(sum(value), 2) as sum_value
             from events group by 1 order by 1
+        """,
+        "hopping_window": """
+            with w as (
+              select time_bucket(interval '15 minutes', ts)
+                       - to_microseconds(j.j * 15 * 60 * 1000000) as window_start,
+                     event_type, value
+              from events, (select unnest(range(4)) as j) j)
+            select window_start, event_type, count(*) as n_events,
+                   round(sum(value), 2) as sum_value
+            from w group by 1, 2 order by 1, 2
+        """,
+        "customers_no_orders": """
+            select c_custkey, c_name
+            from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey
+                                and o.o_orderdate >= timestamp '2000-01-01')
+            order by c_custkey
         """,
         "event_type_stats": """
             select event_type, count(*) as n, round(avg(value), 4) as avg_value,

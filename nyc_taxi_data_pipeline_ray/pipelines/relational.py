@@ -1171,3 +1171,92 @@ def q_top_events_per_type(sf_dir: str, *, k: int = 3) -> pd.DataFrame:
     )
     out["rk"] = out.groupby("event_type").cumcount().astype("int64") + 1
     return out[["event_type", "rk", "event_id", "value"]]
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) window aggregate: 1-hour windows advancing every
+# 15 minutes — the overlapping-window generalization of q_hourly_events
+# (streaming analog: fraud_detector.py's micro-batch windowed counts).
+# Each event belongs to exactly window/hop = 4 windows; assignment is a
+# vectorized in-batch repeat (no shuffle), the per-(window, type)
+# rollup is additive, so the map-side combiner + tiny driver fold
+# pattern applies — window cardinality is span/hop x n_types, never
+# event count.
+def q_hopping_window(
+    sf_dir: str, *, window_min: int = 60, hop_min: int = 15
+) -> pd.DataFrame:
+    assert window_min % hop_min == 0
+    fanout = window_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = (ts // hop_us) * hop_us  # hop-aligned bucket of the event
+        starts = (
+            tb[None, :] - (np.arange(fanout, dtype=np.int64) * hop_us)[:, None]
+        ).reshape(-1)
+        rep = pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "event_type": pa.concat_arrays(
+                    [t["event_type"].combine_chunks()] * fanout
+                ),
+                "value": pa.concat_arrays([t["value"].combine_chunks()] * fanout),
+            }
+        )
+        return rep.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    df = _combine(
+        ds,
+        partial,
+        ["window_start", "event_type"],
+        {"n_events": ("count_all", "sum"), "sum_value": ("value_sum", "sum")},
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["window_start", "event_type"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Anti-join (churn screen): customers with NO order on/after a cutoff
+# date.  One partitioned hash shuffle (the join itself); the right side
+# is filtered AT THE READ (row-group predicate pushdown) and ships
+# per-block DISTINCT custkeys (combiner), so the exchange carries one
+# row per (block, custkey), not one per order.  Left-outer + null-probe
+# gives NOT EXISTS semantics: unmatched left rows appear exactly once
+# regardless of right-side duplication across blocks.
+def q_customers_no_orders(sf_dir: str, *, since: str = "2000-01-01") -> pd.DataFrame:
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    cutoff = _dt.datetime.fromisoformat(since)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= cutoff),
+    )
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        t = t.group_by("o_custkey").aggregate([])
+        # explicit probe column: Ray's outer join folds the right key
+        # into the left one, so null-ness must ride a payload column
+        return t.append_column("matched", pa.array(np.ones(t.num_rows, np.int8)))
+
+    joined = cust.join(
+        orders.map_batches(distinct_keys, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["matched"]))
+        return t.select(["c_custkey", "c_name"])
+
+    df = joined.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
+    return df.sort_values("c_custkey", ignore_index=True)
