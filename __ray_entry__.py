@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k TF-IDF terms per doc (raw-idf scoring for cross-engine
         # bit-exactness; full oracle)
         "tfidf_topk": T.q_tfidf_topk,
+        # inverted index: exact df + bounded posting-list head per term
+        "inverted_index": T.q_inverted_index,
+        # deterministic per-group sample (hash-ranked, combiner top-n)
+        "sample_per_group": T.q_sample_per_group,
         "normalize_text": T.q_normalize_text,
         "pii_scrub": T.q_pii_scrub,
         "stratified_sample": T.q_stratified_sample,
@@ -684,6 +688,30 @@ def oracle_sql() -> dict[str, str]:
             select term, cast(count(*) as bigint) as df
             from u group by 1
             order by df desc, term limit 20
+        """,
+        "sample_per_group": r"""
+            with h as (
+              select lang, doc_id, md5(cast(doc_id as varchar)) as hk
+              from documents),
+            r as (
+              select lang, doc_id,
+                     row_number() over (partition by lang order by hk, doc_id) as rk
+              from h)
+            select lang, cast(rk as bigint) as rk, doc_id
+            from r where rk <= 20 order by lang, rk
+        """,
+        "inverted_index": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x != '') as toks
+              from documents),
+            p as (select distinct doc_id, unnest(toks) as term from t),
+            g as (select term, cast(count(*) as bigint) as df,
+                         list_sort(list(doc_id)) as docs
+                  from p group by 1)
+            select term, df, array_to_string(docs[1:100], ',') as postings_head
+            from g order by term
         """,
         "tfidf_topk": r"""
             with t as (

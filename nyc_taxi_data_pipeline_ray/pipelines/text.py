@@ -2008,3 +2008,96 @@ def q_repetition_stats(sf_dir: str, *, n: int = 3) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+def q_inverted_index(sf_dir: str, *, head: int = 100) -> rd.Dataset:
+    """Inverted index build: per term, the exact document frequency and
+    the POSTING-LIST HEAD (first ``head`` doc_ids ascending, comma-
+    joined) — the bounded-row-size shape a sharded index build uses (a
+    Zipf-head term's full posting list can't live in one row; the tail
+    would be emitted as (term, shard) segment rows at scale).
+
+    One bounded shuffle: distinct ``(doc, term)`` rows per batch,
+    bucketed on ``hash(term) % NB`` so each term's rows co-locate; the
+    bucket task sorts once and builds every posting head vectorized
+    (pandas groupby-join on the already-sorted frame).  Per-term output
+    stays a streaming Dataset (vocabulary-scale).
+    """
+    NB = 64
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_term(t: pa.Table) -> pa.Table:
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        keep = ~pc.equal(flat_arr, "").to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of[keep]]
+        uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
+        pair = np.unique(np.stack([docs, inv]), axis=1)
+        terms = uniq_terms[pair[1]]
+        bucket = (pd.util.hash_array(terms.astype(object)) % np.uint64(NB)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pa.array(pair[0], pa.int64()),
+                "term": pa.array(terms, pa.string()),
+            }
+        )
+
+    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], ignore_index=True)
+        grp = g.groupby("term", sort=True)
+        out = grp.agg(
+            df=("doc_id", "size"),
+            postings_head=("doc_id", lambda s: ",".join(map(str, s.iloc[:head]))),
+        ).reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out[["term", "df", "postings_head"]]
+
+    return (
+        ds.map_batches(doc_term, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build_postings, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+def q_sample_per_group(sf_dir: str, *, n: int = 20) -> pd.DataFrame:
+    """Deterministic per-group sample: for each ``lang``, the ``n`` docs
+    with the smallest ``md5(doc_id)`` — a shuffle-free, seedless
+    reservoir stand-in (hash order is uniform and reproducible across
+    engines, unlike RANDOM()).
+
+    Top-n-smallest per group is combiner-friendly: each block keeps at
+    most ``n`` candidates per lang (vectorized sort + group head), the
+    driver folds O(blocks x langs x n) candidate rows — the same
+    partial-top-k shape as ``q_top_events_per_type``, no shuffle.
+    md5-per-row is a Python loop (no Arrow md5 kernel; same caveat as
+    ``q_fingerprint``).
+    """
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hk"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"].to_numpy()
+        ]
+        return (
+            df.sort_values(["lang", "hk", "doc_id"], ignore_index=True)
+            .groupby("lang", sort=False)
+            .head(n)
+        )
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["lang", "hk", "doc_id"], ignore_index=True)
+        .groupby("lang", sort=False)
+        .head(n)
+        .reset_index(drop=True)
+    )
+    out["rk"] = out.groupby("lang").cumcount().astype("int64") + 1
+    return out[["lang", "rk", "doc_id"]]
