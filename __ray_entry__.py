@@ -109,6 +109,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": R.q_hopping_window,
         # NOT EXISTS anti-join with combiner-distinct right side
         "customers_no_orders": R.q_customers_no_orders,
+        # keyed cumulative window: running per-customer balance
+        "customer_running_total": R.q_customer_running_total,
+        # INTERSECT: customers active in both 1995 and 1996
+        "repeat_customers": R.q_repeat_customers,
+        # GROUP BY ROLLUP (year, month) from one set of finest partials
+        "rollup_revenue": R.q_rollup_revenue,
+        # head-vocab co-occurrence pairs scored by lift (PMI family)
+        "term_pmi": T.q_term_pmi,
+        # ngram-Jaccard near-dup pairs annotated with exact Levenshtein
+        "edit_distance_dups": T.q_edit_distance_dups,
         "event_type_stats": R.q_event_type_stats,
         "cdc_upsert_events": R.q_cdc_upsert_events,
         # time travel + change feed, driver-visible (engine §2.9 analogs)
@@ -334,6 +344,64 @@ def oracle_sql() -> dict[str, str]:
                               where o.o_custkey = c.c_custkey
                                 and o.o_orderdate >= timestamp '2000-01-01')
             order by c_custkey
+        """,
+        "customer_running_total": """
+            select o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(o_totalprice) over (
+                       partition by o_custkey
+                       order by o_orderdate, o_orderkey
+                       rows between unbounded preceding and current row), 2)
+                     as running_total
+            from orders order by o_custkey, o_orderdate, o_orderkey
+        """,
+        "repeat_customers": """
+            select distinct o_custkey from orders
+            where o_orderdate >= timestamp '1995-01-01'
+              and o_orderdate <  timestamp '1996-01-01'
+            intersect
+            select distinct o_custkey from orders
+            where o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate <  timestamp '1997-01-01'
+            order by o_custkey
+        """,
+        "rollup_revenue": """
+            with b as (
+              select cast(year(o_orderdate) as bigint) as y,
+                     cast(month(o_orderdate) as bigint) as m,
+                     o_totalprice
+              from orders)
+            select coalesce(cast(y as varchar), 'ALL') as year_label,
+                   coalesce(cast(m as varchar), 'ALL') as month_label,
+                   round(sum(o_totalprice), 2) as revenue,
+                   count(*) as n_orders
+            from b group by rollup (y, m)
+            order by year_label, month_label
+        """,
+        "term_pmi": rf"""
+            with t as (
+              select doc_id,
+                     list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '' and x not in ({stoplist}))) as toks
+              from documents),
+            u as (select doc_id, unnest(toks) as term from t),
+            d as (select term, count(*) as df from u group by 1),
+            v as (select term, df from d order by df desc, term limit 40),
+            uv as (select u.doc_id, u.term from u join v using (term)),
+            p as (select a.term as t1, b.term as t2,
+                         cast(count(*) as bigint) as n_docs
+                  from uv a join uv b
+                    on a.doc_id = b.doc_id and a.term < b.term
+                  group by 1, 2),
+            n as (select count(*) as nd from documents)
+            select t1, t2, n_docs,
+                   cast(n_docs * n.nd as double)
+                     / cast(v1.df * v2.df as double) as lift
+            from p
+            cross join n
+            join v v1 on v1.term = p.t1
+            join v v2 on v2.term = p.t2
+            order by n_docs desc, t1, t2 limit 30
         """,
         "event_type_stats": """
             select event_type, count(*) as n, round(avg(value), 4) as avg_value,
@@ -860,6 +928,28 @@ def oracle_sql() -> dict[str, str]:
             where cast(len(list_intersect(a.grams, b.grams)) as double)
                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                   >= 0.5
+            order by doc_a, doc_b
+        """,
+        "edit_distance_dups": r"""
+            with t as (
+              select doc_id, lang, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, lang,
+                     list_distinct(list_transform(range(1, array_length(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as grams
+              from t where array_length(toks) >= 3),
+            p as (
+              select a.doc_id as doc_a, b.doc_id as doc_b
+              from g a join g b on a.lang = b.lang and a.doc_id < b.doc_id
+              where cast(len(list_intersect(a.grams, b.grams)) as double)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.5)
+            select p.doc_a, p.doc_b,
+                   cast(levenshtein(da.text, db.text) as bigint) as edit_dist
+            from p
+            join documents da on da.doc_id = p.doc_a
+            join documents db on db.doc_id = p.doc_b
             order by doc_a, doc_b
         """,
         "dedup_clusters": r"""

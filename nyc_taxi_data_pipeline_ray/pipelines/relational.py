@@ -1227,6 +1227,139 @@ def q_hopping_window(
 # row per (block, custkey), not one per order.  Left-outer + null-probe
 # gives NOT EXISTS semantics: unmatched left rows appear exactly once
 # regardless of right-side duplication across blocks.
+def q_customer_running_total(sf_dir: str) -> rd.Dataset:
+    """Keyed cumulative window (running account balance): per customer,
+    the running sum of ``o_totalprice`` in order-date order — the
+    distributed prefix-sum shape every per-entity timeline feature
+    (cumulative spend, session depth, lifetime token count) needs.
+
+    One bounded shuffle: rows bucket on ``hash(custkey) % NB`` so each
+    customer's full history co-locates; the bucket task sorts once and
+    computes EVERY customer's prefix sum in one vectorized
+    ``groupby().cumsum()`` — no per-key loop, no global sort.  A
+    customer's history (thousands of rows) always fits one task even
+    when the table doesn't; only pathological single-key skew would
+    need a two-level segmented scan (carry = per-segment totals).
+    Output is per-order and stays a streaming Dataset.
+    """
+    NB = 32
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("bucket", b)
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], ignore_index=True)
+        df["running_total"] = (
+            df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum().round(2)
+        )
+        return df[["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_total"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prefix, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+def q_repeat_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.DataFrame:
+    """Set intersection (INTERSECT): customers who ordered in BOTH
+    years.  Per-block distinct ``(custkey, year)`` pairs (combiner) cut
+    the exchange to one row per block x key x year; the custkey-hash
+    bucket shuffle co-locates each key's <=2 surviving year rows and the
+    bucket task keeps keys seen in both — the orders table itself never
+    moves, and no task ever holds more than its bucket's key range.
+    """
+    import pyarrow.dataset as pads
+
+    NB = 32
+    lo = pd.Timestamp(f"{y1}-01-01").to_pydatetime()
+    hi = pd.Timestamp(f"{y2 + 1}-01-01").to_pydatetime()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        g = pa.table({"o_custkey": t["o_custkey"], "o_year": y}).group_by(
+            ["o_custkey", "o_year"]
+        ).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(g["o_custkey"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    def both_years(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.drop_duplicates(["o_custkey", "o_year"]).groupby("o_custkey").size()
+        keep = n[n == 2].index.to_numpy()
+        return pd.DataFrame({"o_custkey": np.sort(keep)})
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(both_years, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (year, month): the finest (year, month) rollup
+    plus year subtotals plus a grand total, in one pass.  Because every
+    level is an ADDITIVE re-aggregation of the finest level, only the
+    (year, month) partials leave the workers (map-side combiner, tiny
+    cardinality); the driver derives the coarser levels from those same
+    partials instead of re-scanning — the standard cube-lattice trick.
+    Label columns are strings with ``'ALL'`` marking the rolled-up axis
+    (grouping-set NULLs don't survive a hash compare portably).
+    """
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "o_month": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+        return g.group_by(["o_year", "o_month"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+
+    fine = _combine(
+        ds,
+        partial,
+        ["o_year", "o_month"],
+        {"revenue": ("o_totalprice_sum", "sum"), "n_orders": ("count_all", "sum")},
+    )
+    yearly = fine.groupby("o_year", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    grand = pd.DataFrame(
+        {"revenue": [fine["revenue"].sum()], "n_orders": [fine["n_orders"].sum()]}
+    )
+    fine["year_label"] = fine["o_year"].astype(str)
+    fine["month_label"] = fine["o_month"].astype(str)
+    yearly["year_label"] = yearly["o_year"].astype(str)
+    yearly["month_label"] = "ALL"
+    grand["year_label"] = "ALL"
+    grand["month_label"] = "ALL"
+    cols = ["year_label", "month_label", "revenue", "n_orders"]
+    out = pd.concat([fine[cols], yearly[cols], grand[cols]], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["year_label", "month_label"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
 def q_customers_no_orders(sf_dir: str, *, since: str = "2000-01-01") -> pd.DataFrame:
     import datetime as _dt
 

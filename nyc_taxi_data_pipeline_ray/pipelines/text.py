@@ -2101,3 +2101,176 @@ def q_sample_per_group(sf_dir: str, *, n: int = 20) -> pd.DataFrame:
     )
     out["rk"] = out.groupby("lang").cumcount().astype("int64") + 1
     return out[["lang", "rk", "doc_id"]]
+
+
+# --------------------------------------------------------------------------
+def q_term_pmi(sf_dir: str, *, vocab: int = 40, top: int = 30) -> pd.DataFrame:
+    """Term co-occurrence with PMI-family scoring: the ``top`` pairs of
+    head-vocabulary terms that appear together in the most documents,
+    scored by lift = P(t1,t2) / (P(t1) P(t2)) — the association
+    statistic behind collocation mining and word-embedding co-occurrence
+    matrices (PMI = ln(lift); lift is reported raw because one IEEE
+    division of exact integer products is bit-identical cross-engine,
+    where libm ``ln`` need not be — the ``q_tfidf_topk`` precedent).
+
+    All-pairs co-occurrence is quadratic in vocabulary, so the scale
+    control is the PRE-PASS: a df combiner picks the global top-``vocab``
+    head terms (tiny, broadcast in the closure), and only pairs among
+    those are counted — each batch emits at most ``vocab**2/2`` partial
+    counts regardless of corpus size (additive, driver-folded).  The
+    per-doc pair enumeration follows the gramsets precedent (vectorized
+    inner ops, outer loop per doc over <=``vocab`` present ids).
+    """
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_terms(t: pa.Table):
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        drop = pc.or_(
+            pc.equal(flat_arr, ""), pc.is_in(flat_arr, value_set=pa.array(STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        keep = ~drop
+        uniq_terms, inv = np.unique(flat[keep], return_inverse=True)
+        dedup = np.unique(np.stack([doc_of[keep], inv]), axis=1)
+        return uniq_terms, dedup  # distinct (doc_idx, term_idx) pairs
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        uniq_terms, dedup = doc_terms(t)
+        counts = np.bincount(dedup[1], minlength=len(uniq_terms))
+        return pa.table(
+            {"term": pa.array(uniq_terms, pa.string()), "df": pa.array(counts, pa.int64())}
+        )
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfall = parts.groupby("term", as_index=False)["df"].sum()
+    head = dfall.sort_values(["df", "term"], ascending=[False, True]).head(vocab)
+    vterms = head["term"].to_numpy(object)
+    order = np.argsort(vterms)
+    vterms_sorted = vterms[order]  # lexicographic, for searchsorted
+    vdf = head["df"].to_numpy(np.int64)[order]
+    V = len(vterms_sorted)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        uniq_terms, dedup = doc_terms(t)
+        pos = np.searchsorted(vterms_sorted, uniq_terms)
+        pos_clip = np.minimum(pos, V - 1)
+        in_vocab = vterms_sorted[pos_clip] == uniq_terms
+        vid_of_term = np.where(in_vocab, pos_clip, -1)
+        vids = vid_of_term[dedup[1]]
+        docs = dedup[0][vids >= 0]
+        vids = vids[vids >= 0]
+        counts = np.zeros(V * V, np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+        bounds = np.concatenate([starts, [len(docs)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids = np.sort(vids[s:e])
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            np.add.at(counts, ids[i] * V + ids[j], 1)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"pair": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    p2 = ds.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    agg = p2.groupby("pair", as_index=False)["n"].sum()
+    i1 = (agg["pair"] // V).to_numpy()
+    i2 = (agg["pair"] % V).to_numpy()
+    n = agg["n"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "t1": vterms_sorted[i1],
+            "t2": vterms_sorted[i2],
+            "n_docs": n,
+            "lift": (n * float(n_docs)) / (vdf[i1] * vdf[i2]).astype(np.float64),
+        }
+    )
+    out = out.sort_values(["n_docs", "t1", "t2"], ascending=[False, True, True]).head(top)
+    return out.reset_index(drop=True).astype({"n_docs": "int64"})
+
+
+# --------------------------------------------------------------------------
+def _levenshtein(a: bytes, b: bytes) -> int:
+    """Exact edit distance over UTF-8 BYTES (DuckDB ``levenshtein``
+    semantics — its distance counts bytes, not codepoints).  Rows loop
+    over ``a``; the within-row left-to-right dependency is folded into a
+    prefix-min (cur[j] = j + min_{k<=j}(base_k - k)), so each row is
+    O(|b|) numpy with no Python inner loop."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    if len(a) < len(b):
+        a, b = b, a
+    bj = np.frombuffer(b, np.uint8).astype(np.int64)
+    lb = len(b)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    base = np.empty(lb + 1, np.int64)
+    for i, ca in enumerate(np.frombuffer(a, np.uint8).astype(np.int64), start=1):
+        base[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (bj != ca), out=base[1:])
+        np.subtract(base, idx, out=base)
+        np.minimum.accumulate(base, out=base)
+        np.add(base, idx, out=base)
+        prev, base = base, prev
+    return int(prev[lb])
+
+
+def q_edit_distance_dups(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    """Fuzzy-dedup rerank by EXACT edit distance: every exact
+    ngram-Jaccard near-dup pair annotated with the true Levenshtein
+    distance between the two documents — the "how different are they
+    really" signal a dedup policy thresholds on (near-identical revision
+    vs paraphrase).
+
+    Candidate generation is the existing PPJoin prefix-filter join
+    (``q_ngram_jaccard`` — linear explode, bounded buckets); this adds
+    one verify stage over the OUTPUT-CLASS pair list: the candidate
+    docs' texts are fetched with a pushed-down ``doc_id`` parquet filter
+    (never the full corpus) and broadcast once via ``ray.put``, and each
+    pair-batch task runs the banded-row DP.  Fully SQL-expressible, so
+    the whole composition has a DuckDB oracle (``levenshtein``).
+    """
+    pairs = q_ngram_jaccard(sf_dir, n=n, threshold=threshold)[["doc_a", "doc_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "edit_dist": pd.Series(dtype="int64"),
+            }
+        )
+    import ray
+    import pyarrow.dataset as pads
+
+    need = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]]))
+    texts = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(pa.array(need, pa.int64())),
+        )
+        .to_pandas()
+    )
+    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(text_ref)
+        df = df.copy()
+        df["edit_dist"] = [
+            _levenshtein((tx[a] or "").encode(), (tx[b] or "").encode())
+            for a, b in zip(df["doc_a"], df["doc_b"])
+        ]
+        return df.astype({"edit_dist": "int64"})
+
+    out = rd.from_pandas(pairs).map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
