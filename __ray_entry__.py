@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi": T.q_term_pmi,
         # ngram-Jaccard near-dup pairs annotated with exact Levenshtein
         "edit_distance_dups": T.q_edit_distance_dups,
+        # oracle-checked HyperLogLog distinct sketch (monoid registers)
+        "hll_distinct": R.q_hll_distinct,
+        # PIVOT as conditional aggregation (wide band-count matrix)
+        "lang_length_pivot": T.q_lang_length_pivot,
         "event_type_stats": R.q_event_type_stats,
         "cdc_upsert_events": R.q_cdc_upsert_events,
         # time travel + change feed, driver-visible (engine §2.9 analogs)
@@ -929,6 +933,44 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                   >= 0.5
             order by doc_a, doc_b
+        """,
+        "hll_distinct": """
+            with u as (
+              select distinct cast(year(o_orderdate) as bigint) as y,
+                              o_custkey as k
+              from orders),
+            h as (select y, md5_number_lower(cast(k as varchar)) as h from u),
+            b as (select y, cast(h >> 56 as bigint) as j,
+                         h & 72057594037927935 as w
+                  from h),
+            r as (select y, j,
+                         max(case when w = 0 then 57
+                             else 56 - length(bin(w)) + 1 end) as rho
+                  from b group by 1, 2),
+            reg as (select yy.y, g.j, coalesce(r.rho, 0) as rho
+                    from (select distinct y from r) yy
+                    cross join (select unnest(range(256)) as j) g
+                    left join r on r.y = yy.y and r.j = g.j),
+            s as (select y,
+                         sum(cast(1::bigint << (57 - rho) as hugeint)) as S
+                  from reg group by 1)
+            select y as o_year,
+                   round((0.7213 / (1 + 1.079 / 256)) * 65536
+                         * 144115188075855872 / cast(S as double), 4)
+                     as hll_distinct
+            from s order by o_year
+        """,
+        "lang_length_pivot": r"""
+            with t as (
+              select lang,
+                     len(regexp_split_to_array(trim(text), '\s+')) as n
+              from documents)
+            select lang,
+                   cast(count(*) filter (n < 50) as bigint) as n_short,
+                   cast(count(*) filter (n >= 50 and n < 200) as bigint) as n_medium,
+                   cast(count(*) filter (n >= 200) as bigint) as n_long,
+                   cast(sum(n) as bigint) as n_tokens
+            from t group by lang order by lang
         """,
         "edit_distance_dups": r"""
             with t as (

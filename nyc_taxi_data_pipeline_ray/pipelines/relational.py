@@ -1393,3 +1393,82 @@ def q_customers_no_orders(sf_dir: str, *, since: str = "2000-01-01") -> pd.DataF
 
     df = joined.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
     return df.sort_values("c_custkey", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (branch-free binary
+    search; ``log2`` would mis-round above 2**53)."""
+    bl = np.zeros(len(w), np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << shift)
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[w > 0] += 1
+    return bl
+
+
+def q_hll_distinct(sf_dir: str, *, p: int = 8) -> pd.DataFrame:
+    """HyperLogLog distinct-customer estimate per year — the mergeable
+    cardinality sketch (Flajolet et al. 2007) a 100 TB pipeline uses
+    where an exact count-distinct would shuffle every key: each block
+    reduces to at most ``years x 2^p`` register partials (bucket j =
+    top ``p`` hash bits, rho = leading-zero rank of the rest), partials
+    merge by elementwise MAX (a commutative monoid — combiner-safe,
+    re-mergeable across epochs), and only registers ever move.
+
+    Deterministic AND oracle-checked: the hash is DuckDB's
+    ``md5_number_lower`` (LE uint64 of md5 bytes [8:16)), rho is exact
+    integer bit-length (no libm), and the harmonic sum is computed in
+    EXACT integers scaled by 2^57 (hugeint in SQL, Python int here), so
+    the estimator is a bit-identical function of the input set in both
+    engines.  Standard-regime estimator (yearly cardinality > 2.5m by
+    design; the linear-counting small-range branch would need libm
+    ``ln``).  Accuracy ~1.04/sqrt(2^p) ~ 6.5% at p=8 (pytest-bounded).
+    """
+    import hashlib as _hl
+    import struct as _st
+
+    m = 1 << p
+    wbits = 64 - p
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64()).to_numpy(zero_copy_only=False)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([y, k]), axis=1)
+        uk, inv = np.unique(pairs[1], return_inverse=True)
+        h = np.array(
+            [
+                _st.unpack("<Q", _hl.md5(str(int(x)).encode()).digest()[8:])[0]
+                for x in uk
+            ],
+            dtype=np.uint64,
+        )[inv]
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & np.uint64((1 << wbits) - 1)
+        rho = np.where(w > 0, wbits - _bit_length_u64(w) + 1, wbits + 1)
+        df = pd.DataFrame({"y": pairs[0], "j": bucket, "rho": rho})
+        reg = df.groupby(["y", "j"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(reg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = parts.groupby(["y", "j"], as_index=False)["rho"].max()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_y, out_est = [], []
+    for y, g in regs.groupby("y", sort=True):
+        rho = np.zeros(m, np.int64)
+        rho[g["j"].to_numpy()] = g["rho"].to_numpy()
+        s = sum(1 << (wbits + 1 - int(r)) for r in rho)  # sum 2^-rho scaled 2^57
+        est = alpha * (m * m) * float(1 << (wbits + 1)) / float(s)
+        out_y.append(int(y))
+        out_est.append(est)
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    return pd.DataFrame(
+        {
+            "o_year": pd.Series(out_y, dtype="int64"),
+            "hll_distinct": round_half_away(np.array(out_est), 4),
+        }
+    )

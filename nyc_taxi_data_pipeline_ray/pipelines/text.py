@@ -2274,3 +2274,38 @@ def q_edit_distance_dups(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> 
 
     out = rd.from_pandas(pairs).map_batches(verify, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_lang_length_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT to a wide matrix: per language, document counts in three
+    token-length bands plus total tokens — the conditional-aggregation
+    form of PIVOT (fixed output columns), which is the only shape that
+    distributes without a schema-changing shuffle: each band column is
+    an additive ``count where`` the map-side combiner folds like any
+    other sum.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff((offsets - offsets[0]).astype(np.int64))
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "n_short": (n < 50).astype(np.int64),
+                "n_medium": ((n >= 50) & (n < 200)).astype(np.int64),
+                "n_long": (n >= 200).astype(np.int64),
+                "n_tokens": n,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).sum().sort_values("lang", ignore_index=True)
+    return out.astype(
+        {"n_short": "int64", "n_medium": "int64", "n_long": "int64", "n_tokens": "int64"}
+    )
