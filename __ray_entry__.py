@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_dups": T.q_edit_distance_dups,
         # oracle-checked HyperLogLog distinct sketch (monoid registers)
         "hll_distinct": R.q_hll_distinct,
+        # ordered-sequence funnel (view -> click -> purchase per user)
+        "funnel": R.q_funnel,
         # PIVOT as conditional aggregation (wide band-count matrix)
         "lang_length_pivot": T.q_lang_length_pivot,
         "event_type_stats": R.q_event_type_stats,
@@ -959,6 +961,24 @@ def oracle_sql() -> dict[str, str]:
                          * 144115188075855872 / cast(S as double), 4)
                      as hll_distinct
             from s order by o_year
+        """,
+        "funnel": """
+            with s1 as (
+              select user_id, min(ts) as t1 from events
+              where event_type = 'view' group by 1),
+            s2 as (
+              select e.user_id, min(e.ts) as t2 from events e
+              join s1 on s1.user_id = e.user_id
+              where e.event_type = 'click' and e.ts > s1.t1 group by 1),
+            s3 as (
+              select e.user_id, min(e.ts) as t3 from events e
+              join s2 on s2.user_id = e.user_id
+              where e.event_type = 'purchase' and e.ts > s2.t2 group by 1)
+            select 'view' as stage, cast((select count(*) from s1) as bigint) as n_users
+            union all
+            select 'click', cast((select count(*) from s2) as bigint)
+            union all
+            select 'purchase', cast((select count(*) from s3) as bigint)
         """,
         "lang_length_pivot": r"""
             with t as (

@@ -1472,3 +1472,60 @@ def q_hll_distinct(sf_dir: str, *, p: int = 8) -> pd.DataFrame:
             "hll_distinct": round_half_away(np.array(out_est), 4),
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel: how many users did view -> click ->
+    purchase in strict temporal order (each later stage strictly after
+    the user's EARLIEST completion of the prior stage).  The product-
+    analytics sequence-match pattern, and the shape that breaks naive
+    SQL at scale (three self-joins over the full event log).
+
+    Here it's one user-hash bucket shuffle of only the three relevant
+    event types (pushed-down read filter): each bucket task holds every
+    retained event of its users and resolves all three stages with
+    vectorized merges (min-per-user cascade) — no self-join, no
+    whole-log task, partial stage counts are additive.
+    """
+    import pyarrow.dataset as pads
+
+    NB = 32
+    stages = ["view", "click", "purchase"]
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(stages),
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("bucket", b)
+
+    def count_stages(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t1")
+        )
+        c = df[df["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = c[c["ts"] > c["t1"]].groupby("user_id")["ts"].min().rename("t2")
+        p = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "stage": stages,
+                "n_users": np.array([len(t1), len(t2), len(t3)], np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_stages, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    out["ord"] = out["stage"].map({s: i for i, s in enumerate(stages)})
+    out = out.sort_values("ord", ignore_index=True).drop(columns="ord")
+    return out.astype({"n_users": "int64"})
