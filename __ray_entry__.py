@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": R.q_hll_distinct,
         # ordered-sequence funnel (view -> click -> purchase per user)
         "funnel": R.q_funnel,
+        # UNPIVOT: wide band matrix melted back to long rows
+        "unpivot_bands": R.q_unpivot_bands,
+        # one-pass distributed Pearson corr from additive moment partials
+        "value_correlation": R.q_value_correlation,
         # PIVOT as conditional aggregation (wide band-count matrix)
         "lang_length_pivot": T.q_lang_length_pivot,
         "event_type_stats": R.q_event_type_stats,
@@ -961,6 +965,34 @@ def oracle_sql() -> dict[str, str]:
                          * 144115188075855872 / cast(S as double), 4)
                      as hll_distinct
             from s order by o_year
+        """,
+        "unpivot_bands": r"""
+            with t as (
+              select lang,
+                     len(regexp_split_to_array(trim(text), '\s+')) as n
+              from documents),
+            b as (
+              select lang,
+                     case when n < 50 then 'short'
+                          when n < 200 then 'medium'
+                          else 'long' end as band
+              from t)
+            select lang, band, cast(count(*) as bigint) as n_docs
+            from b group by 1, 2 order by lang, band
+        """,
+        "value_correlation": """
+            with s as (
+              select event_type, count(*) as n, sum(value) as sx,
+                     sum(cast(hour(ts) as double)) as sy,
+                     sum(value * value) as sxx,
+                     sum(cast(hour(ts) as double) * cast(hour(ts) as double)) as syy,
+                     sum(value * cast(hour(ts) as double)) as sxy
+              from events group by 1)
+            select event_type, cast(n as bigint) as n,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                     as corr_value_hour
+            from s order by event_type
         """,
         "funnel": """
             with s1 as (

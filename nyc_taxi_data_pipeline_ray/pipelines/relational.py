@@ -1529,3 +1529,86 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     out["ord"] = out["stage"].map({s: i for i, s in enumerate(stages)})
     out = out.sort_values("ord", ignore_index=True).drop(columns="ord")
     return out.astype({"n_users": "int64"})
+
+
+# --------------------------------------------------------------------------
+def q_unpivot_bands(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long melt): the wide lang x length-band count
+    matrix (``q_lang_length_pivot``) re-expressed as (lang, band,
+    n_docs) long rows.  Melt is a pure per-batch reshape — width x rows
+    output, no shuffle of its own — so it composes with any wide
+    producer; pivot -> unpivot round-tripping is the schema-bridge
+    every mart/export layer needs.
+    """
+    from nyc_taxi_data_pipeline_ray.pipelines.text import q_lang_length_pivot
+
+    wide = q_lang_length_pivot(sf_dir)
+    long = wide.melt(
+        id_vars=["lang"],
+        value_vars=["n_short", "n_medium", "n_long"],
+        var_name="band",
+        value_name="n_docs",
+    )
+    long["band"] = long["band"].str.removeprefix("n_")
+    long["n_docs"] = long["n_docs"].astype("int64")
+    # group-by semantics: absent (lang, band) combinations emit no row
+    long = long[long["n_docs"] > 0]
+    return long.sort_values(["lang", "band"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_value_correlation(sf_dir: str) -> pd.DataFrame:
+    """One-pass distributed Pearson correlation per group: corr(value,
+    hour-of-day) per event_type from ADDITIVE moment partials (n, sx,
+    sy, sxx, syy, sxy) — the textbook parallel-corr decomposition, so
+    the exchange is one combiner row per (block, type) and the driver
+    does a 6-column fold.  The oracle computes the SAME closed-form
+    from SQL ``sum()``s (not DuckDB's Welford ``corr()``) so both
+    engines round the identical expression.
+    """
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["value"]
+        y = pc.cast(pc.hour(t["ts"]), pa.float64())
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return g.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ([], "count_all")]
+        )
+
+    df = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {
+            "n": ("count_all", "sum"),
+            "sx": ("x_sum", "sum"),
+            "sy": ("y_sum", "sum"),
+            "sxx": ("xx_sum", "sum"),
+            "syy": ("yy_sum", "sum"),
+            "sxy": ("xy_sum", "sum"),
+        },
+    )
+    n = df["n"].astype(float)
+    num = n * df["sxy"] - df["sx"] * df["sy"]
+    den = np.sqrt(n * df["sxx"] - df["sx"] ** 2) * np.sqrt(n * df["syy"] - df["sy"] ** 2)
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "corr_value_hour": round_half_away((num / den).to_numpy(), 6),
+        }
+    )
+    return out.sort_values("event_type", ignore_index=True)
