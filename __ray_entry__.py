@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": R.q_funnel,
         # UNPIVOT: wide band matrix melted back to long rows
         "unpivot_bands": R.q_unpivot_bands,
+        # running-record screen (2-pass distributed prefix-max scan)
+        "record_events": R.q_record_events,
         # one-pass distributed Pearson corr from additive moment partials
         "value_correlation": R.q_value_correlation,
         # PIVOT as conditional aggregation (wide band-count matrix)
@@ -965,6 +967,17 @@ def oracle_sql() -> dict[str, str]:
                          * 144115188075855872 / cast(S as double), 4)
                      as hll_distinct
             from s order by o_year
+        """,
+        "record_events": """
+            with w as (
+              select event_id, ts, value,
+                     max(value) over (order by event_id
+                                      rows between unbounded preceding
+                                      and 1 preceding) as wm
+              from events)
+            select event_id, ts, value from w
+            where wm is null or value > wm
+            order by event_id
         """,
         "unpivot_bands": r"""
             with t as (

@@ -1612,3 +1612,66 @@ def q_value_correlation(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_record_events(sf_dir: str, *, bucket_size: int = 4096) -> pd.DataFrame:
+    """Running-record detection: events whose ``value`` strictly exceeds
+    every EARLIER event's value (arrival order = ``event_id``) — the
+    prefix-scan shape of streaming watermarking / high-water-mark
+    tracking (the test events arrive time-ordered, so a ts watermark is
+    vacuous; the value record-chain exercises the identical machinery
+    with a non-empty answer).
+
+    A global running-max is a prefix scan, not a shuffle: arrival order
+    is carved into contiguous ``event_id`` ranges (``id // bucket_size``
+    — deterministic, no sort), pass 1 reduces each range to its max
+    value (combiner row per block x range), the driver exclusive-scans
+    those tiny maxes into per-range carries, and pass 2 re-scans with
+    the carries broadcast, flagging inside each range vectorized
+    (``np.maximum.accumulate``).  Two linear passes; the exchange is
+    one row per range.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def range_max(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "rng": pc.cast(
+                    pc.divide(t["event_id"], pa.scalar(bucket_size, pa.int64())),
+                    pa.int64(),
+                ),
+                "value": t["value"],
+            }
+        )
+        return g.group_by("rng").aggregate([("value", "max")])
+
+    parts = ds.map_batches(range_max, batch_format="pyarrow").to_pandas()
+    rmax = parts.groupby("rng")["value_max"].max().sort_index()
+    carry = rmax.cummax().shift(1)  # max value of all EARLIER ranges
+    carry_map = {int(r): (float(c) if pd.notna(c) else -np.inf) for r, c in carry.items()}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", ignore_index=True)
+        v = df["value"].to_numpy()
+        prev = np.empty_like(v)
+        prev[0] = carry_map.get(int(df["rng"].iat[0]), -np.inf)
+        if len(v) > 1:
+            np.maximum.accumulate(v[:-1], out=prev[1:])
+            np.maximum(prev[1:], prev[0], out=prev[1:])
+        rec = v > prev
+        return df.loc[rec, ["event_id", "ts", "value"]]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rng",
+            pc.cast(pc.divide(t["event_id"], pa.scalar(bucket_size, pa.int64())), pa.int64()),
+        )
+
+    flagged = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    return flagged.sort_values("event_id", ignore_index=True)
