@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all 16 IVF cells = exhaustive scan) — full brute-force oracle
         "ann_lsh_exhaustive": lambda sf: A.q_ann_lsh(sf, n_planes=0, n_tables=1),
         "ann_ivf_exhaustive": lambda sf: A.q_ann_ivf(sf, nprobe=16),
+        # per-label vector centroid (mean-pool) from long-form partials
+        "label_centroids": A.q_label_centroids,
         # multimodal plumbing (stubbed decode)
         "media_features": M.q_media_features,        # rows-only (synthetic)
         "filter_project": R.q_filter_project,
@@ -244,6 +246,16 @@ def oracle_sql() -> dict[str, str]:
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        "label_centroids": """
+            with x as (
+              select label, i as dim, embedding[i] as e
+              from embeddings,
+                   (select unnest(range(1, 65)) as i) g
+              where i <= len(embedding))
+            select cast(label as bigint) as label, cast(dim as bigint) as dim,
+                   round(sum(cast(e as double)) / count(*), 6) as centroid
+            from x group by 1, 2 order by label, dim
         """,
         "ann_bruteforce": """
             with q as (select vec_id as qid, cast(embedding as double[]) as qe

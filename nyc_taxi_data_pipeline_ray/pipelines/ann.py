@@ -300,3 +300,50 @@ def q_ann_ivf(
 
     df = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
     return df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (vector mean-pool) — the class-
+    prototype / cluster-center aggregate behind nearest-centroid
+    classification and IVF coarse quantizers.  A vector SUM is
+    elementwise-additive, so each block reduces to one (label, dim-sum
+    vector, count) partial — emitted LONG (label, dim, s) so the
+    exchange is labels x dims rows per block regardless of N — and the
+    driver folds partials and divides once.
+    """
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv)
+        L, D = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, D).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(1, D + 1), L)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, D).astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    out = pd.DataFrame(
+        {
+            "label": agg["label"].astype("int64"),
+            "dim": agg["dim"].astype("int64"),
+            "centroid": round_half_away((agg["s"] / agg["n"]).to_numpy(), 6),
+        }
+    )
+    return out.sort_values(["label", "dim"], ignore_index=True)
