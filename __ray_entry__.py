@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_bands": R.q_unpivot_bands,
         # running-record screen (2-pass distributed prefix-max scan)
         "record_events": R.q_record_events,
+        # sliding-window distinct users via interval-coverage deltas
+        "rolling_mau": R.q_rolling_mau,
         # one-pass distributed Pearson corr from additive moment partials
         "value_correlation": R.q_value_correlation,
         # PIVOT as conditional aggregation (wide band-count matrix)
@@ -979,6 +981,19 @@ def oracle_sql() -> dict[str, str]:
                          * 144115188075855872 / cast(S as double), 4)
                      as hll_distinct
             from s order by o_year
+        """,
+        "rolling_mau": """
+            with d as (select distinct ts::date as day from events),
+            spine as (
+              select unnest(generate_series(
+                  (select min(day) from d),
+                  (select max(day) from d),
+                  interval 1 day))::date as day)
+            select cast(s.day as timestamp) as day,
+                   cast((select count(distinct e.user_id) from events e
+                         where e.ts::date between s.day - 6 and s.day)
+                        as bigint) as mau_7d
+            from spine s order by day
         """,
         "record_events": """
             with w as (

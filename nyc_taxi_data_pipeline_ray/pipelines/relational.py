@@ -1675,3 +1675,88 @@ def q_record_events(sf_dir: str, *, bucket_size: int = 4096) -> pd.DataFrame:
         .to_pandas()
     )
     return flagged.sort_values("event_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_rolling_mau(sf_dir: str, *, window_days: int = 7) -> pd.DataFrame:
+    """Sliding-window distinct users (rolling 7-day MAU) — the windowed
+    COUNT DISTINCT that naive engines re-scan once per day.  Here it is
+    three bounded steps with no per-day rescan:
+
+    1. per-block DISTINCT (user, day) pairs (combiner);
+    2. user-hash bucket shuffle; each bucket merges every user's
+       activity days into coverage intervals [d, d+W-1] (vectorized
+       gap-split on the sorted frame — a user counted on day t iff some
+       activity day lies in [t-W+1, t]) and emits +1/-1 DELTAS at
+       interval starts/ends — output is O(active intervals), and each
+       day's count is no longer a distinct problem;
+    3. deltas are additive (combiner), the driver folds days x 2 rows
+       and one prefix-sum over the day spine yields every day's MAU.
+
+    The same shape answers any sliding-distinct (rolling DAU/WAU,
+    trailing-28d active repos, ...) — the interval trick turns window
+    distinct into interval coverage counting.
+    """
+    W = window_days
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        day = pc.divide(day, pa.scalar(86_400_000_000, pa.int64()))  # us -> days
+        g = pa.table({"user_id": t["user_id"], "day": day}).group_by(
+            ["user_id", "day"]
+        ).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(g["user_id"], pa.scalar(31, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], ignore_index=True
+        )
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        new_iv = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (d[1:] > d[:-1] + W - 1)]
+        )
+        starts = d[new_iv]
+        # interval end = last activity day of the run + W - 1
+        iv_id = np.cumsum(new_iv) - 1
+        last = np.zeros(iv_id[-1] + 1, np.int64)
+        np.maximum.at(last, iv_id, d)
+        ends = last + W - 1
+        return pd.DataFrame(
+            {
+                "day": np.concatenate([starts, ends + 1]),
+                "delta": np.concatenate(
+                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+                ),
+                "max_act": np.full(2 * len(starts), d.max(), np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deltas, batch_format="pandas")
+        .to_pandas()
+    )
+    lo = int(parts.loc[parts["delta"] > 0, "day"].min())
+    hi = int(parts["max_act"].max())
+    fold = parts.groupby("day")["delta"].sum()
+    spine = np.arange(lo, hi + 1)
+    dd = np.zeros(len(spine), np.int64)
+    idx = fold.index.to_numpy() - lo
+    keep = (idx >= 0) & (idx < len(spine))
+    dd[idx[keep]] = fold.to_numpy()[keep]
+    # deltas landing before the spine (none: starts are activity days)
+    mau = np.cumsum(dd)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(spine * 86_400_000_000_000, unit="ns").astype(
+                "datetime64[us]"
+            ),
+            "mau_7d": mau.astype("int64"),
+        }
+    )
