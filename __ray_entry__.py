@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": lambda sf: A.q_ann_ivf(sf, nprobe=16),
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
+        # iterative Lloyd's k-means (2 rounds), streaming assignment
+        "kmeans_assign": A.q_kmeans_assign,
         # multimodal plumbing (stubbed decode)
         "media_features": M.q_media_features,        # rows-only (synthetic)
         "filter_project": R.q_filter_project,
@@ -248,6 +250,37 @@ def oracle_sql() -> dict[str, str]:
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        "kmeans_assign": """
+            with v as (select vec_id, cast(embedding as double[]) as e
+                       from embeddings),
+            c0 as (select vec_id as cid, e from v where vec_id < 8),
+            a1 as (select v.vec_id, v.e,
+                     (select c.cid from c0 c
+                      order by list_distance(v.e, c.e), c.cid limit 1) as cid
+                   from v),
+            c1m as (select a1.cid, g.i as dim, avg(a1.e[g.i]) as av
+                    from a1, (select unnest(range(1, 65)) as i) g
+                    group by 1, 2),
+            c1 as (select c0.cid, coalesce(cm.e, c0.e) as e
+                   from c0 left join
+                     (select cid, list(av order by dim) as e
+                      from c1m group by cid) cm on cm.cid = c0.cid),
+            a2 as (select v.vec_id, v.e,
+                     (select c.cid from c1 c
+                      order by list_distance(v.e, c.e), c.cid limit 1) as cid
+                   from v),
+            c2m as (select a2.cid, g.i as dim, avg(a2.e[g.i]) as av
+                    from a2, (select unnest(range(1, 65)) as i) g
+                    group by 1, 2),
+            c2 as (select c0.cid, coalesce(cm.e, c0.e) as e
+                   from c0 left join
+                     (select cid, list(av order by dim) as e
+                      from c2m group by cid) cm on cm.cid = c0.cid)
+            select v.vec_id,
+                   (select c.cid from c2 c
+                    order by list_distance(v.e, c.e), c.cid limit 1) as cluster
+            from v order by vec_id
         """,
         "label_centroids": """
             with x as (

@@ -347,3 +347,77 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["label", "dim"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_kmeans_assign(sf_dir: str, *, k: int = 8, iters: int = 2) -> rd.Dataset:
+    """Distributed k-means (Lloyd's) cluster assignment — the iterative
+    template every EM-style algorithm on this engine follows: per
+    iteration, ONE streaming pass assigns each vector to its nearest
+    centroid and reduces to long (cid, dim, s, n) partials (the same
+    additive shape as :func:`q_label_centroids` — k x d rows per block);
+    the driver folds partials into new centroids (k x d doubles,
+    re-broadcast through the closure), and the Dataset is re-scanned,
+    never materialized.  Init is deterministic (vec_id < k, pruned
+    read); ``iters`` fixed rounds, then a final assignment pass streams
+    (vec_id, cluster) out.
+
+    Fully oracle-checked: the SQL mirror unrolls the same ``iters``
+    Lloyd rounds with ``list_distance`` + per-dim ``avg``; ties broken
+    by centroid id in both engines.
+    """
+    _, cent = _vectors_where_id_below(sf_dir, k)  # k x d, ordered by vec_id
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # squared Euclidean argmin; ties -> lowest cid (argmin first-hit)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    for _ in range(iters):
+        c = cent.copy()
+
+        def partial(t: pa.Table, c=c) -> pa.Table:
+            mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            cid = assign(mat, c)
+            sums = np.zeros((k, mat.shape[1]))
+            np.add.at(sums, cid, mat)
+            cnt = np.bincount(cid, minlength=k)
+            D = mat.shape[1]
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(np.arange(k), D).astype(np.int64)),
+                    "dim": pa.array(np.tile(np.arange(D), k)),
+                    "s": pa.array(sums.reshape(-1)),
+                    "n": pa.array(np.repeat(cnt, D).astype(np.int64)),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby(["cid", "dim"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        agg = agg.sort_values(["cid", "dim"], ignore_index=True)
+        ncent = cent.copy()  # empty clusters keep their old centroid
+        sums = agg["s"].to_numpy().reshape(k, -1)
+        cnts = agg["n"].to_numpy().reshape(k, -1)
+        nonempty = cnts[:, 0] > 0
+        ncent[nonempty] = sums[nonempty] / cnts[nonempty]
+        cent = ncent
+
+    cfin = cent
+
+    def final(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(assign(mat, cfin).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")
