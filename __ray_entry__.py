@@ -160,6 +160,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.q_sessionize,
         "asof_join": R.q_asof_join,
         "value_percentiles": R.q_value_percentiles,
+        # per-group OLS fit from additive moment partials
+        "value_regression": R.q_value_regression,
+        # event-type-mix Shannon entropy per hour (drift monitor)
+        "hour_entropy": R.q_hour_entropy,
+        # first-order Markov transition counts (bounded user buckets)
+        "event_transitions": R.q_event_transitions,
+        # GROUP BY CUBE from one set of finest partials
+        "cube_revenue": R.q_cube_revenue,
+        # per-group z-score standardization, streaming 2-pass
+        "zscore_values": R.q_zscore_values,
     }
 
 
@@ -1142,5 +1152,70 @@ def oracle_sql() -> dict[str, str]:
               select reach.a, e.b from reach join e on reach.b = e.a)
             select a as doc_id, least(a, min(b)) as cluster_id
             from reach group by a order by doc_id
+        """,
+        "value_regression": """
+            with s as (
+              select event_type, count(*) as n,
+                     sum(cast(hour(ts) as double)) as sx,
+                     sum(value) as sy,
+                     sum(cast(hour(ts) as double) * cast(hour(ts) as double)) as sxx,
+                     sum(value * value) as syy,
+                     sum(cast(hour(ts) as double) * value) as sxy
+              from events group by 1)
+            select event_type, cast(n as bigint) as n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                     as intercept,
+                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+            from s order by event_type
+        """,
+        "hour_entropy": """
+            with c as (
+              select cast(hour(ts) as bigint) as hour, event_type, count(*) as n
+              from events group by 1, 2),
+            w as (
+              select hour, n,
+                     cast(n as double) / sum(n) over (partition by hour) as p
+              from c)
+            select hour, cast(sum(n) as bigint) as n_events,
+                   round(-sum(p * ln(p)), 6) as type_entropy
+            from w group by 1 order by 1
+        """,
+        "event_transitions": """
+            with o as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                       partition by user_id order by ts, event_id) as next_type
+              from events)
+            select event_type as prev_type, next_type, cast(count(*) as bigint) as n
+            from o where next_type is not null
+            group by 1, 2 order by 1, 2
+        """,
+        "cube_revenue": """
+            with f as (
+              select cast(year(o_orderdate) as bigint) as y, o_orderpriority as p,
+                     sum(o_totalprice) as revenue, count(*) as n
+              from orders group by 1, 2)
+            select coalesce(cast(y as varchar), 'ALL') as year_label,
+                   coalesce(p, 'ALL') as priority_label,
+                   round(sum(revenue), 2) as revenue,
+                   cast(sum(n) as bigint) as n_orders
+            from f group by cube (y, p)
+            order by year_label, priority_label
+        """,
+        "zscore_values": """
+            with s as (
+              select event_type, count(*) as n, sum(value) as sx,
+                     sum(value * value) as sxx
+              from events group by 1),
+            m as (
+              select event_type, sx / n as mu,
+                     sqrt(sxx / n - (sx / n) * (sx / n)) as sd
+              from s)
+            select e.event_id, e.event_type,
+                   round((e.value - m.mu) / m.sd, 4) as zscore
+            from events e join m using (event_type)
+            order by e.event_id
         """,
     }

@@ -1760,3 +1760,271 @@ def q_rolling_mau(sf_dir: str, *, window_days: int = 7) -> pd.DataFrame:
             "mau_7d": mau.astype("int64"),
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_value_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-group ordinary-least-squares fit (value ~ hour-of-day) from
+    the same ADDITIVE moment partials as :func:`q_value_correlation`:
+    slope, intercept and r² are closed forms over (n, Σx, Σy, Σx², Σy²,
+    Σxy), so the distributed part is one combiner row per (block, type)
+    and the driver does a 6-column fold — the classic way to train a
+    per-segment linear model over 100 TB without ever shuffling raw
+    rows.  The oracle evaluates the IDENTICAL closed-form expressions
+    from SQL ``sum()``s so both engines round the same arithmetic.
+    """
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.hour(t["ts"]), pa.float64())
+        y = t["value"]
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return g.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ([], "count_all")]
+        )
+
+    df = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {
+            "n": ("count_all", "sum"),
+            "sx": ("x_sum", "sum"),
+            "sy": ("y_sum", "sum"),
+            "sxx": ("xx_sum", "sum"),
+            "syy": ("yy_sum", "sum"),
+            "sxy": ("xy_sum", "sum"),
+        },
+    )
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    n = df["n"].astype(float).to_numpy()
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, syy, sxy = df["sxx"].to_numpy(), df["syy"].to_numpy(), df["sxy"].to_numpy()
+    cov = n * sxy - sx * sy
+    slope = cov / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "slope": round_half_away(slope, 6),
+            "intercept": round_half_away(intercept, 6),
+            "r2": round_half_away(r2, 6),
+        }
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_hour_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the event-type mix per hour-of-day — the
+    distribution-drift / diversity metric a streaming quality monitor
+    tracks.  Counts per (hour, type) are a map-side combiner (tiny
+    fixed cardinality: 24 x |types|); the driver folds partial counts
+    and evaluates ``-Σ p·ln p`` from EXACT integer ratios, so the only
+    float work happens once on the final 24-row table.
+    """
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+        return g.group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+
+    counts = _combine(
+        ds, partial, ["hour", "event_type"], {"n": ("count_all", "sum")}
+    )
+    tot = counts.groupby("hour")["n"].transform("sum")
+    p = counts["n"].to_numpy(float) / tot.to_numpy(float)
+    counts["term"] = p * np.log(p)
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    out = counts.groupby("hour", as_index=False).agg(
+        n_events=("n", "sum"), neg_ent=("term", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "hour": out["hour"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+            "type_entropy": round_half_away(-out["neg_ent"].to_numpy(), 6),
+        }
+    ).sort_values("hour", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_event_transitions(sf_dir: str, *, n_buckets: int = 256) -> pd.DataFrame:
+    """First-order Markov transition counts: for each user's event
+    stream ordered by (ts, event_id), count consecutive
+    (prev_type -> next_type) pairs globally — the session-flow /
+    next-action model a product-analytics pipeline fits.
+
+    Per-user ordering without a per-user shuffle: users are hashed into
+    ``n_buckets`` bounded buckets (every user's rows land in ONE
+    bucket), each bucket task lexsorts its rows by (user, ts, id) with
+    numpy and counts adjacent same-user pairs vectorized; only
+    |types|² partial-count rows per bucket leave the workers and the
+    driver folds them.  Task size tracks bucket size (corpus/n_buckets),
+    never corpus size.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # n_buckets is a power of two: id & (n-1) == id % n
+        b = pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1, pa.int64()))
+        return t.append_column("bucket", b)
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                df["event_id"].to_numpy(),
+                df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                df["user_id"].to_numpy(),
+            )
+        )
+        uid = df["user_id"].to_numpy()[order]
+        typ = df["event_type"].to_numpy()[order]
+        same = uid[:-1] == uid[1:]
+        pairs = pd.DataFrame(
+            {"prev_type": typ[:-1][same], "next_type": typ[1:][same]}
+        )
+        out = pairs.value_counts(["prev_type", "next_type"]).reset_index(name="n")
+        return out
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["prev_type", "next_type"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (year, order-priority): all four grouping sets —
+    (year, priority), year subtotals, priority subtotals, grand total —
+    derived from ONE set of finest-level map-side partials (the cube
+    lattice is additive, so coarser cells re-aggregate the finest
+    cells; nothing is rescanned and only tiny partials move).  String
+    labels with ``'ALL'`` mark rolled-up axes, as in
+    :func:`q_rollup_revenue`.
+    """
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+        return g.group_by(["o_year", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+
+    fine = _combine(
+        ds,
+        partial,
+        ["o_year", "o_orderpriority"],
+        {"revenue": ("o_totalprice_sum", "sum"), "n_orders": ("count_all", "sum")},
+    )
+    yearly = fine.groupby("o_year", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    priority = fine.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    grand = pd.DataFrame(
+        {"revenue": [fine["revenue"].sum()], "n_orders": [fine["n_orders"].sum()]}
+    )
+    fine["year_label"] = fine["o_year"].astype(str)
+    fine["priority_label"] = fine["o_orderpriority"]
+    yearly["year_label"] = yearly["o_year"].astype(str)
+    yearly["priority_label"] = "ALL"
+    priority["year_label"] = "ALL"
+    priority["priority_label"] = priority["o_orderpriority"]
+    grand["year_label"] = "ALL"
+    grand["priority_label"] = "ALL"
+    cols = ["year_label", "priority_label", "revenue", "n_orders"]
+    out = pd.concat(
+        [fine[cols], yearly[cols], priority[cols], grand[cols]], ignore_index=True
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["year_label", "priority_label"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_zscore_values(sf_dir: str) -> rd.Dataset:
+    """Per-group feature standardization: z-score of ``value`` within
+    its event_type — the normalize-before-training step of every ML
+    feature pipeline, done the scale-safe way: pass 1 is a map-side
+    moment combiner (one row per block x type), the tiny (type -> mu,
+    sd) table is baked into the pass-2 closure (broadcast once with the
+    function, not per batch), and pass 2 is a streaming vectorized
+    transform returning a Dataset — no shuffle, no materialization.
+    Population sd from the closed form sqrt(Σx²/n − mu²), mirrored
+    exactly in the oracle SQL.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": t["value"],
+                "xx": pc.multiply(t["value"], t["value"]),
+            }
+        )
+        return g.group_by("event_type").aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+
+    stats = _combine(
+        ds,
+        partial,
+        ["event_type"],
+        {"n": ("count_all", "sum"), "sx": ("x_sum", "sum"), "sxx": ("xx_sum", "sum")},
+    )
+    mu = stats["sx"].to_numpy() / stats["n"].to_numpy(float)
+    sd = np.sqrt(stats["sxx"].to_numpy() / stats["n"].to_numpy(float) - mu * mu)
+    table = {t: (m, s) for t, m, s in zip(stats["event_type"], mu, sd)}
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    def transform(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(types)
+        mus = np.array([table[u][0] for u in uniq])[codes]
+        sds = np.array([table[u][1] for u in uniq])[codes]
+        z = (t["value"].to_numpy() - mus) / sds
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "zscore": pa.array(round_half_away(z, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")
