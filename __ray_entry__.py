@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": R.q_cube_revenue,
         # per-group z-score standardization, streaming 2-pass
         "zscore_values": R.q_zscore_values,
+        # MODE / arg-max aggregate over a bounded domain
+        "mode_priority": R.q_mode_priority,
+        # ordered string_agg of distinct values per group
+        "source_lists": R.q_source_lists,
+        # equi-width histogram, 2-pass min/max + bin combiner
+        "value_histogram": R.q_value_histogram,
+        # RE2 capture-group extraction, streaming
+        "extract_source_num": R.q_extract_source_num,
     }
 
 
@@ -1217,5 +1225,40 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - m.mu) / m.sd, 4) as zscore
             from events e join m using (event_type)
             order by e.event_id
+        """,
+        "mode_priority": """
+            with c as (
+              select cast(year(o_orderdate) as bigint) as o_year, o_orderpriority,
+                     count(*) as n
+              from orders group by 1, 2),
+            r as (
+              select *, row_number() over (
+                partition by o_year order by n desc, o_orderpriority) as rn
+              from c)
+            select o_year, o_orderpriority as mode_priority, cast(n as bigint) as n
+            from r where rn = 1 order by o_year
+        """,
+        "source_lists": """
+            with d as (select distinct lang, source from documents)
+            select lang, cast(count(*) as bigint) as n_sources,
+                   string_agg(source, ',' order by source) as sources
+            from d group by lang order by lang
+        """,
+        "value_histogram": """
+            with mm as (
+              select min(value) as lo, max(value) as hi from events),
+            b as (
+              select least(cast(floor((value - mm.lo) * 20 / (mm.hi - mm.lo))
+                                as bigint), 19) as bin,
+                     mm.lo as lo, mm.hi as hi
+              from events, mm)
+            select bin, round(lo + bin * (hi - lo) / 20, 6) as bin_lo,
+                   cast(count(*) as bigint) as n
+            from b group by bin, lo, hi order by bin
+        """,
+        "extract_source_num": r"""
+            select doc_id, source,
+                   cast(regexp_extract(source, 'src(\d+)', 1) as bigint) as src_num
+            from documents order by doc_id
         """,
     }

@@ -2028,3 +2028,128 @@ def q_zscore_values(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+def q_mode_priority(sf_dir: str) -> pd.DataFrame:
+    """MODE / arg-max aggregate: the most frequent order priority per
+    year, deterministic tie-break on priority string.  The distributed
+    part is the (year, priority) count combiner — tiny fixed
+    cardinality, one partial row per block x cell — and the arg-max
+    itself is a driver fold over that lattice, exactly how a mode over
+    100 TB stays shuffle-free when the group domain is bounded.
+    """
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+        return g.group_by(["o_year", "o_orderpriority"]).aggregate([([], "count_all")])
+
+    counts = _combine(
+        ds, partial, ["o_year", "o_orderpriority"], {"n": ("count_all", "sum")}
+    )
+    counts = counts.sort_values(
+        ["o_year", "n", "o_orderpriority"], ascending=[True, False, True]
+    )
+    out = counts.groupby("o_year", as_index=False).first()
+    return pd.DataFrame(
+        {
+            "o_year": out["o_year"].astype("int64"),
+            "mode_priority": out["o_orderpriority"],
+            "n": out["n"].astype("int64"),
+        }
+    ).sort_values("o_year", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_source_lists(sf_dir: str) -> pd.DataFrame:
+    """LIST / string_agg aggregate: per language, the ordered
+    comma-joined list of DISTINCT sources publishing in it.  The
+    distinct (lang, source) pairs are a map-side combiner (bounded
+    domain: |langs| x |sources|); only those tiny partials move and the
+    driver does the ordered join — the bounded-domain form of a listagg
+    that never ships raw rows.
+    """
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+
+    pairs = _combine(ds, partial, ["lang", "source"], {"n": ("count_all", "sum")})
+    pairs = pairs.sort_values(["lang", "source"])
+    out = pairs.groupby("lang", as_index=False).agg(
+        n_sources=("source", "size"), sources=("source", ",".join)
+    )
+    out["n_sources"] = out["n_sources"].astype("int64")
+    return out.sort_values("lang", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_value_histogram(sf_dir: str, *, n_bins: int = 20) -> pd.DataFrame:
+    """Equi-width histogram of ``value``: pass 1 is a global min/max
+    combiner (one row per block), pass 2 bins every row with the SAME
+    closed-form expression the oracle uses
+    (``floor((v - lo) * n / (hi - lo))`` capped at n-1) and reduces to
+    per-(block, bin) partial counts.  Two linear streams, no shuffle —
+    the shape of every distribution profile over 100 TB.  Empty bins
+    emit no row (group-by semantics), matching SQL.
+    """
+    ds = _rp(sf_dir, "events", ["value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(t["value"]).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(t["value"]).as_py()], pa.float64()),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    def binned(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        b = np.minimum(
+            np.floor((v - lo) * n_bins / (hi - lo)).astype(np.int64), n_bins - 1
+        )
+        return pa.table({"bin": pa.array(b, pa.int64())}).group_by("bin").aggregate(
+            [([], "count_all")]
+        )
+
+    out = _combine(ds, binned, ["bin"], {"n": ("count_all", "sum")})
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    b = out["bin"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "bin": b,
+            "bin_lo": round_half_away(lo + b * (hi - lo) / n_bins, 6),
+            "n": out["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("bin", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_extract_source_num(sf_dir: str) -> rd.Dataset:
+    """Regex capture-group extraction (RE2 both sides): pull the
+    numeric id out of the ``source`` tag with one vectorized
+    ``pc.extract_regex`` kernel per batch, streaming Dataset out — the
+    structured-field-from-string step (log lines, URLs, tags) of every
+    ingest pipeline, as a compiled kernel rather than a Python loop.
+    """
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["source"], r"src(?P<num>\d+)")
+        num = pc.cast(pc.struct_field(m, "num"), pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "src_num": num}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
