@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": R.q_value_histogram,
         # RE2 capture-group extraction, streaming
         "extract_source_num": R.q_extract_source_num,
+        # constant-size Bloom broadcast prune + exact recheck join
+        "bloom_semi_join": R.q_bloom_semi_join,
     }
 
 
@@ -1260,5 +1262,15 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, source,
                    cast(regexp_extract(source, 'src(\d+)', 1) as bigint) as src_num
             from documents order by doc_id
+        """,
+        "bloom_semi_join": """
+            with o as (
+              select o_orderkey, cast(year(o_orderdate) as bigint) as o_year
+              from orders
+              where o_orderpriority = '1-URGENT' and o_totalprice > 150000)
+            select o.o_year, cast(count(*) as bigint) as n_lines,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
+            from lineitem l join o on l.l_orderkey = o.o_orderkey
+            group by 1 order by 1
         """,
     }

@@ -2153,3 +2153,101 @@ def q_extract_source_num(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit mixes (splitmix64 finalizer constants) for
+    double hashing; h2 forced odd so (h1 + i*h2) cycles all positions."""
+    x = keys.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = x ^ (x >> np.uint64(31))
+    y = h1 * np.uint64(0x9E3779B97F4A7C15)
+    h2 = (y ^ (y >> np.uint64(29))) | np.uint64(1)
+    return h1, h2
+
+
+def q_bloom_semi_join(sf_dir: str, *, m_bits: int = 1 << 17, k: int = 4) -> pd.DataFrame:
+    """Bloom-filter semi-join: yearly line-item revenue for URGENT
+    high-value orders.  The build side reduces to per-block Bloom
+    BITMAPS (a monoid: driver ORs ~16 KB per block) so the broadcast to
+    probe tasks is constant-size no matter how many build keys there
+    are; the probe side tests membership vectorized inside
+    ``map_batches`` and only survivors — true matches plus the ~0.1 %
+    false-positive tail — enter the exact shuffle join that removes the
+    false positives.  That is the canonical 100 TB shape: the all-to-all
+    exchange sees the OUTPUT class, not the probe table.  The bloom is
+    invisible in the result by construction (exact recheck), so the
+    oracle is the plain semi-join aggregate.
+    """
+    orders = _rp(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def build_side(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")),
+                pc.greater(t["o_totalprice"], pa.scalar(150_000.0)),
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    build = orders.map_batches(build_side, batch_format="pyarrow")
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        h1, h2 = _bloom_hashes(t["o_orderkey"].to_numpy())
+        bits = np.zeros(m_bits, np.bool_)
+        for i in range(k):
+            bits[(h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+    parts = build.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    packed = np.zeros(m_bits // 8, np.uint8)
+    for b in parts["bm"]:
+        packed |= np.frombuffer(b, np.uint8)
+    bits = np.unpackbits(packed).view(np.bool_)
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        h1, h2 = _bloom_hashes(t["l_orderkey"].to_numpy())
+        mask = np.ones(len(h1), np.bool_)
+        for i in range(k):
+            mask &= bits[(h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)]
+        t = t.filter(pa.array(mask))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        # pre-aggregate survivors: the downstream rollup is additive
+        return g.group_by("l_orderkey").aggregate([("revenue", "sum"), ([], "count_all")])
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    joined = survivors.join(
+        build,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.group_by("o_year").aggregate(
+            [("revenue_sum", "sum"), ("count_all", "sum")]
+        )
+
+    df = _combine(
+        joined,
+        post,
+        ["o_year"],
+        {"n_lines": ("count_all_sum", "sum"), "sum_revenue": ("revenue_sum_sum", "sum")},
+    )
+    df["o_year"] = df["o_year"].astype("int64")
+    df["n_lines"] = df["n_lines"].astype("int64")
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    return df.sort_values("o_year", ignore_index=True)

@@ -37,3 +37,27 @@ def test_bit_length_exact():
     got = _bit_length_u64(w)
     exp = np.array([int(x).bit_length() for x in w], np.int64)
     assert (got == exp).all()
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    from nyc_taxi_data_pipeline_ray.pipelines.relational import _bloom_hashes
+
+    m_bits, k = 1 << 17, 4
+    members = np.arange(0, 4000, dtype=np.int64) * 7 + 3
+    others = np.arange(100_000, 150_000, dtype=np.int64)
+    bits = np.zeros(m_bits, np.bool_)
+    h1, h2 = _bloom_hashes(members)
+    for i in range(k):
+        bits[(h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)] = True
+
+    def test(keys):
+        h1, h2 = _bloom_hashes(keys)
+        mask = np.ones(len(keys), np.bool_)
+        for i in range(k):
+            mask &= bits[(h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)]
+        return mask
+
+    assert test(members).all()  # no false negatives, ever
+    # 4k keys in 128k bits, k=4 -> theoretical FPR ~ (1-e^-kn/m)^k ~ 0.02%
+    fpr = test(np.setdiff1d(others, members)).mean()
+    assert fpr < 0.005, fpr
