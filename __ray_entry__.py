@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_source_num": R.q_extract_source_num,
         # constant-size Bloom broadcast prune + exact recheck join
         "bloom_semi_join": R.q_bloom_semi_join,
+        # full-engine witness: apply + compact + snapshot vs SQL LWW
+        "cdc_engine_replay": R.q_cdc_engine_replay,
     }
 
 
@@ -1272,5 +1274,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
             group by 1 order by 1
+        """,
+        "cdc_engine_replay": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role, r.event_type as text,
+                   cast(null as varchar) as tool, r.ts, r.event_id as lsn
+            from r join t using (event_type) where rn = 1
         """,
     }

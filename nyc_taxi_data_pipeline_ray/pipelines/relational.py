@@ -2251,3 +2251,64 @@ def q_bloom_semi_join(sf_dir: str, *, m_bits: int = 1 << 17, k: int = 4) -> pd.D
     df["n_lines"] = df["n_lines"].astype("int64")
     df["sum_revenue"] = df["sum_revenue"].round(2)
     return df.sort_values("o_year", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
+    """Full-ENGINE witness, driver-visible: recast the events table as a
+    transcript WAL (conv_id = user, turn_idx = dense event-type index,
+    lsn = event_id), run it through the REAL :class:`CdcEngine` — epoch
+    discovery, validation gate, staged partitioned write, exactly-once
+    keyed LWW merge — then ``compact()`` and ``snapshot_table()``.  The
+    oracle is the SQL LWW winner per (user, type), so this certifies
+    apply + compact + snapshot end-to-end against an independent engine,
+    not just in the engine's own pytest suite.
+
+    The WAL conversion is driver-side pyarrow here (tiny at test scale);
+    at 100 TB it is the same column mapping inside ``map_batches`` with
+    ``write_parquet`` into the epoch layout — the engine side is already
+    the scale path.  Scratch lives under /tmp, rebuilt per call.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+
+    root = "/tmp/nyc_ray_q_engine_replay"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    types = np.array(sorted(set(ev["event_type"].to_pylist())))
+    turn_idx = np.searchsorted(types, ev["event_type"].to_numpy(zero_copy_only=False))
+    eid = ev["event_id"].to_numpy()
+    epoch = (eid > int(eid.max()) // 2).astype(np.int32)
+    wal = pa.table(
+        {
+            "lsn": ev["event_id"],
+            "op": pa.array(np.full(len(ev), "insert")),
+            "epoch": pa.array(epoch, pa.int32()),
+            "conv_id": pc.binary_join_element_wise(
+                pa.array(np.full(len(ev), "u")), pc.cast(ev["user_id"], pa.string()), ""
+            ),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(np.full(len(ev), "user")),
+            "text": ev["event_type"],
+            "tool": pa.nulls(len(ev), pa.string()),
+            "ts": ev["ts"],
+        }
+    )
+    for e in (0, 1):
+        d = os.path.join(root, "wal", f"epoch={e:06d}")
+        os.makedirs(d)
+        pq.write_table(
+            wal.filter(pc.equal(wal["epoch"], pa.scalar(e, pa.int32()))),
+            os.path.join(d, "part-0000.parquet"),
+        )
+    eng = CdcEngine(LakeConfig.open_or_create(os.path.join(root, "lake"), num_partitions=4))
+    report = eng.apply(os.path.join(root, "wal"))
+    assert report.rejects == 0, report
+    eng.compact()
+    return eng.snapshot_table().to_pandas()
