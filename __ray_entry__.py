@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": R.q_bloom_semi_join,
         # full-engine witness: apply + compact + snapshot vs SQL LWW
         "cdc_engine_replay": R.q_cdc_engine_replay,
+        # mergeable quantile digest (exact below cap — witness config)
+        "quantile_digest": R.q_quantile_digest,
     }
 
 
@@ -1290,5 +1292,12 @@ def oracle_sql() -> dict[str, str]:
                    'user' as role, r.event_type as text,
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type) where rn = 1
+        """,
+        "quantile_digest": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 4) as p50,
+                   round(quantile_cont(value, 0.9), 4) as p90,
+                   round(quantile_cont(value, 0.99), 4) as p99
+            from events group by 1 order by 1
         """,
     }

@@ -2312,3 +2312,93 @@ def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
     assert report.rejects == 0, report
     eng.compact()
     return eng.snapshot_table().to_pandas()
+
+
+# --------------------------------------------------------------------------
+def _digest_compress(vals: np.ndarray, wts: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a SORTED weighted sample to <= cap cells by merging
+    adjacent pairs (weighted-mean value, summed weight) — deterministic,
+    no RNG.  A no-op whenever len <= cap, which is the exactness
+    witness: an uncompressed digest IS the sorted sample."""
+    while len(vals) > cap:
+        if len(vals) % 2:  # keep the global max exact as its own cell
+            v_tail, w_tail = vals[-1:], wts[-1:]
+            vals, wts = vals[:-1], wts[:-1]
+        else:
+            v_tail = np.array([], vals.dtype)
+            w_tail = np.array([], wts.dtype)
+        w2 = wts[0::2] + wts[1::2]
+        v2 = (vals[0::2] * wts[0::2] + vals[1::2] * wts[1::2]) / w2
+        vals = np.concatenate([v2, v_tail])
+        wts = np.concatenate([w2, w_tail])
+    return vals, wts
+
+
+def _digest_quantile(vals: np.ndarray, wts: np.ndarray, q: float) -> float:
+    """Interpolated quantile from a sorted weighted sample.  Each cell's
+    rank centroid is cum_before + (w-1)/2; with all weights 1 this is
+    exactly numpy/SQL ``quantile_cont`` linear interpolation."""
+    n = wts.sum()
+    c = np.cumsum(wts) - wts + (wts - 1) / 2.0
+    r = q * (n - 1)
+    i = np.searchsorted(c, r, side="right") - 1
+    if i < 0:
+        return float(vals[0])
+    if i >= len(vals) - 1 or c[i] == r:
+        i = min(i, len(vals) - 1)
+        if c[i] == r or i == len(vals) - 1:
+            return float(vals[i])
+    frac = (r - c[i]) / (c[i + 1] - c[i])
+    return float(vals[i] + (vals[i + 1] - vals[i]) * frac)
+
+
+def q_quantile_digest(sf_dir: str, *, cap: int = 8192) -> pd.DataFrame:
+    """Mergeable quantile DIGEST per event_type: every block reduces to
+    a sorted weighted sample of <= cap cells (adjacent-pair merging,
+    deterministic, no RNG); partials are a commutative fold and the
+    driver merges blocks x types x cap cells — never raw values.  This
+    is the sketch the 100 TB plan ships when exact per-group percentile
+    merges (``q_value_percentiles``) are too wide: accuracy degrades
+    gracefully with cap, and max rank error is bounded by the largest
+    cell weight / n.
+
+    Exactness witness: whenever a group's n <= cap no compression ever
+    triggers, the digest IS the sorted sample, and the rank-centroid
+    interpolation reduces to SQL ``quantile_cont`` — so at the
+    correctness gate's scale this is oracle-exact while exercising the
+    SAME merge machinery that runs approximate at 100 TB
+    (``tests/test_sketch.py`` asserts the small-cap error bound).
+    """
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_ty, out_v, out_w = [], [], []
+        for ty, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            v, w = _digest_compress(v, np.ones(len(v)), cap)
+            out_ty.append(ty)
+            out_v.append(v)
+            out_w.append(w)
+        return pd.DataFrame({"event_type": out_ty, "vals": out_v, "wts": out_w})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    rows = []
+    for ty, g in parts.groupby("event_type", sort=True):
+        v = np.concatenate([np.asarray(x, np.float64) for x in g["vals"]])
+        w = np.concatenate([np.asarray(x, np.float64) for x in g["wts"]])
+        order = np.argsort(v, kind="mergesort")
+        v, w = _digest_compress(v[order], w[order], cap)
+        rows.append(
+            {
+                "event_type": ty,
+                "p50": _digest_quantile(v, w, 0.5),
+                "p90": _digest_quantile(v, w, 0.9),
+                "p99": _digest_quantile(v, w, 0.99),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("p50", "p90", "p99"):
+        out[c] = round_half_away(out[c].to_numpy(), 4)
+    return out.sort_values("event_type", ignore_index=True)

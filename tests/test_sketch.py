@@ -61,3 +61,36 @@ def test_bloom_no_false_negatives_and_low_fpr():
     # 4k keys in 128k bits, k=4 -> theoretical FPR ~ (1-e^-kn/m)^k ~ 0.02%
     fpr = test(np.setdiff1d(others, members)).mean()
     assert fpr < 0.005, fpr
+
+
+def test_quantile_digest_small_cap_error_bound():
+    """At cap far below group size the digest is approximate; rank error
+    must stay within the max-cell-weight bound (~n/cap of rank mass)."""
+    from nyc_taxi_data_pipeline_ray.pipelines.relational import (
+        _digest_compress,
+        _digest_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    x = np.sort(rng.lognormal(0, 1, 50_000))
+    v, w = _digest_compress(x.copy(), np.ones(len(x)), 256)
+    assert len(v) <= 256 and w.sum() == len(x)
+    for q in (0.5, 0.9, 0.99):
+        est = _digest_quantile(v, w, q)
+        # rank of the estimate in the true data vs target rank
+        rank = np.searchsorted(x, est) / len(x)
+        assert abs(rank - q) < 2 * 1.0 / 256 * (len(x) / len(x)) + 0.01, (q, rank)
+
+
+def test_quantile_digest_exact_when_under_cap():
+    from nyc_taxi_data_pipeline_ray.pipelines.relational import (
+        _digest_compress,
+        _digest_quantile,
+    )
+
+    rng = np.random.RandomState(3)
+    x = np.sort(rng.uniform(0, 100, 1000))
+    v, w = _digest_compress(x.copy(), np.ones(len(x)), 8192)
+    assert (v == x).all()
+    for q in (0.0, 0.25, 0.5, 0.77, 0.9, 0.99, 1.0):
+        assert abs(_digest_quantile(v, w, q) - np.quantile(x, q)) < 1e-9
