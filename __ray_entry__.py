@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_engine_replay": R.q_cdc_engine_replay,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
+        # unigram-LM mean log-prob per doc (perplexity-filter family)
+        "unigram_logprob": T.q_unigram_logprob,
     }
 
 
@@ -1299,5 +1301,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) as p90,
                    round(quantile_cont(value, 0.99), 4) as p99
             from events group by 1 order by 1
+        """,
+        "unigram_logprob": r"""
+            with toks as (
+              select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as tok
+              from documents),
+            cnt as (select tok, count(*) as n from toks group by 1),
+            tot as (select sum(n) as n_total from cnt)
+            select t.doc_id, cast(count(*) as bigint) as n_tokens,
+                   round(avg(ln(cast(c.n as double) / tot.n_total)), 6) as avg_logprob
+            from toks t join cnt c using (tok) cross join tot
+            group by t.doc_id order by t.doc_id
         """,
     }

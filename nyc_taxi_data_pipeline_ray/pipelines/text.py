@@ -2311,3 +2311,54 @@ def q_lang_length_pivot(sf_dir: str) -> pd.DataFrame:
     return out.astype(
         {"n_short": "int64", "n_medium": "int64", "n_long": "int64", "n_tokens": "int64"}
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality scoring — the perplexity-filter family (score every
+# document by its mean token log-probability under a corpus-wide unigram
+# model; low scorers are gibberish/boilerplate candidates).  Two linear
+# passes: (1) a term-count combiner (per-block np.unique, driver fold —
+# vocab is Zipf-bounded; the hash-bucket reduce of q_term_doc_freq is
+# the documented 10^12-token path), (2) the (term -> logp) table goes to
+# the object store ONCE via ray.put and every score task binary-searches
+# it zero-copy — no shuffle, streaming Dataset out.
+def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        flat = _tokens(t["text"]).flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    parts = ds.map_batches(counts_partial, batch_format="pyarrow").to_pandas()
+    cnt = parts.groupby("term", sort=True)["n"].sum()
+    total = float(cnt.sum())
+    vocab = cnt.index.to_numpy().astype(object)  # sorted: searchsorted below
+    logp = np.log(cnt.to_numpy() / total)
+    ref = ray.put((vocab, logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, logp = ray.get(ref)
+        toks = _tokens(t["text"])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        n_tok = np.diff(offsets)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lp = logp[np.searchsorted(vocab, flat.astype(object))]
+        doc_of = np.repeat(np.arange(t.num_rows), n_tok)
+        sums = np.bincount(doc_of, weights=lp, minlength=t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "avg_logprob": pa.array(
+                    round_half_away(sums / n_tok, 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
