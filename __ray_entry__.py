@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
         "unigram_logprob": T.q_unigram_logprob,
+        # Misra-Gries heavy hitters (exact below cap — witness config)
+        "heavy_hitters": T.q_heavy_hitters,
     }
 
 
@@ -1312,5 +1314,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(cast(c.n as double) / tot.n_total)), 6) as avg_logprob
             from toks t join cnt c using (tok) cross join tot
             group by t.doc_id order by t.doc_id
+        """,
+        "heavy_hitters": r"""
+            with toks as (
+              select unnest(regexp_split_to_array(trim(text), '\s+')) as term
+              from documents)
+            select term, cast(count(*) as bigint) as n
+            from toks group by 1 order by n desc, term limit 20
         """,
     }

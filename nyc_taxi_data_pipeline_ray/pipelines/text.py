@@ -2362,3 +2362,50 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+def _mg_trim(terms: np.ndarray, counts: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries batch step: if more than ``cap`` counters survive,
+    subtract the (cap+1)-th largest count from every counter and keep
+    the positive ones — the classic heavy-hitters summary whose
+    undercount is bounded by N/cap.  A no-op when distinct <= cap (the
+    exactness witness: untrimmed counters are exact counts)."""
+    if len(terms) <= cap:
+        return terms, counts
+    order = np.argsort(-counts, kind="mergesort")
+    terms, counts = terms[order], counts[order]
+    dec = counts[cap]
+    counts = counts - dec
+    keep = counts > 0
+    return terms[keep], counts[keep]
+
+
+def q_heavy_hitters(sf_dir: str, *, top: int = 20, cap: int = 4096) -> pd.DataFrame:
+    """Heavy-hitter TERMS by total occurrence count via mergeable
+    Misra-Gries summaries: each block reduces to <= cap counters
+    (vectorized np.unique + one trim), the driver folds summaries by
+    counter addition + one final trim — a commutative monoid, so at
+    100 TB the fold nests into a tree reduce and no task ever sees more
+    than cap x blocks counters.  Guarantee: any term with true count
+    > N/cap survives, and counts are exact whenever no trim fires —
+    which is the registered witness config (cap >> vocab at gate
+    scale); ``tests/test_sketch.py`` asserts the undercount bound in
+    the trimming regime.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = _tokens(t["text"]).flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        uniq, cnt = _mg_trim(uniq, cnt, cap)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fold = parts.groupby("term", sort=False)["n"].sum()
+    terms, counts = _mg_trim(fold.index.to_numpy().astype(object), fold.to_numpy(), cap)
+    out = pd.DataFrame({"term": terms, "n": counts.astype("int64")})
+    out = out.sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
+    return out.head(top).reset_index(drop=True)

@@ -94,3 +94,28 @@ def test_quantile_digest_exact_when_under_cap():
     assert (v == x).all()
     for q in (0.0, 0.25, 0.5, 0.77, 0.9, 0.99, 1.0):
         assert abs(_digest_quantile(v, w, q) - np.quantile(x, q)) < 1e-9
+
+
+def test_misra_gries_bound_and_exactness():
+    from nyc_taxi_data_pipeline_ray.pipelines.relational import _bloom_hashes  # noqa: F401
+    from nyc_taxi_data_pipeline_ray.pipelines.text import _mg_trim
+
+    # exact regime: no trim when distinct <= cap
+    t = np.array(["a", "b", "c"], object)
+    c = np.array([5, 3, 1])
+    tt, cc = _mg_trim(t, c, 10)
+    assert list(tt) == ["a", "b", "c"] and list(cc) == [5, 3, 1]
+
+    # trimming regime: Zipf counts, undercount bounded by N/cap
+    rng = np.random.RandomState(11)
+    vocab = np.array([f"w{i}" for i in range(5000)], object)
+    true = (10_000 / np.arange(1, 5001) ** 1.2).astype(np.int64) + 1
+    n_total = true.sum()
+    cap = 64
+    terms, counts = _mg_trim(vocab.copy(), true.copy(), cap)
+    assert len(terms) <= cap
+    kept = {t: c for t, c in zip(terms, counts)}
+    for i in range(5):  # the true heavy head must survive with bounded undercount
+        w = f"w{i}"
+        assert w in kept
+        assert 0 <= true[i] - kept[w] <= n_total / cap + 1
