@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": T.q_unigram_logprob,
         # Misra-Gries heavy hitters (exact below cap — witness config)
         "heavy_hitters": T.q_heavy_hitters,
+        # RANGE-frame trailing 1h window per user (velocity feature)
+        "rolling_user_sum": R.q_rolling_user_sum,
     }
 
 
@@ -1321,5 +1323,14 @@ def oracle_sql() -> dict[str, str]:
               from documents)
             select term, cast(count(*) as bigint) as n
             from toks group by 1 order by n desc, term limit 20
+        """,
+        "rolling_user_sum": """
+            select event_id,
+                   cast(count(*) over w as bigint) as w_n,
+                   round(sum(value) over w, 2) as w_sum
+            from events
+            window w as (partition by user_id order by ts
+                         range between interval 1 hour preceding and current row)
+            order by event_id
         """,
     }
