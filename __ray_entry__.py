@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": T.q_heavy_hitters,
         # RANGE-frame trailing 1h window per user (velocity feature)
         "rolling_user_sum": R.q_rolling_user_sum,
+        # column profiler: counts/nulls/exact-distinct/min/max
+        "profile_events": R.q_profile_events,
     }
 
 
@@ -1332,5 +1334,40 @@ def oracle_sql() -> dict[str, str]:
             window w as (partition by user_id order by ts
                          range between interval 1 hour preceding and current row)
             order by event_id
+        """,
+        "profile_events": """
+            select 'event_id' as col, cast(count(*) as bigint) as n,
+                   cast(count(*) - count(event_id) as bigint) as n_null,
+                   cast(count(distinct event_id) as bigint) as n_distinct,
+                   cast(min(event_id) as double) as min_num,
+                   cast(max(event_id) as double) as max_num,
+                   cast(null as varchar) as min_str, cast(null as varchar) as max_str
+            from events
+            union all
+            select 'user_id', cast(count(*) as bigint),
+                   cast(count(*) - count(user_id) as bigint),
+                   cast(count(distinct user_id) as bigint),
+                   cast(min(user_id) as double), cast(max(user_id) as double),
+                   null, null
+            from events
+            union all
+            select 'value', cast(count(*) as bigint),
+                   cast(count(*) - count(value) as bigint),
+                   cast(count(distinct value) as bigint),
+                   min(value), max(value), null, null
+            from events
+            union all
+            select 'event_type', cast(count(*) as bigint),
+                   cast(count(*) - count(event_type) as bigint),
+                   cast(count(distinct event_type) as bigint),
+                   null, null, min(event_type), max(event_type)
+            from events
+            union all
+            select 'props', cast(count(*) as bigint),
+                   cast(count(*) - count(props) as bigint),
+                   cast(count(distinct props) as bigint),
+                   null, null, min(props), max(props)
+            from events
+            order by col
         """,
     }

@@ -2459,3 +2459,96 @@ def q_rolling_user_sum(sf_dir: str, *, n_buckets: int = 256) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_profile_events(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
+    """Column PROFILER over the events table — the data-quality summary
+    (count, null count, exact distinct count, min/max per column) every
+    ingest pipeline publishes.  Pass 1 folds per-(block, column) stat
+    partials (counts/min/max are monoids — tiny exchange).  Pass 2
+    counts distinct EXACTLY via the bucketed cascade: per-block distinct
+    values in long form, ONE shuffle on a value-hash bucket (each value
+    lands in exactly one bucket, so per-bucket distinct counts are
+    additive).  Float values dedup by shortest-roundtrip repr
+    (injective on doubles), used only as an internal key.  At 100 TB a
+    column with ~all-distinct values would switch to the HLL sketch
+    (``q_hll_distinct``) — the profiler keeps the exact cascade because
+    its exchange is distinct-class, not row-class.
+    """
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type", "props"]
+    cols = num_cols + str_cols
+    ds = _rp(sf_dir, "events", cols)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            arr = t[c]
+            mm = pc.min_max(arr)
+            is_num = c in num_cols
+            rows.append(
+                {
+                    "col": c,
+                    "n": t.num_rows,
+                    "n_null": arr.null_count,
+                    "min_num": float(mm["min"].as_py()) if is_num else np.nan,
+                    "max_num": float(mm["max"].as_py()) if is_num else np.nan,
+                    "min_str": None if is_num else mm["min"].as_py(),
+                    "max_str": None if is_num else mm["max"].as_py(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    sp = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    stats = sp.groupby("col", as_index=False).agg(
+        n=("n", "sum"),
+        n_null=("n_null", "sum"),
+        min_num=("min_num", "min"),
+        max_num=("max_num", "max"),
+        min_str=("min_str", "min"),
+        max_str=("max_str", "max"),
+    )
+
+    def distinct_pre(t: pa.Table) -> pa.Table:
+        out_b, out_c, out_v = [], [], []
+        for c in cols:
+            u = pc.unique(t[c].combine_chunks()).drop_null()
+            vs = u.to_numpy(zero_copy_only=False).astype(str)
+            out_b.append(pd.util.hash_array(vs.astype(object)) % np.uint64(n_buckets))
+            out_c.append(np.full(len(vs), c, object))
+            out_v.append(vs.astype(object))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b).astype(np.int32)),
+                "col": pa.array(np.concatenate(out_c), pa.string()),
+                "val": pa.array(np.concatenate(out_v), pa.string()),
+            }
+        )
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col", sort=False)["val"].nunique().reset_index(name="nd")
+        return g.astype({"col": "object", "nd": "int64"})
+
+    nd = (
+        ds.map_batches(distinct_pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)["nd"]
+        .sum()
+    )
+    out = stats.merge(nd, on="col")
+    out = pd.DataFrame(
+        {
+            "col": out["col"],
+            "n": out["n"].astype("int64"),
+            "n_null": out["n_null"].astype("int64"),
+            "n_distinct": out["nd"].astype("int64"),
+            "min_num": out["min_num"],
+            "max_num": out["max_num"],
+            "min_str": out["min_str"],
+            "max_str": out["max_str"],
+        }
+    )
+    return out.sort_values("col", ignore_index=True)
