@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_sum": R.q_rolling_user_sum,
         # column profiler: counts/nulls/exact-distinct/min/max
         "profile_events": R.q_profile_events,
+        # distributed NTILE via rank-key offsets (no global sort)
+        "customer_ntile": R.q_customer_ntile,
     }
 
 
@@ -1369,5 +1371,14 @@ def oracle_sql() -> dict[str, str]:
                    null, null, min(props), max(props)
             from events
             order by col
+        """,
+        "customer_ntile": """
+            with s as (
+              select o_custkey, cast(count(*) as bigint) as n_orders
+              from orders group by 1)
+            select o_custkey, n_orders,
+                   cast(ntile(4) over (order by n_orders desc, o_custkey) as bigint)
+                     as quartile
+            from s order by o_custkey
         """,
     }

@@ -2552,3 +2552,67 @@ def q_profile_events(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
         }
     )
     return out.sort_values("col", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_customer_ntile(sf_dir: str, *, k: int = 4, n_buckets: int = 32) -> pd.DataFrame:
+    """Distributed NTILE: quartile every customer by order count (desc,
+    custkey tie-break) WITHOUT a global sort shuffle.  Pass 1 folds
+    per-customer counts in custkey-hash buckets (combiner + one bounded
+    shuffle).  The rank key's domain is bounded, so the driver needs
+    only the tiny (n_orders -> customer count) histogram to compute
+    global rank OFFSETS; pass 2 re-shuffles on the rank key, each task
+    sorts one key group locally and adds its offset — global row_number
+    without moving the table through one sorter.  (For an unbounded
+    float key the same plan range-partitions on histogram bins — same
+    offsets trick, see q_value_percentiles for the binning pass.)
+    NTILE sizes follow SQL: the first n%k tiles get the extra row.
+    """
+    ds = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        b = pc.bit_wise_and(g["o_custkey"], pa.scalar(n_buckets - 1, pa.int64()))
+        return g.append_column("bucket", b)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)["count_all"].sum().reset_index(name="n_orders")
+        return g.astype({"o_custkey": "int64", "n_orders": "int64"})
+
+    per_cust = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    # tiny rank-key histogram -> global offsets (rank key sorts DESC)
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_orders", sort=False).size().reset_index(name="c")
+        return g.astype({"n_orders": "int64", "c": "int64"})
+
+    hp = per_cust.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = hp.groupby("n_orders")["c"].sum().sort_index(ascending=False)
+    offsets = {int(v): int(o) for v, o in zip(counts.index, counts.cumsum() - counts)}
+    n_total = int(counts.sum())
+    base, rem = divmod(n_total, k)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = int(df["n_orders"].iat[0])
+        df = df.sort_values("o_custkey", ignore_index=True)
+        r0 = offsets[v] + np.arange(len(df), dtype=np.int64)
+        head = rem * (base + 1)
+        tile = np.where(r0 < head, r0 // (base + 1), rem + (r0 - head) // max(base, 1))
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "n_orders": df["n_orders"],
+                "quartile": (tile + 1).astype("int64"),
+            }
+        )
+
+    out = (
+        per_cust.groupby("n_orders")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey", ignore_index=True)
