@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": R.q_profile_events,
         # distributed NTILE via rank-key offsets (no global sort)
         "customer_ntile": R.q_customer_ntile,
+        # TPC-H Q5-shape multi-way join with per-side strategies
+        "nation_revenue": R.q_nation_revenue,
     }
 
 
@@ -1380,5 +1382,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(ntile(4) over (order by n_orders desc, o_custkey) as bigint)
                      as quartile
             from s order by o_custkey
+        """,
+        "nation_revenue": """
+            select n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n on c.c_nationkey = n.n_nationkey
+            where year(o.o_orderdate) = 1995
+            group by 1 order by 1
         """,
     }

@@ -2616,3 +2616,105 @@ def q_customer_ntile(sf_dir: str, *, k: int = 4, n_buckets: int = 32) -> pd.Data
         .to_pandas()
     )
     return out.sort_values("o_custkey", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_nation_revenue(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Multi-way join with per-side strategies (TPC-H Q5 shape): 1995
+    line-item revenue per customer NATION.  Each join is ONE bounded
+    hash-bucket exchange of a tagged two-sided union (the repo's
+    bucketed-merge pattern — cheaper than a dedicated join operator's
+    actor pool for aggregate-shaped joins): line items PRE-AGGREGATE to
+    (orderkey, revenue) partials before the first exchange so it ships
+    order-class rows, the merge output re-aggregates to (custkey,
+    revenue) before the second exchange so it ships customer-class
+    rows, and the 25-row nation dim is a driver-built broadcast dict in
+    the final combiner — no exchange at all for the smallest side.
+    """
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "revenue": rev})
+        g = g.group_by("key").aggregate([("revenue", "sum")]).rename_columns(["key", "revenue"])
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(g["key"], pa.scalar(n_buckets - 1, pa.int64())),
+                "key": g["key"],
+                "revenue": g["revenue"],
+                "rhs": pa.nulls(g.num_rows, pa.int64()),
+            }
+        )
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t["o_orderdate"]), pa.scalar(1995)))
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(t["o_orderkey"], pa.scalar(n_buckets - 1, pa.int64())),
+                "key": t["o_orderkey"],
+                "revenue": pa.nulls(t.num_rows, pa.float64()),
+                "rhs": t["o_custkey"],
+            }
+        )
+
+    def merge_sum(df: pd.DataFrame) -> pd.DataFrame:
+        """Inner-join the bucket's two sides and pre-aggregate revenue
+        by the right side's carried key — output is (rhs, revenue)."""
+        left = df[df["rhs"].isna()]
+        right = df[df["rhs"].notna()]
+        m = left.merge(right[["key", "rhs"]], on="key", suffixes=("", "_r"))
+        g = m.groupby("rhs_r", sort=False)["revenue"].sum().reset_index()
+        return pd.DataFrame(
+            {"key": g["rhs_r"].astype("int64"), "revenue": g["revenue"].astype("float64")}
+        )
+
+    rev_by_cust = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(o_pre, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge_sum, batch_format="pandas")
+    )
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(t["c_custkey"], pa.scalar(n_buckets - 1, pa.int64())),
+                "key": t["c_custkey"],
+                "revenue": pa.nulls(t.num_rows, pa.float64()),
+                "rhs": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def rev_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(t["key"], pa.scalar(n_buckets - 1, pa.int64())),
+                "key": t["key"],
+                "revenue": t["revenue"],
+                "rhs": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    rev_by_nation = (
+        rev_by_cust.map_batches(rev_side, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge_sum, batch_format="pandas")
+    )
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        names = np.array([name_of[int(u)] for u in uniq], object)[codes]
+        g = pa.table({"n_name": pa.array(names, pa.string()), "revenue": t["revenue"]})
+        return g.group_by("n_name").aggregate([("revenue", "sum")])
+
+    df = _combine(rev_by_nation, finish, ["n_name"], {"sum_revenue": ("revenue_sum", "sum")})
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    return df.sort_values("n_name", ignore_index=True)
