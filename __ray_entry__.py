@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ntile": R.q_customer_ntile,
         # TPC-H Q5-shape multi-way join with per-side strategies
         "nation_revenue": R.q_nation_revenue,
+        # triangles + clustering coefficient of the dup pair graph
+        "triangle_count": T.q_triangle_count,
     }
 
 
@@ -1392,5 +1394,26 @@ def oracle_sql() -> dict[str, str]:
             join nation n on c.c_nationkey = n.n_nationkey
             where year(o.o_orderdate) = 1995
             group by 1 order by 1
+        """,
+        "triangle_count": """
+            with p as (
+              select a.doc_id as da, b.doc_id as db
+              from documents a
+              join documents b on a.lang = b.lang and a.doc_id < b.doc_id
+              where jaccard(a.text, b.text) >= 1.0),
+            tri as (
+              select count(*) as t from p e1
+              join p e2 on e2.da = e1.da and e2.db > e1.db
+              join p e3 on e3.da = e1.db and e3.db = e2.db),
+            deg as (
+              select v, count(*) as d from (
+                select da as v from p union all select db as v from p)
+              group by 1),
+            w as (select sum(d * (d - 1) // 2) as w from deg)
+            select cast((select count(*) from p) as bigint) as n_edges,
+                   cast(w.w as bigint) as n_wedges,
+                   cast(tri.t as bigint) as n_triangles,
+                   round(3.0 * tri.t / w.w, 6) as clustering_coef
+            from tri, w
         """,
     }

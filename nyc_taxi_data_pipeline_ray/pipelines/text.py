@@ -2409,3 +2409,138 @@ def q_heavy_hitters(sf_dir: str, *, top: int = 20, cap: int = 4096) -> pd.DataFr
     out = pd.DataFrame({"term": terms, "n": counts.astype("int64")})
     out = out.sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
     return out.head(top).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+def q_triangle_count(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Graph analytics over the exact byte-Jaccard duplicate graph
+    (:func:`q_char_jaccard_pairs`): triangle count and global clustering
+    coefficient — the cluster-density diagnostics of a dedup pair graph
+    (dense triangle mass = large identical clusters; sparse = chains).
+
+    Distributed triangle counting by wedge closure: edges (a < b) are
+    bucketed by SOURCE vertex; each bucket task enumerates x-centered
+    wedges (y, z), y < z both neighbors of x, vectorized — each
+    triangle x<y<z is generated exactly once — and ships the wedge to
+    the hash bucket of its closing edge (y, z).  A second bounded
+    exchange joins wedges against edges per bucket, so no task ever
+    holds the wedge set or the edge set whole.  Degrees (for the wedge
+    denominator Σ C(d,2)) fold from per-block endpoint counts via the
+    same vertex-hash bucketing.  Output is exact integers plus the
+    coefficient 3T/W rounded identically to the oracle.
+    """
+    import ray
+
+    pairs = q_char_jaccard_pairs(sf_dir)  # output-class: near-dup pairs
+    empty = pd.DataFrame(
+        {
+            "n_edges": pd.Series([0], dtype="int64"),
+            "n_wedges": pd.Series([0], dtype="int64"),
+            "n_triangles": pd.Series([0], dtype="int64"),
+            "clustering_coef": pd.Series([np.nan], dtype="float64"),
+        }
+    )
+    if pairs.empty:
+        return empty
+    edges = pa.table(
+        {
+            "a": pa.array(pairs["doc_a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["doc_b"].to_numpy(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(edges)
+
+    def by_source(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["a"], pa.scalar(n_buckets - 1, pa.int64()))
+        )
+
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["a", "b"], ignore_index=True)
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        cut = np.concatenate([[0], np.flatnonzero(a[1:] != a[:-1]) + 1, [len(a)]])
+        sizes = np.diff(cut)
+        ia, ib = _ragged_pair_indices(sizes)
+        y, z = b[ia], b[ib]  # neighbor lists are b-sorted: y < z
+        bk = (
+            pd.util.hash_array(y * np.int64(1_000_003) + z) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "y": pa.array(y, pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "bucket": pa.array(bk, pa.int64()),
+                "side": pa.array(np.zeros(len(y), np.int8)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        y = t["a"].to_numpy()
+        z = t["b"].to_numpy()
+        bk = (
+            pd.util.hash_array(y * np.int64(1_000_003) + z) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "y": pa.array(y),
+                "z": pa.array(z),
+                "bucket": pa.array(bk),
+                "side": pa.array(np.full(len(y), 1, np.int8)),
+            }
+        )
+
+    def close_count(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["side"] == 0]
+        e = df[df["side"] == 1].drop_duplicates(["y", "z"])
+        n = len(w.merge(e[["y", "z"]], on=["y", "z"]))
+        return pd.DataFrame({"tri": [n], "wedges": [len(w)]}).astype("int64")
+
+    wedge_ds = (
+        ds.map_batches(by_source, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    parts = (
+        wedge_ds.union(ds.map_batches(edge_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(close_count, batch_format="pandas")
+        .to_pandas()
+    )
+    n_tri = int(parts["tri"].sum())
+
+    # center-based wedge denominator: sum C(deg_v, 2) over all vertices
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array((uniq & (n_buckets - 1)).astype(np.int64)),
+                "v": pa.array(uniq),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("v", sort=False)["d"].sum().to_numpy(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]}).astype("int64")
+
+    wsum = (
+        ds.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+        .to_pandas()["w"]
+        .sum()
+    )
+    n_wedges = int(wsum)
+    coef = round_half_away(
+        np.array([3.0 * n_tri / n_wedges if n_wedges else np.nan]), 6
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([edges.num_rows], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+            "clustering_coef": coef,
+        }
+    )
