@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": R.q_nation_revenue,
         # triangles + clustering coefficient of the dup pair graph
         "triangle_count": T.q_triangle_count,
+        # chi-square independence test from a contingency combiner
+        "chi_square": R.q_chi_square,
+        # median absolute deviation: two chained digest passes
+        "value_mad": R.q_value_mad,
     }
 
 
@@ -1415,5 +1419,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(tri.t as bigint) as n_triangles,
                    round(3.0 * tri.t / w.w, 6) as clustering_coef
             from tri, w
+        """,
+        "chi_square": """
+            with c as (
+              select event_type, cast(hour(ts) // 6 as bigint) as band,
+                     count(*) as n
+              from events group by 1, 2),
+            t as (select sum(n) as n_total from c),
+            r as (select event_type, sum(n) as rt from c group by 1),
+            k as (select band, sum(n) as ct from c group by 1)
+            select cast((select count(*) from c) as bigint) as n_cells,
+                   cast(((select count(*) from r) - 1)
+                        * ((select count(*) from k) - 1) as bigint) as dof,
+                   round(sum((c.n - r.rt * k.ct / t.n_total)
+                             * (c.n - r.rt * k.ct / t.n_total)
+                             / (r.rt * k.ct / t.n_total)), 6) as chi2
+            from c join r using (event_type) join k using (band) cross join t
+        """,
+        "value_mad": """
+            with m as (
+              select event_type, quantile_cont(value, 0.5) as med
+              from events group by 1)
+            select e.event_type,
+                   round(max(m.med), 4) as median,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 4) as mad
+            from events e join m using (event_type)
+            group by 1 order by 1
         """,
     }

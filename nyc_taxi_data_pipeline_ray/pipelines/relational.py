@@ -2718,3 +2718,96 @@ def q_nation_revenue(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
     df = _combine(rev_by_nation, finish, ["n_name"], {"sum_revenue": ("revenue_sum", "sum")})
     df["sum_revenue"] = df["sum_revenue"].round(2)
     return df.sort_values("n_name", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_chi_square(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    6-hour time-of-day band — the distribution-shift test a data-quality
+    monitor runs on every ingest batch.  The contingency table is a
+    map-side combiner (|types| x 4 cells, one partial row per block x
+    cell); the driver evaluates the closed form
+    sum (n - e)^2 / e, e = row_total x col_total / N, from EXACT integer
+    counts — the oracle computes the identical expression in SQL, so
+    both engines round the same arithmetic.
+    """
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "band": pc.cast(
+                    pc.divide(pc.hour(t["ts"]), pa.scalar(6, pa.int32())), pa.int64()
+                ),
+            }
+        )
+        return g.group_by(["event_type", "band"]).aggregate([([], "count_all")])
+
+    cells = _combine(ds, partial, ["event_type", "band"], {"n": ("count_all", "sum")})
+    n_total = float(cells["n"].sum())
+    row_tot = cells.groupby("event_type")["n"].transform("sum").to_numpy(float)
+    col_tot = cells.groupby("band")["n"].transform("sum").to_numpy(float)
+    e = row_tot * col_tot / n_total
+    chi2 = float((((cells["n"].to_numpy(float) - e) ** 2) / e).sum())
+    n_rows = cells["event_type"].nunique()
+    n_cols = cells["band"].nunique()
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    return pd.DataFrame(
+        {
+            "n_cells": pd.Series([len(cells)], dtype="int64"),
+            "dof": pd.Series([(n_rows - 1) * (n_cols - 1)], dtype="int64"),
+            "chi2": round_half_away(np.array([chi2]), 6),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+def q_value_mad(sf_dir: str, *, cap: int = 8192) -> pd.DataFrame:
+    """Median absolute deviation per event_type — the robust-dispersion
+    statistic outlier detectors prefer over stddev.  MAD needs TWO
+    dependent quantile passes (median, then median of |x - median|);
+    each runs the mergeable digest of :func:`q_quantile_digest` (per-
+    block sorted weighted samples, driver fold of blocks x types x cap
+    cells), with the phase-1 medians broadcast into the phase-2
+    transform closure.  Under cap the digest is the sorted sample and
+    the interpolation equals SQL ``quantile_cont`` bit-for-bit, so the
+    |x - med| values — and therefore the MAD — are oracle-exact at gate
+    scale while the same code path degrades gracefully at 100 TB.
+    """
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def digest_pass(value_fn) -> dict[str, float]:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out_ty, out_v, out_w = [], [], []
+            for ty, g in df.groupby("event_type", sort=False):
+                v = np.sort(value_fn(ty, g["value"].to_numpy()))
+                v, w = _digest_compress(v, np.ones(len(v)), cap)
+                out_ty.append(ty)
+                out_v.append(v)
+                out_w.append(w)
+            return pd.DataFrame({"event_type": out_ty, "vals": out_v, "wts": out_w})
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        out = {}
+        for ty, g in parts.groupby("event_type", sort=True):
+            v = np.concatenate([np.asarray(x, np.float64) for x in g["vals"]])
+            w = np.concatenate([np.asarray(x, np.float64) for x in g["wts"]])
+            order = np.argsort(v, kind="mergesort")
+            v, w = _digest_compress(v[order], w[order], cap)
+            out[ty] = _digest_quantile(v, w, 0.5)
+        return out
+
+    med = digest_pass(lambda ty, v: v)
+    mad = digest_pass(lambda ty, v: np.abs(v - med[ty]))
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    types = sorted(med)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "median": round_half_away(np.array([med[t] for t in types]), 4),
+            "mad": round_half_away(np.array([mad[t] for t in types]), 4),
+        }
+    )
