@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi_square": R.q_chi_square,
         # median absolute deviation: two chained digest passes
         "value_mad": R.q_value_mad,
+        # SCD2 validity-interval history per (user, type)
+        "scd2_values": R.q_scd2_values,
+        # payload-carrying arg-min/arg-max per user (first/last event)
+        "user_lifecycle": R.q_user_lifecycle,
     }
 
 
@@ -1445,5 +1449,36 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(abs(e.value - m.med), 0.5), 4) as mad
             from events e join m using (event_type)
             group by 1 order by 1
+        """,
+        "scd2_values": """
+            with v as (
+              select user_id, event_type, value, ts as valid_from,
+                     lead(ts) over (partition by user_id, event_type
+                                    order by ts, event_id) as valid_to
+              from events)
+            select user_id, event_type, value, valid_from,
+                   coalesce(valid_to, timestamp '9999-12-31') as valid_to,
+                   valid_to is null as is_current
+            from v order by user_id, event_type, valid_from
+        """,
+        "user_lifecycle": """
+            with r as (
+              select *,
+                     row_number() over (partition by user_id
+                                        order by ts, event_id) as rf,
+                     row_number() over (partition by user_id
+                                        order by ts desc, event_id desc) as rl,
+                     count(*) over (partition by user_id) as n
+              from events)
+            select user_id,
+                   max(case when rf = 1 then ts end) as first_ts,
+                   max(case when rf = 1 then event_type end) as first_type,
+                   max(case when rl = 1 then ts end) as last_ts,
+                   max(case when rl = 1 then event_type end) as last_type,
+                   cast(max(n) as bigint) as n_events,
+                   round((epoch_us(max(case when rl = 1 then ts end))
+                          - epoch_us(max(case when rf = 1 then ts end)))
+                         / 3600000000.0, 4) as span_hours
+            from r group by user_id order by user_id
         """,
     }

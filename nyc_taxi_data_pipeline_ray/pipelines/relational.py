@@ -2811,3 +2811,131 @@ def q_value_mad(sf_dir: str, *, cap: int = 8192) -> pd.DataFrame:
             "mad": round_half_away(np.array([mad[t] for t in types]), 4),
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_scd2_values(sf_dir: str, *, n_buckets: int = 256) -> pd.DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build: every
+    (user, event_type) value observation becomes a VERSIONED row with
+    its validity interval [valid_from, valid_to) — ``valid_to`` is the
+    next observation's ts (the 9999-12-31 sentinel while current) — the
+    dbt-snapshot /
+    warehouse-history table every CDC consumer materializes downstream
+    of the change feed.
+
+    One bounded exchange: users hash to buckets (a user's history lives
+    in one task), each task lexsorts by (user, type, ts, id) and shifts
+    the ts array by one inside each run — fully vectorized, no per-row
+    Python, task size tracks bucket size.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1, pa.int64()))
+        return t.append_column("bucket", b)
+
+    def versions(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                df["event_id"].to_numpy(),
+                df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                df["event_type"].to_numpy(),
+                df["user_id"].to_numpy(),
+            )
+        )
+        df = df.iloc[order].reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        ty = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        # open intervals close at the conventional SCD2 far-future
+        # sentinel (comparable/hashable, unlike NULL/NaT)
+        sentinel = np.datetime64("9999-12-31T00:00:00", "us")
+        nxt = np.empty(len(df), "datetime64[us]")
+        nxt[:-1] = ts[1:]
+        nxt[-1] = sentinel
+        run_end = np.concatenate(
+            [(uid[1:] != uid[:-1]) | (ty[1:] != ty[:-1]), [True]]
+        )
+        nxt[run_end] = sentinel
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_type": df["event_type"],
+                "value": df["value"],
+                "valid_from": ts,
+                "valid_to": nxt,
+                "is_current": run_end,
+            }
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(versions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["user_id", "event_type", "valid_from"], ignore_index=True
+    )
+
+
+# --------------------------------------------------------------------------
+def q_user_lifecycle(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-user lifecycle summary with PAYLOAD-carrying arg-aggregates:
+    first/last event ts AND the event_type observed at each boundary,
+    plus event count and active span.  first/last-with-payload is a
+    monoid (keep the row with the min/max (ts, event_id) key), so each
+    block combines to one row per user and ONE bounded custkey-hash
+    exchange folds the partials — the arg_min/arg_max shape at
+    high-cardinality keys without any global sort.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((df["event_id"].to_numpy(), df["ts"].to_numpy(), df["user_id"].to_numpy()))
+        df = df.iloc[o]
+        first = df.drop_duplicates("user_id", keep="first")
+        last = df.drop_duplicates("user_id", keep="last")
+        n = df.groupby("user_id", sort=False).size().reset_index(name="n")
+        g = first.merge(last, on="user_id", suffixes=("_f", "_l")).merge(n, on="user_id")
+        g["bucket"] = (g["user_id"].to_numpy(np.int64) & (n_buckets - 1))
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((df["event_id_f"].to_numpy(), df["ts_f"].to_numpy(), df["user_id"].to_numpy()))
+        df = df.iloc[o]
+        first = df.drop_duplicates("user_id", keep="first")[
+            ["user_id", "ts_f", "event_type_f"]
+        ]
+        o = np.lexsort((df["event_id_l"].to_numpy(), df["ts_l"].to_numpy(), df["user_id"].to_numpy()))
+        df2 = df.iloc[o]
+        last = df2.drop_duplicates("user_id", keep="last")[
+            ["user_id", "ts_l", "event_type_l"]
+        ]
+        n = df.groupby("user_id", sort=False)["n"].sum().reset_index()
+        g = first.merge(last, on="user_id").merge(n, on="user_id")
+        span = (
+            g["ts_l"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - g["ts_f"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ) / 3_600_000_000.0
+        from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "first_ts": g["ts_f"],
+                "first_type": g["event_type_f"],
+                "last_ts": g["ts_l"],
+                "last_type": g["event_type_l"],
+                "n_events": g["n"].astype("int64"),
+                "span_hours": round_half_away(span, 4),
+            }
+        )
+
+    out = (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True)
