@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_values": R.q_scd2_values,
         # payload-carrying arg-min/arg-max per user (first/last event)
         "user_lifecycle": R.q_user_lifecycle,
+        # watermark accounting: late-arrival fraction per type
+        "late_events": R.q_late_events,
     }
 
 
@@ -1480,5 +1482,18 @@ def oracle_sql() -> dict[str, str]:
                           - epoch_us(max(case when rf = 1 then ts end)))
                          / 3600000000.0, 4) as span_hours
             from r group by user_id order by user_id
+        """,
+        "late_events": """
+            with f as (
+              select event_type,
+                     case when ts < max(ts) over (
+                            order by event_id
+                            rows between unbounded preceding and 1 preceding)
+                          then 1 else 0 end as late
+              from events)
+            select event_type, cast(sum(late) as bigint) as n_late,
+                   cast(count(*) as bigint) as n,
+                   round(cast(sum(late) as double) / count(*), 6) as frac_late
+            from f group by 1 order by 1
         """,
     }

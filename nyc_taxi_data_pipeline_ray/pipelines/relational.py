@@ -2939,3 +2939,78 @@ def q_user_lifecycle(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_late_events(sf_dir: str, *, bucket_size: int = 4096) -> pd.DataFrame:
+    """Watermark / late-arrival accounting: an event is LATE if its
+    event time ``ts`` is older than the maximum ``ts`` seen earlier in
+    arrival order (``event_id``) — the metric a streaming pipeline
+    tracks to size its watermark delay.  Same two-pass prefix-scan as
+    :func:`q_record_events`: arrival order is carved into contiguous
+    event_id ranges, pass 1 reduces each range to its max ts (combiner
+    row per block x range), the driver exclusive-scans those tiny maxes
+    into per-range carries, and pass 2 flags lateness vectorized with
+    the carries broadcast.  Output: per event_type, late count, total,
+    and the late fraction (identical closed form in the oracle).
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def range_max(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "rng": pc.cast(
+                    pc.divide(t["event_id"], pa.scalar(bucket_size, pa.int64())),
+                    pa.int64(),
+                ),
+                "ts": t["ts"],
+            }
+        )
+        return g.group_by("rng").aggregate([("ts", "max")])
+
+    parts = ds.map_batches(range_max, batch_format="pyarrow").to_pandas()
+    rmax = parts.groupby("rng")["ts_max"].max().sort_index()
+    carry = rmax.cummax().shift(1)  # max ts of all EARLIER ranges
+    carry_ns = {
+        int(r): (np.datetime64(c, "us").astype(np.int64) if pd.notna(c) else np.iinfo(np.int64).min)
+        for r, c in carry.items()
+    }
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", ignore_index=True)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rng = (df["event_id"].to_numpy(np.int64) // bucket_size).astype(np.int64)
+        prev = np.empty_like(ts)
+        prev[0] = carry_ns.get(int(rng[0]), np.iinfo(np.int64).min)
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=prev[1:])
+            prev[1:] = np.maximum(prev[1:], prev[0])
+        late = ts < prev
+        g = pd.DataFrame({"event_type": df["event_type"], "late": late.astype(np.int64)})
+        out = g.groupby("event_type", sort=False).agg(
+            n_late=("late", "sum"), n=("late", "size")
+        ).reset_index()
+        return out.astype({"n_late": "int64", "n": "int64"})
+
+    def add_rng(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rng",
+            pc.cast(pc.divide(t["event_id"], pa.scalar(bucket_size, pa.int64())), pa.int64()),
+        )
+
+    parts2 = (
+        ds.map_batches(add_rng, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts2.groupby("event_type", as_index=False).agg(
+        n_late=("n_late", "sum"), n=("n", "sum")
+    )
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    out["frac_late"] = round_half_away(
+        out["n_late"].to_numpy(float) / out["n"].to_numpy(float), 6
+    )
+    out = out.astype({"n_late": "int64", "n": "int64"})
+    return out.sort_values("event_type", ignore_index=True)
