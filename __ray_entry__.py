@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lifecycle": R.q_user_lifecycle,
         # watermark accounting: late-arrival fraction per type
         "late_events": R.q_late_events,
+        # per-label L2-norm stats of the embedding column
+        "embedding_norms": A.q_embedding_norms,
     }
 
 
@@ -1495,5 +1497,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n,
                    round(cast(sum(late) as double) / count(*), 6) as frac_late
             from f group by 1 order by 1
+        """,
+        "embedding_norms": """
+            with v as (
+              select cast(label as bigint) as label,
+                     sqrt(list_sum(list_transform(embedding,
+                         x -> cast(x as double) * cast(x as double)))) as nrm
+              from embeddings)
+            select label, cast(count(*) as bigint) as n,
+                   round(avg(nrm), 6) as mean_norm,
+                   round(min(nrm), 6) as min_norm,
+                   round(max(nrm), 6) as max_norm
+            from v group by 1 order by 1
         """,
     }

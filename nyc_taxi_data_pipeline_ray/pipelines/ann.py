@@ -421,3 +421,52 @@ def q_kmeans_assign(sf_dir: str, *, k: int = 8, iters: int = 2) -> rd.Dataset:
         )
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-label L2-norm statistics of the embedding column — the
+    vector-health check (unnormalized rows, collapsed clusters, scale
+    drift) run before any similarity search.  Each block computes its
+    vectors' norms in one reshape + matmul-free kernel and reduces to a
+    (label -> n, sum, min, max) partial — count/sum/min/max are
+    monoids, so the exchange is labels x blocks rows and the driver
+    folds once.  The oracle evaluates the SAME per-element
+    cast-to-double square/sum/sqrt chain via DuckDB list lambdas.
+    """
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        df = pd.DataFrame({"label": lab, "nrm": nrm})
+        g = df.groupby("label", sort=False)["nrm"].agg(["size", "sum", "min", "max"])
+        g = g.reset_index()
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "s": pa.array(g["sum"].to_numpy(np.float64)),
+                "mn": pa.array(g["min"].to_numpy(np.float64)),
+                "mx": pa.array(g["max"].to_numpy(np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("label", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    )
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    return pd.DataFrame(
+        {
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "mean_norm": round_half_away(g["s"].to_numpy() / g["n"].to_numpy(float), 6),
+            "min_norm": round_half_away(g["mn"].to_numpy(), 6),
+            "max_norm": round_half_away(g["mx"].to_numpy(), 6),
+        }
+    ).sort_values("label", ignore_index=True)
