@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": R.q_late_events,
         # per-label L2-norm stats of the embedding column
         "embedding_norms": A.q_embedding_norms,
+        # cohort retention triangle (first-month cohorts x activity)
+        "cohort_retention": R.q_cohort_retention,
+        # shuffle-planning skew diagnostic per hash partition
+        "partition_skew": R.q_partition_skew,
     }
 
 
@@ -1509,5 +1513,23 @@ def oracle_sql() -> dict[str, str]:
                    round(min(nrm), 6) as min_norm,
                    round(max(nrm), 6) as max_norm
             from v group by 1 order by 1
+        """,
+        "cohort_retention": """
+            with a as (
+              select distinct o_custkey, strftime(o_orderdate, '%Y-%m') as month
+              from orders),
+            f as (select o_custkey, min(month) as cohort from a group by 1)
+            select f.cohort, a.month, cast(count(*) as bigint) as active
+            from a join f using (o_custkey)
+            group by 1, 2 order by 1, 2
+        """,
+        "partition_skew": """
+            with c as (
+              select user_id % 32 as bucket, count(*) as n
+              from events group by 1),
+            m as (select sum(n) / count(*) as mean_n, max(n) as mx from c)
+            select cast(c.bucket as bigint) as bucket, cast(c.n as bigint) as n,
+                   round(m.mx / m.mean_n, 6) as skew_factor
+            from c, m order by bucket
         """,
     }

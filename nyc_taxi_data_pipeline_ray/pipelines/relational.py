@@ -3014,3 +3014,73 @@ def q_late_events(sf_dir: str, *, bucket_size: int = 4096) -> pd.DataFrame:
     )
     out = out.astype({"n_late": "int64", "n": "int64"})
     return out.sort_values("event_type", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_cohort_retention(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
+    """Cohort retention triangle: customers grouped by their FIRST
+    order month (the cohort), counted as active in each subsequent
+    month — the classic retention matrix.  One bounded custkey-hash
+    exchange does all the keyed work: inside a bucket task the
+    cohort month is a per-customer min and the distinct
+    (customer, month) activity pairs dedup locally, so the task emits
+    (cohort, month, active) partials of bounded cardinality
+    (months² rows per bucket) and the driver folds counts.  No
+    customer id ever crosses the exchange twice.
+    """
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        g = pa.table({"o_custkey": t["o_custkey"], "month": m})
+        g = g.group_by(["o_custkey", "month"]).aggregate([])
+        b = pc.bit_wise_and(g["o_custkey"], pa.scalar(n_buckets - 1, pa.int64()))
+        return g.append_column("bucket", b)
+
+    def cohortize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["o_custkey", "month"])
+        first = df.groupby("o_custkey", sort=False)["month"].min().rename("cohort")
+        df = df.join(first, on="o_custkey")
+        out = (
+            df.groupby(["cohort", "month"], sort=False)
+            .size()
+            .reset_index(name="active")
+        )
+        return out.astype({"cohort": "object", "month": "object", "active": "int64"})
+
+    parts = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohortize, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort", "month"], as_index=False)["active"].sum()
+    out["active"] = out["active"].astype("int64")
+    return out.sort_values(["cohort", "month"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_partition_skew(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
+    """Shuffle-planning diagnostic: row counts per user_id hash
+    partition plus the skew factor (max/mean) — what an engine
+    inspects before choosing salt counts for a keyed exchange
+    (cf. ``LakeConfig.salt_shards``).  Bucket counts are a map-side
+    combiner; the modulo bucketing is deterministic so the oracle
+    reproduces it exactly in SQL.
+    """
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"bucket": pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1, pa.int64()))}
+        )
+        return g.group_by("bucket").aggregate([([], "count_all")])
+
+    counts = _combine(ds, partial, ["bucket"], {"n": ("count_all", "sum")})
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    mean = counts["n"].to_numpy(float).sum() / len(counts)
+    skew = round_half_away(np.array([counts["n"].max() / mean]), 6)
+    counts = counts.astype({"bucket": "int64", "n": "int64"})
+    counts["skew_factor"] = skew[0]
+    return counts.sort_values("bucket", ignore_index=True)
