@@ -1411,12 +1411,21 @@ def oracle_sql() -> dict[str, str]:
             where year(o.o_orderdate) = 1995
             group by 1 order by 1
         """,
-        "triangle_count": """
-            with p as (
+        "triangle_count": r"""
+            with t as (
+              select doc_id, lang, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, lang,
+                     list_distinct(list_transform(range(1, array_length(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as grams
+              from t where array_length(toks) >= 3),
+            p as (
               select a.doc_id as da, b.doc_id as db
-              from documents a
-              join documents b on a.lang = b.lang and a.doc_id < b.doc_id
-              where jaccard(a.text, b.text) >= 1.0),
+              from g a join g b on a.lang = b.lang and a.doc_id < b.doc_id
+              where cast(len(list_intersect(a.grams, b.grams)) as double)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.5),
             tri as (
               select count(*) as t from p e1
               join p e2 on e2.da = e1.da and e2.db > e1.db

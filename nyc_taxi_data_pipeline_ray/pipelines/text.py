@@ -2413,10 +2413,11 @@ def q_heavy_hitters(sf_dir: str, *, top: int = 20, cap: int = 4096) -> pd.DataFr
 
 # --------------------------------------------------------------------------
 def q_triangle_count(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
-    """Graph analytics over the exact byte-Jaccard duplicate graph
-    (:func:`q_char_jaccard_pairs`): triangle count and global clustering
+    """Graph analytics over the NEAR-duplicate pair graph
+    (:func:`q_ngram_jaccard`): triangle count and global clustering
     coefficient — the cluster-density diagnostics of a dedup pair graph
-    (dense triangle mass = large identical clusters; sparse = chains).
+    (high triangle mass = tight clusters worth collapsing; low = chains
+    where transitive dedup over-merges).
 
     Distributed triangle counting by wedge closure: edges (a < b) are
     bucketed by SOURCE vertex; each bucket task enumerates x-centered
@@ -2428,10 +2429,17 @@ def q_triangle_count(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
     denominator Σ C(d,2)) fold from per-block endpoint counts via the
     same vertex-hash bucketing.  Output is exact integers plus the
     coefficient 3T/W rounded identically to the oracle.
+
+    Wedge closure is for SPARSE graphs (near-dup thresholds keep degree
+    bounded).  An EXACT-duplicate graph (byte-Jaccard = 1.0) is a
+    disjoint union of cliques — equivalence classes — where wedge
+    enumeration is Θ(Σ C(deg, 2)) and blows up combinatorially; there
+    triangles come free as Σ C(k, 3) from the class sizes the dedup
+    pass already has, with no graph pass at all.
     """
     import ray
 
-    pairs = q_char_jaccard_pairs(sf_dir)  # output-class: near-dup pairs
+    pairs = q_ngram_jaccard(sf_dir)  # output-class: near-dup pairs
     empty = pd.DataFrame(
         {
             "n_edges": pd.Series([0], dtype="int64"),
