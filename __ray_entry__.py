@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": R.q_bloom_semi_join,
         # full-engine witness: apply + compact + snapshot vs SQL LWW
         "cdc_engine_replay": R.q_cdc_engine_replay,
+        "matview_conv_stats": R.q_matview_conv_stats,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1306,6 +1307,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
             group by 1 order by 1
+        """,
+        "matview_conv_stats": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            w as (
+              select 'u' || cast(user_id as varchar) as conv_id,
+                     event_type as text, ts, event_id as lsn
+              from r where rn = 1)
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   min(ts) as first_ts,
+                   max(ts) as last_ts,
+                   cast(count(*) as bigint) as n_user_turns,
+                   cast(0 as bigint) as n_tool_calls,
+                   cast(sum(length(text)) as bigint) as total_chars,
+                   max(lsn) as last_lsn
+            from w group by conv_id order by conv_id
         """,
         "cdc_engine_replay": """
             with r as (

@@ -2270,13 +2270,27 @@ def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
     the scale path.  Scratch lives under /tmp, rebuilt per call.
     """
     import os
+
+    root = "/tmp/nyc_ray_q_engine_replay"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    report = eng.apply(wal_dir)
+    assert report.rejects == 0, report
+    eng.compact()
+    return eng.snapshot_table().to_pandas()
+
+
+def _events_as_transcript_wal(sf_dir: str, root: str):
+    """Recast the events table as a two-epoch transcript WAL under
+    ``root`` (see :func:`q_cdc_engine_replay` for the scale notes).
+    Returns ``(engine, wal_dir)`` with nothing applied yet — callers
+    choose whole-WAL or epoch-at-a-time replay."""
+    import os
     import shutil
 
     import pyarrow.parquet as pq
 
     from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
 
-    root = "/tmp/nyc_ray_q_engine_replay"
     shutil.rmtree(root, ignore_errors=True)
     ev = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
@@ -2308,10 +2322,37 @@ def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
             os.path.join(d, "part-0000.parquet"),
         )
     eng = CdcEngine(LakeConfig.open_or_create(os.path.join(root, "lake"), num_partitions=4))
-    report = eng.apply(os.path.join(root, "wal"))
-    assert report.rejects == 0, report
-    eng.compact()
-    return eng.snapshot_table().to_pandas()
+    return eng, os.path.join(root, "wal")
+
+
+def q_matview_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained materialized view, driver-visible: replay
+    the events-as-transcripts WAL through the engine epoch by epoch and
+    ``refresh()`` the per-conversation stats view after EACH commit group
+    — the second refresh recomputes only partitions whose ledger
+    advanced (state/matview.py).  The oracle is the SQL aggregate over
+    the LWW winners, so this certifies that incremental maintenance
+    (partition reuse + recompute-on-touch) equals a from-scratch build.
+
+    The reference's analog rebuilds its whole gold layer per run
+    (``nyc_taxi_dbt/models/marts/core/agg_daily_metrics.sql``); at
+    10^10 events the view touches only the partitions an epoch's WAL
+    slice hit — no shuffle, because conversations are partition-local.
+    """
+    import os
+
+    from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
+
+    root = "/tmp/nyc_ray_q_matview"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    mv = MaterializedView(eng, os.path.join(root, "view"))
+    eng.apply(wal_dir, max_epochs=1)
+    mv.refresh()
+    eng.apply(wal_dir)
+    mv.refresh()
+    idem = mv.refresh()  # ledger unchanged -> every partition reused
+    assert idem["refreshed"] == 0 and idem["reused"] == 4, idem
+    return mv.table().to_pandas()
 
 
 # --------------------------------------------------------------------------
