@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-engine witness: apply + compact + snapshot vs SQL LWW
         "cdc_engine_replay": R.q_cdc_engine_replay,
         "matview_conv_stats": R.q_matview_conv_stats,
+        "cdc_snapshot_diff": R.q_cdc_snapshot_diff,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1307,6 +1308,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
             group by 1 order by 1
+        """,
+        "cdc_snapshot_diff": """
+            with t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w_all as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            w_a as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events
+              where event_id <= (select max(event_id) // 2 from events)),
+            a as (select 'u' || cast(user_id as varchar) as conv_id,
+                         t.turn_idx, event_type as text, ts, event_id as lsn
+                  from w_a join t using (event_type) where rn = 1),
+            b as (select 'u' || cast(user_id as varchar) as conv_id,
+                         t.turn_idx, event_type as text, ts, event_id as lsn
+                  from w_all join t using (event_type) where rn = 1)
+            select coalesce(b.conv_id, a.conv_id) as conv_id,
+                   cast(coalesce(b.turn_idx, a.turn_idx) as bigint) as turn_idx,
+                   case when a.conv_id is null then 'insert'
+                        when b.conv_id is null then 'delete'
+                        else 'update' end as change,
+                   a.text as before_text, b.text as after_text,
+                   a.ts as before_ts, b.ts as after_ts,
+                   a.lsn as before_lsn, b.lsn as after_lsn
+            from a full outer join b
+              on a.conv_id = b.conv_id and a.turn_idx = b.turn_idx
+            where a.conv_id is null or b.conv_id is null
+               or a.ts <> b.ts or a.lsn <> b.lsn
+            order by 1, 2
         """,
         "matview_conv_stats": """
             with r as (

@@ -911,6 +911,45 @@ class CdcEngine:
             read_changes, batch_format="pyarrow", batch_size=None
         )
 
+    def diff(self, *, from_epoch: int, to_epoch: int | None = None) -> rd.Dataset:
+        """Before/after-image change classification between two committed
+        snapshots: every key whose LWW winner differs between the state
+        as of ``from_epoch`` and the state as of ``to_epoch`` (default:
+        current), tagged ``insert`` / ``update`` / ``delete`` with both
+        images.  This is the Debezium-style enriched feed ``changes()``
+        deliberately omits (the raw feed ships new values only): rather
+        than burden the hot apply path with before-image capture, the
+        images are derived on demand from the LSM runs themselves.
+
+        Partition-local and shuffle-free — both states of a key live in
+        the same partition, so each Ray task merges one partition twice
+        and joins the two states vectorized.  Inherits ``snapshot()``'s
+        time-travel constraints: raises below the compaction watermark
+        or inside a multi-epoch commit group.
+        """
+        pids = self._live_pids()
+        lake_path = self.cfg.path
+        if not pids:
+            return rd.from_arrow(_empty_diff())
+
+        def diff_one(batch: pa.Table) -> pa.Table:
+            outs = [
+                _diff_states(
+                    _read_partition_state(lake_path, int(pid), from_epoch),
+                    _read_partition_state(lake_path, int(pid), to_epoch),
+                )
+                for pid in batch["pid"].to_pylist()
+            ]
+            outs = [o for o in outs if o.num_rows]
+            if not outs:
+                return _empty_diff()
+            return pa.concat_tables(outs)
+
+        ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+        return ds.repartition(len(pids)).map_batches(
+            diff_one, batch_format="pyarrow", batch_size=None
+        )
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 
@@ -1225,6 +1264,87 @@ def _partition_runs(
         if ep > through and (as_of_epoch is None or ep <= as_of_epoch):
             runs.append(pq.read_table(path))
     return runs
+
+
+#: Output row of :meth:`CdcEngine.diff` — one row per key whose LWW
+#: winner changed, with both images of the representative payload.
+DIFF_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("change", pa.string()),
+        ("before_text", pa.string()),
+        ("after_text", pa.string()),
+        ("before_ts", pa.timestamp("us")),
+        ("after_ts", pa.timestamp("us")),
+        ("before_lsn", pa.int64()),
+        ("after_lsn", pa.int64()),
+    ]
+)
+
+
+def _empty_diff() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in DIFF_SCHEMA})
+
+
+def _diff_states(a: pa.Table | None, b: pa.Table | None) -> pa.Table:
+    """Classify key-level changes between two merged partition states.
+
+    Vectorized outer join on the merge key; a key changed iff its
+    winning ``(ts, lsn)`` differs — the LWW ordering key identifies the
+    winning event, so equal (ts, lsn) means the very same row won both
+    times (duplicates were already collapsed by the merge).
+    """
+    cols = ["conv_id", "turn_idx", "text", "ts", "lsn"]
+
+    def frame(t: pa.Table | None) -> pd.DataFrame:
+        if t is None or t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        return t.select(cols).to_pandas()
+
+    m = frame(a).merge(
+        frame(b),
+        on=["conv_id", "turn_idx"],
+        how="outer",
+        suffixes=("_a", "_b"),
+        indicator=True,
+    )
+    ins = (m["_merge"] == "right_only").to_numpy()
+    dele = (m["_merge"] == "left_only").to_numpy()
+    both = (m["_merge"] == "both").to_numpy()
+    upd = both & (
+        (m["ts_a"].to_numpy() != m["ts_b"].to_numpy())
+        | (m["lsn_a"].to_numpy() != m["lsn_b"].to_numpy())
+    )
+    keep = ins | dele | upd
+    m = m[keep]
+    change = np.where(
+        (m["_merge"] == "right_only").to_numpy(),
+        "insert",
+        np.where((m["_merge"] == "left_only").to_numpy(), "delete", "update"),
+    )
+    def col(s: pd.Series, typ: pa.DataType) -> pa.Array:
+        # outer-merge NaN padding: route through nullable dtypes so
+        # missing-side images become Arrow nulls, not float garbage
+        if pa.types.is_integer(typ):
+            s = pd.to_numeric(s).astype("Int64")
+        elif pa.types.is_timestamp(typ):
+            s = pd.to_datetime(s)
+        return pa.Array.from_pandas(s, type=typ)
+
+    return pa.table(
+        {
+            "conv_id": col(m["conv_id"], pa.string()),
+            "turn_idx": col(m["turn_idx"], pa.int32()),
+            "change": pa.array(change, pa.string()),
+            "before_text": col(m["text_a"], pa.string()),
+            "after_text": col(m["text_b"], pa.string()),
+            "before_ts": col(m["ts_a"], pa.timestamp("us")),
+            "after_ts": col(m["ts_b"], pa.timestamp("us")),
+            "before_lsn": col(m["lsn_a"], pa.int64()),
+            "after_lsn": col(m["lsn_b"], pa.int64()),
+        }
+    )
 
 
 def _read_partition_state(

@@ -2355,6 +2355,33 @@ def q_matview_conv_stats(sf_dir: str) -> pd.DataFrame:
     return mv.table().to_pandas()
 
 
+def q_cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Before/after-image change feed, driver-visible: replay the
+    events-as-transcripts WAL epoch by epoch, then ``diff(from_epoch=0)``
+    — every key whose LWW winner changed between the epoch-0 snapshot
+    and the final state, classified insert/update/delete with both
+    images (engine.py ``CdcEngine.diff``).  The oracle recomputes both
+    snapshots' winners in SQL and outer-joins them, so this certifies
+    the enriched feed against an independent engine.  Partition-local
+    (both states of a key share a partition): no shuffle at any scale.
+    """
+    import os
+
+    root = "/tmp/nyc_ray_q_snapshot_diff"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir, max_epochs=1)
+    eng.apply(wal_dir)
+    t = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.diff(from_epoch=0).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    return (
+        t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------
 def _digest_compress(vals: np.ndarray, wts: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
     """Compress a SORTED weighted sample to <= cap cells by merging
