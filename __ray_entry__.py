@@ -1337,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
                         when b.conv_id is null then 'delete'
                         else 'update' end as change,
                    a.text as before_text, b.text as after_text,
+                   case when a.conv_id is not null then 'user' end as before_role,
+                   case when b.conv_id is not null then 'user' end as after_role,
                    a.ts as before_ts, b.ts as after_ts,
                    a.lsn as before_lsn, b.lsn as after_lsn
             from a full outer join b

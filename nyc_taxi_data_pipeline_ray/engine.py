@@ -911,6 +911,65 @@ class CdcEngine:
             read_changes, batch_format="pyarrow", batch_size=None
         )
 
+    def rejects(
+        self, *, after_epoch: int = -1, through_epoch: int | None = None
+    ) -> rd.Dataset:
+        """Dead-letter feed: the validation rejects of committed commit
+        groups in ``(after_epoch, through_epoch]`` as one Dataset, each
+        row tagged with its ``reject_group`` and a vectorized
+        first-failing-rule ``reason`` (stages/validate.py) — the
+        queryable analog of the reference's log-and-drop invalid-trip
+        handling (``streaming/api/main.py`` returns 422s that vanish;
+        here every reject is addressable for replay after a fix).
+
+        Rejects files are committed by the same manifest as their
+        group's delta (exactly-once: replaying a committed epoch never
+        duplicates them) and are NEVER folded by compaction, so the
+        full audit history stays readable regardless of the lake's
+        compaction watermark.
+        """
+        pids = self._live_pids()
+        lake_path = self.cfg.path
+        feed_schema = pa.schema(
+            [("reject_group", pa.int32()), ("reason", pa.string())]
+            + list(schemas.EVENT_SCHEMA)
+        )
+
+        def read_rejects(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                for m in mf.read_manifests(lake_path, pid):
+                    g = int(m["group_id"])
+                    if g <= after_epoch or (through_epoch is not None and g > through_epoch):
+                        continue
+                    path = mf.rejects_path(lake_path, pid, g)
+                    if not os.path.exists(path):
+                        continue
+                    t = pq.read_table(path)
+                    t = t.drop_columns(
+                        [c for c in (mg.NSRC, mg.RUN_SEQ) if c in t.schema.names]
+                    )
+                    t = t.append_column(
+                        "reject_group", pa.array(np.full(t.num_rows, g, np.int32))
+                    ).append_column(
+                        "reason", pa.array(validate_mod.reject_reasons(t), pa.string())
+                    )
+                    outs.append(t)
+            outs = [o for o in outs if o.num_rows]
+            if not outs:
+                return pa.table({f.name: pa.array([], f.type) for f in feed_schema})
+            return mg.concat_unified(outs)
+
+        if not pids:
+            return rd.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in feed_schema})
+            )
+        ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+        return ds.repartition(len(pids)).map_batches(
+            read_rejects, batch_format="pyarrow", batch_size=None
+        )
+
     def diff(self, *, from_epoch: int, to_epoch: int | None = None) -> rd.Dataset:
         """Before/after-image change classification between two committed
         snapshots: every key whose LWW winner differs between the state
@@ -968,6 +1027,60 @@ class CdcEngine:
             )
         out = state.filter(pc.equal(state["conv_id"], conv_id))
         return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
+
+    def get_conversations(self, conv_ids) -> rd.Dataset:
+        """Bulk point lookup, partition-pruned: hashes the requested
+        keys to their owning partitions and reads ONLY those — a lake
+        with 10 000 partitions serving a 50-conversation lookup merges
+        at most 50 partitions, and each task receives just the key
+        subset it owns (no full request list broadcast).  Rows come
+        back (conv_id, turn_idx)-sorted within each partition, like
+        :meth:`snapshot`."""
+        ids = sorted(set(conv_ids))
+        lake_path = self.cfg.path
+        if not ids:
+            return rd.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+            )
+        pids = hash_partition_ids(pa.array(ids, pa.string()), self.cfg.num_partitions)
+        live = set(self._live_pids())
+        by_pid: dict[int, list[str]] = {}
+        for cid, pid in zip(ids, pids):
+            if int(pid) in live:
+                by_pid.setdefault(int(pid), []).append(cid)
+        if not by_pid:
+            return rd.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+            )
+
+        def read_keys(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid, keys in zip(batch["pid"].to_pylist(), batch["keys"].to_pylist()):
+                state = _read_partition_state(lake_path, int(pid))
+                if state is None:
+                    continue
+                hit = state.filter(
+                    pc.is_in(state["conv_id"], value_set=pa.array(keys, pa.string()))
+                )
+                if hit.num_rows:
+                    outs.append(hit)
+            if not outs:
+                return pa.table(
+                    {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
+                )
+            return mg.concat_unified(outs)
+
+        work = pa.table(
+            {
+                "pid": pa.array(list(by_pid), pa.int32()),
+                "keys": pa.array(list(by_pid.values()), pa.list_(pa.string())),
+            }
+        )
+        return (
+            rd.from_arrow(work)
+            .repartition(work.num_rows)
+            .map_batches(read_keys, batch_format="pyarrow", batch_size=None)
+        )
 
     # --------------------------------------------------------------- metrics
     def describe(self) -> dict:
@@ -1275,6 +1388,8 @@ DIFF_SCHEMA = pa.schema(
         ("change", pa.string()),
         ("before_text", pa.string()),
         ("after_text", pa.string()),
+        ("before_role", pa.string()),
+        ("after_role", pa.string()),
         ("before_ts", pa.timestamp("us")),
         ("after_ts", pa.timestamp("us")),
         ("before_lsn", pa.int64()),
@@ -1295,7 +1410,7 @@ def _diff_states(a: pa.Table | None, b: pa.Table | None) -> pa.Table:
     winning event, so equal (ts, lsn) means the very same row won both
     times (duplicates were already collapsed by the merge).
     """
-    cols = ["conv_id", "turn_idx", "text", "ts", "lsn"]
+    cols = ["conv_id", "turn_idx", "text", "role", "ts", "lsn"]
 
     def frame(t: pa.Table | None) -> pd.DataFrame:
         if t is None or t.num_rows == 0:
@@ -1339,6 +1454,8 @@ def _diff_states(a: pa.Table | None, b: pa.Table | None) -> pa.Table:
             "change": pa.array(change, pa.string()),
             "before_text": col(m["text_a"], pa.string()),
             "after_text": col(m["text_b"], pa.string()),
+            "before_role": col(m["role_a"], pa.string()),
+            "after_role": col(m["role_b"], pa.string()),
             "before_ts": col(m["ts_a"], pa.timestamp("us")),
             "after_ts": col(m["ts_b"], pa.timestamp("us")),
             "before_lsn": col(m["lsn_a"], pa.int64()),

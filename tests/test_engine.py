@@ -103,6 +103,59 @@ def test_rejects_dead_letter(applied):
     assert total == rep.rejects
 
 
+def test_get_conversations_bulk_lookup(applied):
+    # partition-pruned bulk point reads == the snapshot filtered to the
+    # same keys; unknown keys return nothing; empty request is empty
+    gen, _, eng, _ = applied
+    snap = eng.snapshot_table()
+    ids = sorted(set(snap["conv_id"].to_pylist()))[:7]
+    got = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.get_conversations(ids + ["conv-does-not-exist"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ],
+        promote_options="default",
+    )
+    exp = snap.filter(pc.is_in(snap["conv_id"], value_set=pa.array(ids)))
+    cols = sorted(exp.schema.names)
+    got = got.select(cols)
+    got = got.take(
+        pc.sort_indices(got, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    assert got.equals(exp.select(cols))
+    assert eng.get_conversations([]).count() == 0
+    assert eng.get_conversations(["conv-does-not-exist"]).count() == 0
+
+
+def test_rejects_feed(applied):
+    # the queryable dead-letter feed: every reject row, group-tagged,
+    # with a first-failing-rule reason; exactly-once under re-apply
+    gen, wal, eng, rep = applied
+    feed = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.rejects().iter_batches(batch_format="pyarrow")
+        ],
+        promote_options="default",
+    )
+    assert feed.num_rows == rep.rejects
+    assert feed["reason"].null_count == 0
+    assert set(feed["reject_group"].to_pylist()) <= set(rep.epochs)
+    # the feed is the set of actually-invalid events
+    ev = gen.events_table()
+    bad_lsns = sorted(
+        r["lsn"] for r in ev.to_pylist() if not oracle.is_valid_event(r)
+    )
+    assert sorted(feed["lsn"].to_pylist()) == bad_lsns
+    # windowing: a window past the last group is empty
+    assert eng.rejects(after_epoch=max(rep.epochs)).count() == 0
+    # exactly-once: a no-op re-apply adds nothing
+    eng.apply(wal)
+    assert eng.rejects().count() == rep.rejects
+
+
 def test_alert_ring_keeps_most_recent_rejects(applied):
     # the capped last-K alert list analog (fraud_detector.py:76-77
     # lpush + ltrim 0..99): metrics() exposes the most recent K rejects,

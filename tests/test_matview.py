@@ -131,6 +131,76 @@ def test_matview_crash_resume(tmp_path):
     _assert_view_equals(mv, expected)
 
 
+def _expected_role_stats(events: pa.Table) -> pd.DataFrame:
+    final = oracle.replay(events).to_pandas()
+    g = final.groupby("role")
+    return (
+        pd.DataFrame(
+            {
+                "n_turns": g.size(),
+                "total_chars": g["text"].apply(
+                    lambda s: int(s.fillna("").str.len().sum())
+                ),
+            }
+        )
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+
+
+def test_delta_aggregate_incremental(tmp_path):
+    from nyc_taxi_data_pipeline_ray.state.matview import DeltaAggregate
+
+    gen, wal, eng, _ = _build(str(tmp_path))
+    da = DeltaAggregate(eng, os.path.join(str(tmp_path), "role_stats.json"))
+
+    eng.apply(wal, max_epochs=1)
+    assert da.refresh()["mode"] == "full"  # first sync bootstraps
+    eng.apply(wal)
+    assert da.refresh()["mode"] == "incremental"  # folds diff images only
+    assert da.refresh()["mode"] == "noop"  # watermark unchanged
+
+    got = da.table().to_pandas()
+    exp = _expected_role_stats(gen.events_table())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_delta_aggregate_compaction_fallback(tmp_path):
+    from nyc_taxi_data_pipeline_ray.state.matview import DeltaAggregate
+
+    gen, wal, eng, _ = _build(str(tmp_path))
+    da = DeltaAggregate(eng, os.path.join(str(tmp_path), "role_stats.json"))
+    eng.apply(wal, max_epochs=1)
+    da.refresh()
+    eng.apply(wal)
+    eng.compact()  # folds the history the incremental path would need
+    # one more state-changing commit so the watermark moves past compaction
+    ev = pa.table(
+        {
+            "lsn": pa.array([20_000_000], pa.int64()),
+            "op": pa.array(["insert"]),
+            "epoch": pa.array([SPEC.num_epochs], pa.int32()),
+            "conv_id": pa.array(["conv-new"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["system"]),
+            "text": pa.array(["hello"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([pd.Timestamp("2031-01-01").to_datetime64()]),
+        }
+    ).cast(schemas.EVENT_SCHEMA)
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ev, os.path.join(d, "part-0000.parquet"))
+    eng.apply(os.path.join(str(tmp_path), "wal"))
+
+    rep = da.refresh()
+    assert rep["mode"] == "full"  # compacted history -> snapshot re-sync
+    got = da.table().to_pandas()
+    exp = _expected_role_stats(pa.concat_tables([gen.events_table(), ev]))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_matview_survives_compaction(tmp_path):
     """Compaction rewrites runs but not logical state: the view's
     watermark (committed groups) is unchanged, so nothing refreshes
