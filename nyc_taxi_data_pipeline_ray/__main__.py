@@ -12,6 +12,11 @@ operations are one command each:
     python -m nyc_taxi_data_pipeline_ray snapshot --lake /tmp/lake --out /tmp/snap
     python -m nyc_taxi_data_pipeline_ray metrics  --lake /tmp/lake
     python -m nyc_taxi_data_pipeline_ray check    --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray changes  --lake /tmp/lake --out /tmp/feed
+    python -m nyc_taxi_data_pipeline_ray diff     --lake /tmp/lake --out /tmp/d --from-epoch 0
+    python -m nyc_taxi_data_pipeline_ray rejects  --lake /tmp/lake --out /tmp/dlq
+    python -m nyc_taxi_data_pipeline_ray view-refresh --lake /tmp/lake --view /tmp/view
+    python -m nyc_taxi_data_pipeline_ray get      --lake /tmp/lake --conv-id c-42
 
 Each command owns its Ray session (guarded init, shutdown on exit).
 """
@@ -92,6 +97,33 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--after-epoch", type=int, default=-1)
     sp.add_argument("--through-epoch", type=int, default=None)
 
+    sp = sub.add_parser(
+        "diff", help="export before/after images between two snapshots as Parquet"
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--from-epoch", type=int, required=True)
+    sp.add_argument("--to-epoch", type=int, default=None)
+
+    sp = sub.add_parser(
+        "rejects", help="export the dead-letter feed (with reasons) as Parquet"
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--after-epoch", type=int, default=-1)
+    sp.add_argument("--through-epoch", type=int, default=None)
+
+    sp = sub.add_parser(
+        "view-refresh",
+        help="refresh the incremental per-conversation materialized view",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--view", required=True)
+
+    sp = sub.add_parser("get", help="point lookup: print one conversation's turns")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--conv-id", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -167,6 +199,25 @@ def main(argv: list[str] | None = None) -> int:
                 after_epoch=args.after_epoch, through_epoch=args.through_epoch
             ).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "diff":
+            eng.diff(
+                from_epoch=args.from_epoch, to_epoch=args.to_epoch
+            ).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        elif args.cmd == "rejects":
+            eng.rejects(
+                after_epoch=args.after_epoch, through_epoch=args.through_epoch
+            ).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        elif args.cmd == "view-refresh":
+            from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
+
+            print(json.dumps(MaterializedView(eng, args.view).refresh()))
+        elif args.cmd == "get":
+            t = eng.get_conversation(args.conv_id)
+            print(json.dumps({"conv_id": args.conv_id, "turns": t.num_rows}))
+            for row in t.to_pylist():
+                print(json.dumps(row, default=str))
     finally:
         if owns_session:
             ray.shutdown()

@@ -22,3 +22,39 @@ def test_cli_roundtrip(tmp_path, capsys):
     assert lag["epochs_behind"] == 0
     check = next(d for d in lines if "passed" in d)
     assert check["passed"]
+
+
+def test_cli_feeds_and_view(tmp_path, capsys):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    assert main(["generate", "--wal", wal, "--epochs", "2",
+                 "--events-per-epoch", "400", "--conversations", "40"]) == 0
+    assert main(["apply", "--wal", wal, "--lake", lake, "--partitions", "4",
+                 "--max-epochs", "1"]) == 0
+    assert main(["apply", "--wal", wal, "--lake", lake, "--partitions", "4"]) == 0
+
+    dout = str(tmp_path / "diff")
+    assert main(["diff", "--lake", lake, "--out", dout, "--from-epoch", "0"]) == 0
+    n_diff = sum(pq.read_table(f).num_rows for f in glob.glob(dout + "/*.parquet"))
+    assert n_diff > 0
+
+    rout = str(tmp_path / "rejects")
+    assert main(["rejects", "--lake", lake, "--out", rout]) == 0  # clean WAL -> empty ok
+
+    view = str(tmp_path / "view")
+    assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
+    assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
+
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    refreshes = [d for d in lines if "refreshed" in d]
+    assert refreshes[-1]["refreshed"] == 0 and refreshes[-1]["reused"] == 4
+
+    conv = pq.read_table(glob.glob(str(tmp_path / "lake" / "p=*" / "*.parquet"))[0])[
+        "conv_id"
+    ][0].as_py()
+    assert main(["get", "--lake", lake, "--conv-id", conv]) == 0
+    got = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert got[0]["turns"] >= 1 and got[1]["conv_id"] == conv
