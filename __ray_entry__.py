@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": T.q_fingerprint,
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
+        "dedup_index_probe": T.q_dedup_index_probe,  # rows-only (incremental LSH index)
         # exactness witness: LSH candidates reranked by exact char-5-gram
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,

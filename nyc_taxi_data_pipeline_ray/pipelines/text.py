@@ -621,6 +621,35 @@ def q_minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
+def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """Incremental dedup via the persisted LSH index
+    (state/dedup_index.py): the first half of the documents table is
+    indexed as segment 0, the second half arrives later and is probed
+    against the index WITHOUT recomputing the indexed signatures — the
+    O(new docs) epoch-dedup step a 100 TB ingest loop needs (re-running
+    the batch join is O(corpus) per epoch).  Replays the segment add to
+    witness exactly-once.  Rows-only at the driver (signature estimates
+    aren't SQL-expressible); the per-pair estimates are pinned to the
+    direct signature comparison in tests/test_dedup_index.py, and the
+    batch pipeline's q_minhash_rerank supplies the SQL exactness
+    witness for the shared hash family."""
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = "/tmp/nyc_ray_q_dedup_index"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mid = 250
+    base = ds.filter(expr=f"doc_id < {mid}")
+    arrivals = ds.filter(expr=f"doc_id >= {mid}")
+    idx = MinHashIndex(root)
+    rep = idx.add(base, segment_id=0)
+    replay = idx.add(base, segment_id=0)
+    assert replay == {"segment": 0, "skipped": True}, (rep, replay)
+    return idx.probe(arrivals, threshold=threshold)
+
+
 def q_minhash_rerank(
     sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
 ) -> pd.DataFrame:

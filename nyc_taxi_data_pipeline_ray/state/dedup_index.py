@@ -1,0 +1,252 @@
+"""Persisted, incrementally-updatable MinHash/LSH dedup index.
+
+The CDC-native completion of the batch near-dup pipeline
+(pipelines/text.py q_minhash_near_dups): a training-data ingest loop
+receives documents EPOCH BY EPOCH and must dedup each arrival against
+everything already accepted — re-running the batch join over the full
+corpus per epoch is O(corpus) each time.  This index makes the step
+O(new docs): signatures of accepted docs are persisted once, as banded
+LSH rows hash-partitioned into bucket files, and a probe reads only
+the bucket files its own band hashes touch.
+
+Storage layout under ``path/`` (the engine's ledger idiom, reused):
+
+- ``seg-NNNNNN/bucket=BB.parquet``  band rows of segment N in bucket B
+- ``seg-NNNNNN.json``               commit marker (segment is invisible
+                                    until it lands; tmp+rename before)
+- ``meta.json``                     write-once hash params, so every
+                                    opener agrees on num_perm/bands
+
+Exactly-once: ``add()`` with an already-committed segment id is a
+no-op, so WAL-epoch-driven updates can be replayed safely.  A crashed
+``add`` leaves orphan parquet that the next attempt overwrites.
+
+Scale notes: update is a single bounded shuffle of the NEW docs' band
+rows (num_buckets files); probe is partition-pruned to the probe set's
+buckets and each bucket task's work is its fine-group pair expansion —
+the same bounded-bucket containment as the batch pipeline.  Segments
+accumulate per epoch; a compaction (concat per bucket across segments)
+is the obvious LSM step when file counts grow — omitted here, the read
+path already merges segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.pipelines.text import (
+    _cached_minhasher,
+    _group_sizes_by_boundary,
+    _ragged_pair_indices,
+)
+from nyc_taxi_data_pipeline_ray.state import manifest as mf
+
+PAIR_SCHEMA = pa.schema(
+    [
+        ("probe_doc", pa.int64()),
+        ("indexed_doc", pa.int64()),
+        ("est_jaccard", pa.float64()),
+    ]
+)
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in PAIR_SCHEMA})
+
+
+def _band_rows(
+    t: pa.Table, *, num_perm: int, bands: int, num_buckets: int
+) -> pa.Table:
+    """(doc_id, text) batch -> banded LSH rows with shuffle bucket.
+    Same band hash as the batch pipeline (polynomial combine seeded by
+    band id), so index hits reproduce the batch join's candidates."""
+    mh = _cached_minhasher(num_perm)
+    rows_per_band = num_perm // bands
+    sig = np.stack([mh.signature(s) for s in t["text"].to_pylist()])
+    n = sig.shape[0]
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    band_ids, doc_idx, band_hash = [], [], []
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        bh = np.full(n, b + 1, dtype=np.uint64)
+        for c in range(chunk.shape[1]):
+            bh = bh * np.uint64(1000003) + chunk[:, c].astype(np.uint64)
+        band_ids.append(np.full(n, b, np.int32))
+        doc_idx.append(doc)
+        band_hash.append(bh.astype(np.int64))
+    bh_all = np.concatenate(band_hash)
+    return pa.table(
+        {
+            "bucket": pa.array((bh_all.view(np.uint64) % num_buckets).astype(np.int32)),
+            "band": pa.array(np.concatenate(band_ids)),
+            "band_hash": pa.array(bh_all),
+            "doc_id": pa.array(np.concatenate(doc_idx)),
+            "sig": pa.array(list(np.tile(sig, (bands, 1)).astype(np.int64))),
+        }
+    )
+
+
+class MinHashIndex:
+    def __init__(
+        self, path: str, *, num_perm: int = 64, bands: int = 16, num_buckets: int = 64
+    ):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.num_perm = int(meta["num_perm"])
+            self.bands = int(meta["bands"])
+            self.num_buckets = int(meta["num_buckets"])
+        else:
+            self.num_perm, self.bands, self.num_buckets = num_perm, bands, num_buckets
+            mf.atomic_write_json(
+                meta_path,
+                {"num_perm": num_perm, "bands": bands, "num_buckets": num_buckets},
+            )
+
+    # ---------------------------------------------------------------- ledger
+    def _manifest_path(self, segment_id: int) -> str:
+        return os.path.join(self.path, f"seg-{segment_id:06d}.json")
+
+    def segments(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("seg-") and name.endswith(".json"):
+                out.append(int(name[4:-5]))
+        return sorted(out)
+
+    # ------------------------------------------------------------------- add
+    def add(self, docs: rd.Dataset, segment_id: int) -> dict:
+        """Index a new document batch as one committed segment.
+        Idempotent on segment_id (replay-safe for epoch-driven callers)."""
+        if segment_id in self.segments():
+            return {"segment": segment_id, "skipped": True}
+        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        os.makedirs(seg_dir, exist_ok=True)
+        num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
+
+        rows = docs.map_batches(
+            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
+            batch_format="pyarrow",
+        )
+
+        def write_bucket(g: pa.Table) -> pa.Table:
+            b = int(g["bucket"][0].as_py())
+            path = os.path.join(seg_dir, f"bucket={b:02d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(g.drop_columns(["bucket"]), tmp)
+            os.replace(tmp, path)
+            return pa.table({"bucket": pa.array([b], pa.int32()), "rows": [g.num_rows]})
+
+        stats = (
+            rows.groupby("bucket")
+            .map_groups(write_bucket, batch_format="pyarrow")
+            .to_pandas()  # <= num_buckets rows
+        )
+        band_rows = int(stats["rows"].sum()) if len(stats) else 0
+        mf.atomic_write_json(
+            self._manifest_path(segment_id),
+            {"segment": segment_id, "band_rows": band_rows, "docs": band_rows // self.bands},
+        )
+        return {"segment": segment_id, "skipped": False, "docs": band_rows // self.bands}
+
+    # ----------------------------------------------------------------- probe
+    def probe(self, docs: rd.Dataset, *, threshold: float = 0.5) -> pd.DataFrame:
+        """Near-dup candidates of the probe docs against EVERY committed
+        segment: (probe_doc, indexed_doc, est_jaccard >= threshold).
+        Reads only the bucket files the probe's band hashes touch.
+
+        Each bucket task enumerates fine-group pairs with the batch
+        pipeline's ragged expansion and keeps cross-side ones; a
+        searchsorted probe->stored merge would avoid the stored-stored
+        expansion for pathologically hot clusters — not needed at the
+        fine-group sizes LSH produces."""
+        segs = self.segments()
+        num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
+        index_path = self.path
+        if not segs:
+            return _empty_pairs().to_pandas()
+
+        probe_rows = docs.map_batches(
+            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
+            batch_format="pyarrow",
+        )
+
+        def match_bucket(g: pa.Table) -> pa.Table:
+            b = int(g["bucket"][0].as_py())
+            stored = []
+            for s in segs:
+                p = os.path.join(index_path, f"seg-{s:06d}", f"bucket={b:02d}.parquet")
+                if os.path.exists(p):
+                    stored.append(pq.read_table(p))
+            if not stored:
+                return _empty_pairs()
+            st = pa.concat_tables(stored)
+            band = np.concatenate(
+                [st["band"].to_numpy(zero_copy_only=False), g["band"].to_numpy(zero_copy_only=False)]
+            )
+            bh = np.concatenate(
+                [
+                    st["band_hash"].to_numpy(zero_copy_only=False),
+                    g["band_hash"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            ids = np.concatenate(
+                [st["doc_id"].to_numpy(zero_copy_only=False), g["doc_id"].to_numpy(zero_copy_only=False)]
+            )
+            sig = np.concatenate(
+                [
+                    np.stack(st["sig"].to_numpy(zero_copy_only=False)),
+                    np.stack(g["sig"].to_numpy(zero_copy_only=False)),
+                ]
+            )
+            side = np.concatenate(
+                [np.zeros(st.num_rows, np.int8), np.ones(g.num_rows, np.int8)]
+            )
+            order = np.lexsort((ids, side, bh, band))
+            band, bh, ids, sig, side = (
+                band[order], bh[order], ids[order], sig[order], side[order],
+            )
+            sizes = _group_sizes_by_boundary(band, bh)
+            ia, ib = _ragged_pair_indices(sizes)
+            if not len(ia):
+                return _empty_pairs()
+            cross = side[ia] != side[ib]
+            ia, ib = ia[cross], ib[cross]
+            if not len(ia):
+                return _empty_pairs()
+            est = (sig[ia] == sig[ib]).mean(axis=1)
+            keep = est >= threshold
+            ia, ib, est = ia[keep], ib[keep], est[keep]
+            # orient: probe doc first (side==1)
+            pd_ = np.where(side[ia] == 1, ids[ia], ids[ib])
+            ix = np.where(side[ia] == 1, ids[ib], ids[ia])
+            return pa.table(
+                {
+                    "probe_doc": pa.array(pd_, pa.int64()),
+                    "indexed_doc": pa.array(ix, pa.int64()),
+                    "est_jaccard": pa.array(np.round(est, 4), pa.float64()),
+                }
+            )
+
+        df = (
+            probe_rows.groupby("bucket")
+            .map_groups(match_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if df.empty:
+            return _empty_pairs().to_pandas()
+        df = (
+            df.drop_duplicates(["probe_doc", "indexed_doc"], ignore_index=True)
+            .sort_values(["probe_doc", "indexed_doc"], ignore_index=True)
+        )
+        return df

@@ -1,0 +1,120 @@
+"""MinHashIndex: incremental LSH dedup of arriving batches against the
+already-indexed corpus — planted-dup recall, agreement with direct
+signature comparison, exactly-once segment commits, multi-segment
+accumulation."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.pipelines.text import _cached_minhasher
+from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet")["text"].to_pylist()[:60]
+    base = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": texts[:40]})
+    # arrivals: exact dups of 0-4, near-dups of 5-9, novels 50-59
+    arr_ids, arr_texts = [], []
+    for i in range(5):
+        arr_ids.append(1000 + i)
+        arr_texts.append(texts[i])
+    for i in range(5):
+        arr_ids.append(2000 + i)
+        arr_texts.append(texts[5 + i] + " extra tail token")
+    for i in range(10):
+        arr_ids.append(3000 + i)
+        arr_texts.append(texts[40 + i])
+    arrivals = pa.table({"doc_id": pa.array(arr_ids, pa.int64()), "text": arr_texts})
+    return base, arrivals
+
+
+def test_index_probe_planted(tmp_path, corpus):
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    rep = idx.add(rd.from_arrow(base), segment_id=0)
+    assert rep == {"segment": 0, "skipped": False, "docs": 40}
+
+    pairs = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    found = {(int(a), int(b)) for a, b in zip(pairs["probe_doc"], pairs["indexed_doc"])}
+    for i in range(5):  # exact dups must hit their source at est 1.0
+        assert (1000 + i, i) in found
+        est = pairs[(pairs["probe_doc"] == 1000 + i) & (pairs["indexed_doc"] == i)][
+            "est_jaccard"
+        ].iloc[0]
+        assert est == 1.0
+    for i in range(5):  # near dups must hit their source
+        assert (2000 + i, 5 + i) in found
+    # novels (fresh corpus texts) must not match anything at 0.5
+    assert not any(p >= 3000 for p, _ in found)
+
+    # every reported estimate equals the direct signature comparison
+    mh = _cached_minhasher(64)
+    sig = {
+        int(d): mh.signature(t)
+        for d, t in zip(
+            list(base["doc_id"].to_pylist()) + list(arrivals["doc_id"].to_pylist()),
+            list(base["text"].to_pylist()) + list(arrivals["text"].to_pylist()),
+        )
+    }
+    for _, r in pairs.iterrows():
+        direct = float((sig[int(r["probe_doc"])] == sig[int(r["indexed_doc"])]).mean())
+        assert abs(direct - r["est_jaccard"]) <= 5e-5  # probe rounds to 4 dp
+
+
+def test_exactly_once_and_accumulation(tmp_path, corpus):
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    assert idx.add(rd.from_arrow(base), segment_id=0) == {"segment": 0, "skipped": True}
+    assert idx.segments() == [0]
+
+    # accept the arrivals as segment 1, then probe a near-dup of an
+    # ARRIVAL doc: it must match against the newly indexed segment
+    idx.add(rd.from_arrow(arrivals), segment_id=1)
+    assert idx.segments() == [0, 1]
+    probe = pa.table(
+        {
+            "doc_id": pa.array([9000], pa.int64()),
+            "text": [arrivals["text"][5].as_py() + " another tail"],
+        }
+    )
+    pairs = idx.probe(rd.from_arrow(probe), threshold=0.5)
+    hits = set(pairs["indexed_doc"].astype(int))
+    assert 2000 in hits  # the arrival near-dup, indexed in segment 1
+    assert (pairs["probe_doc"] == 9000).all()
+
+
+def test_crash_resume_uncommitted_segment(tmp_path, corpus):
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.add(rd.from_arrow(arrivals), segment_id=1)
+    # crash simulation: the commit marker vanishes -> segment invisible
+    os.remove(os.path.join(str(tmp_path / "idx"), "seg-000001.json"))
+    assert idx.segments() == [0]
+    probe = pa.table(
+        {"doc_id": pa.array([9000], pa.int64()), "text": [arrivals["text"][0].as_py()]}
+    )
+    pairs = idx.probe(rd.from_arrow(probe), threshold=0.5)
+    # matches only segment-0 docs (the arrival dup 1000 is invisible)
+    assert set(pairs["indexed_doc"].astype(int)) <= set(range(40))
+    # re-add rewrites and recommits deterministically
+    rep = idx.add(rd.from_arrow(arrivals), segment_id=1)
+    assert rep["skipped"] is False
+    assert idx.segments() == [0, 1]
+
+
+def test_params_persisted(tmp_path, corpus):
+    base, _ = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"), num_perm=32, bands=8, num_buckets=16)
+    idx.add(rd.from_arrow(base), segment_id=0)
+    reopened = MinHashIndex(str(tmp_path / "idx"))  # defaults ignored
+    assert (reopened.num_perm, reopened.bands, reopened.num_buckets) == (32, 8, 16)
