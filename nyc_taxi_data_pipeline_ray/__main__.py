@@ -17,6 +17,9 @@ operations are one command each:
     python -m nyc_taxi_data_pipeline_ray rejects  --lake /tmp/lake --out /tmp/dlq
     python -m nyc_taxi_data_pipeline_ray view-refresh --lake /tmp/lake --view /tmp/view
     python -m nyc_taxi_data_pipeline_ray get      --lake /tmp/lake --conv-id c-42
+    python -m nyc_taxi_data_pipeline_ray index-add --index /tmp/idx --docs docs.parquet --segment 0
+    python -m nyc_taxi_data_pipeline_ray index-probe --index /tmp/idx --docs new.parquet --out pairs.parquet
+    python -m nyc_taxi_data_pipeline_ray index-compact --index /tmp/idx
 
 Each command owns its Ray session (guarded init, shutdown on exit).
 """
@@ -124,6 +127,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lake", required=True)
     sp.add_argument("--conv-id", required=True)
 
+    sp = sub.add_parser(
+        "index-add", help="index a document batch into the LSH dedup index"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    sp.add_argument("--segment", type=int, required=True)
+
+    sp = sub.add_parser(
+        "index-probe", help="near-dup candidates of a batch vs the dedup index"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = sub.add_parser(
+        "index-compact", help="fold dedup-index segments into a new base"
+    )
+    sp.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -143,6 +166,26 @@ def main(argv: list[str] | None = None) -> int:
 
     ray, owns_session = _ray_session()
     try:
+        if args.cmd.startswith("index-"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            import ray.data as rd
+
+            from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+            idx = MinHashIndex(args.index)
+            if args.cmd == "index-add":
+                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                print(json.dumps(idx.add(docs, segment_id=args.segment)))
+            elif args.cmd == "index-probe":
+                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                pairs = idx.probe(docs, threshold=args.threshold)
+                pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
+                print(json.dumps({"out": args.out, "pairs": len(pairs)}))
+            else:
+                print(json.dumps(idx.compact()))
+            return 0
+
         from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
 
         if args.cmd in ("apply", "follow", "lag"):

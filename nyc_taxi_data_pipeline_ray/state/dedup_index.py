@@ -118,11 +118,97 @@ class MinHashIndex:
         return os.path.join(self.path, f"seg-{segment_id:06d}.json")
 
     def segments(self) -> list[int]:
+        """Every committed segment id, INCLUDING ones folded into a
+        base — manifests are the ledger (idempotent add needs them)."""
         out = []
         for name in os.listdir(self.path):
             if name.startswith("seg-") and name.endswith(".json"):
                 out.append(int(name[4:-5]))
         return sorted(out)
+
+    def _base(self) -> tuple[int, int] | None:
+        """Newest valid base: (generation, through_segment) or None."""
+        best = None
+        for name in os.listdir(self.path):
+            if name.startswith("base-") and name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as f:
+                    m = json.load(f)
+                if best is None or m["generation"] > best[0]:
+                    best = (int(m["generation"]), int(m["through_segment"]))
+        return best
+
+    def _read_runs(self) -> tuple[str | None, list[int]]:
+        """(base_dir, live_segment_ids) — what probe actually reads."""
+        base = self._base()
+        if base is None:
+            return None, self.segments()
+        gen, through = base
+        live = [s for s in self.segments() if s > through]
+        return os.path.join(self.path, f"base-{gen:06d}"), live
+
+    # --------------------------------------------------------------- compact
+    def compact(self) -> dict:
+        """Fold the base + all live segments into one new base
+        generation, bucket by bucket in parallel Ray tasks (the LSM
+        step: probe read amplification goes back to one file per
+        bucket).  Segment manifests stay — they are the ledger that
+        keeps ``add()`` idempotent for folded ids; only their parquet
+        is removed.  Idempotent: generation = prior + 1, committed by
+        its marker, and a crash before the marker leaves the old runs
+        authoritative."""
+        base_dir, live = self._read_runs()
+        if not live and base_dir is not None:
+            return {"compacted": False, "reason": "single base, no live segments"}
+        if not live and base_dir is None:
+            return {"compacted": False, "reason": "empty index"}
+        prior = self._base()
+        gen = (prior[0] + 1) if prior else 1
+        through = max(live)
+        new_dir = os.path.join(self.path, f"base-{gen:06d}")
+        os.makedirs(new_dir, exist_ok=True)
+        index_path, nb = self.path, self.num_buckets
+        seg_dirs = ([base_dir] if base_dir else []) + [
+            os.path.join(index_path, f"seg-{s:06d}") for s in live
+        ]
+
+        def fold_bucket(batch: pa.Table) -> pa.Table:
+            rows = []
+            for b in batch["bucket"].to_pylist():
+                parts = []
+                for d in seg_dirs:
+                    p = os.path.join(d, f"bucket={int(b):02d}.parquet")
+                    if os.path.exists(p):
+                        parts.append(pq.read_table(p))
+                if not parts:
+                    rows.append(0)
+                    continue
+                t = pa.concat_tables(parts)
+                out = os.path.join(new_dir, f"bucket={int(b):02d}.parquet")
+                tmp = out + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, out)
+                rows.append(t.num_rows)
+            return pa.table(
+                {"bucket": batch["bucket"], "rows": pa.array(rows, pa.int64())}
+            )
+
+        work = pa.table({"bucket": pa.array(range(nb), pa.int32())})
+        (
+            rd.from_arrow(work)
+            .repartition(min(nb, 16))
+            .map_batches(fold_bucket, batch_format="pyarrow", batch_size=None)
+            .count()
+        )
+        mf.atomic_write_json(
+            os.path.join(self.path, f"base-{gen:06d}.json"),
+            {"generation": gen, "through_segment": through},
+        )
+        # best-effort cleanup of folded runs (manifests stay)
+        import shutil
+
+        for d in seg_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"compacted": True, "generation": gen, "through_segment": through}
 
     # ------------------------------------------------------------------- add
     def add(self, docs: rd.Dataset, segment_id: int) -> dict:
@@ -170,10 +256,12 @@ class MinHashIndex:
         searchsorted probe->stored merge would avoid the stored-stored
         expansion for pathologically hot clusters — not needed at the
         fine-group sizes LSH produces."""
-        segs = self.segments()
+        base_dir, live = self._read_runs()
+        run_dirs = ([base_dir] if base_dir else []) + [
+            os.path.join(self.path, f"seg-{s:06d}") for s in live
+        ]
         num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
-        index_path = self.path
-        if not segs:
+        if not run_dirs:
             return _empty_pairs().to_pandas()
 
         probe_rows = docs.map_batches(
@@ -184,8 +272,8 @@ class MinHashIndex:
         def match_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())
             stored = []
-            for s in segs:
-                p = os.path.join(index_path, f"seg-{s:06d}", f"bucket={b:02d}.parquet")
+            for d in run_dirs:
+                p = os.path.join(d, f"bucket={b:02d}.parquet")
                 if os.path.exists(p):
                     stored.append(pq.read_table(p))
             if not stored:

@@ -112,6 +112,45 @@ def test_crash_resume_uncommitted_segment(tmp_path, corpus):
     assert idx.segments() == [0, 1]
 
 
+def test_compaction_preserves_results(tmp_path, corpus):
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.add(rd.from_arrow(arrivals), segment_id=1)
+    before = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+
+    rep = idx.compact()
+    assert rep["compacted"] and rep["through_segment"] == 1
+    # folded segment parquet is gone, ledger (manifests) stays
+    assert not os.path.isdir(os.path.join(str(tmp_path / "idx"), "seg-000000"))
+    assert idx.segments() == [0, 1]
+    # add() stays idempotent for folded ids
+    assert idx.add(rd.from_arrow(base), segment_id=0)["skipped"] is True
+
+    after = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert before.equals(after)
+
+    # post-compact segments layer on top of the base
+    extra = pa.table(
+        {"doc_id": pa.array([5000], pa.int64()), "text": [base["text"][0].as_py()]}
+    )
+    idx.add(rd.from_arrow(extra), segment_id=2)
+    probe = pa.table(
+        {"doc_id": pa.array([9000], pa.int64()), "text": [base["text"][0].as_py()]}
+    )
+    hits = set(
+        idx.probe(rd.from_arrow(probe), threshold=0.9)["indexed_doc"].astype(int)
+    )
+    assert {0, 5000} <= hits  # base (via compacted run) AND the new segment
+    # second compact folds the new segment too
+    rep2 = idx.compact()
+    assert rep2["compacted"] and rep2["generation"] == 2 and rep2["through_segment"] == 2
+    hits2 = set(
+        idx.probe(rd.from_arrow(probe), threshold=0.9)["indexed_doc"].astype(int)
+    )
+    assert hits2 == hits
+
+
 def test_params_persisted(tmp_path, corpus):
     base, _ = corpus
     idx = MinHashIndex(str(tmp_path / "idx"), num_perm=32, bands=8, num_buckets=16)
