@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_engine_replay": R.q_cdc_engine_replay,
         "matview_conv_stats": R.q_matview_conv_stats,
         "cdc_snapshot_diff": R.q_cdc_snapshot_diff,
+        "cdc_rejects_feed": R.q_cdc_rejects_feed,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1309,6 +1310,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
             group by 1 order by 1
+        """,
+        "cdc_rejects_feed": """
+            with h as (select max(event_id) // 2 as half from events)
+            select cast(case when e.event_id <= h.half then 0 else 1 end as int)
+                     as reject_group,
+                   'bad_turn_idx' as reason,
+                   e.event_id as lsn,
+                   'insert' as op,
+                   cast(case when e.event_id <= h.half then 0 else 1 end as int)
+                     as epoch,
+                   'u' || cast(e.user_id as varchar) as conv_id,
+                   cast(-1 as int) as turn_idx,
+                   'user' as role,
+                   e.event_type as text,
+                   cast(null as varchar) as tool,
+                   e.ts
+            from events e cross join h
+            where e.event_id % 97 = 0
+            order by lsn
         """,
         "cdc_snapshot_diff": """
             with t as (

@@ -2279,11 +2279,14 @@ def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
     return eng.snapshot_table().to_pandas()
 
 
-def _events_as_transcript_wal(sf_dir: str, root: str):
+def _events_as_transcript_wal(sf_dir: str, root: str, *, poison_mod: int | None = None):
     """Recast the events table as a two-epoch transcript WAL under
     ``root`` (see :func:`q_cdc_engine_replay` for the scale notes).
     Returns ``(engine, wal_dir)`` with nothing applied yet — callers
-    choose whole-WAL or epoch-at-a-time replay."""
+    choose whole-WAL or epoch-at-a-time replay.  ``poison_mod`` plants
+    deterministically invalid rows (turn_idx = -1 where
+    ``event_id % poison_mod == 0``) to exercise the dead-letter path
+    with a SQL-expressible expected set."""
     import os
     import shutil
 
@@ -2298,6 +2301,8 @@ def _events_as_transcript_wal(sf_dir: str, root: str):
     types = np.array(sorted(set(ev["event_type"].to_pylist())))
     turn_idx = np.searchsorted(types, ev["event_type"].to_numpy(zero_copy_only=False))
     eid = ev["event_id"].to_numpy()
+    if poison_mod is not None:
+        turn_idx = np.where(eid % poison_mod == 0, -1, turn_idx)
     epoch = (eid > int(eid.max()) // 2).astype(np.int32)
     wal = pa.table(
         {
@@ -2353,6 +2358,31 @@ def q_matview_conv_stats(sf_dir: str) -> pd.DataFrame:
     idem = mv.refresh()  # ledger unchanged -> every partition reused
     assert idem["refreshed"] == 0 and idem["reused"] == 4, idem
     return mv.table().to_pandas()
+
+
+def q_cdc_rejects_feed(sf_dir: str) -> pd.DataFrame:
+    """Dead-letter feed, driver-visible WITH a full SQL oracle: the
+    events-as-transcripts WAL is poisoned deterministically
+    (turn_idx = -1 where event_id % 97 == 0), replayed epoch by epoch,
+    and ``CdcEngine.rejects()`` must return exactly the poisoned rows
+    — group-tagged, with the vectorized first-failing-rule reason —
+    while the valid rows commit normally.  Exactly-once: rejects are
+    committed by the same manifest as their group's delta, so the
+    feed's row set is replay-stable (engine pytest covers re-apply)."""
+    import os
+
+    root = "/tmp/nyc_ray_q_rejects_feed"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root, poison_mod=97)
+    eng.apply(wal_dir, max_epochs=1)
+    eng.apply(wal_dir)
+    t = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.rejects().iter_batches(batch_format="pyarrow")
+        ],
+        promote_options="default",
+    )
+    return t.to_pandas().sort_values("lsn").reset_index(drop=True)
 
 
 def q_cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
