@@ -201,6 +201,59 @@ def test_delta_aggregate_compaction_fallback(tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_views_survive_schema_evolution(tmp_path):
+    """An evolved WAL (adds the nullable ``model`` column mid-stream)
+    must not break either view: both aggregate base columns only and
+    read states whose schema was unified at merge time."""
+    from nyc_taxi_data_pipeline_ray.state.matview import DeltaAggregate
+
+    spec = WalSpec(
+        seed=23,
+        num_conversations=80,
+        num_epochs=3,
+        events_per_epoch=900,
+        p_update=0.3,
+        p_delete=0.05,
+        evolve_at_epoch=1,
+    )
+    gen = WalGenerator(spec)
+    wal = os.path.join(str(tmp_path), "wal")
+    gen.write(wal)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(os.path.join(str(tmp_path), "lake"), num_partitions=4)
+    )
+    mv = MaterializedView(eng, os.path.join(str(tmp_path), "view"))
+    da = DeltaAggregate(eng, os.path.join(str(tmp_path), "roles.json"))
+    eng.apply(wal, max_epochs=1)
+    mv.refresh()
+    da.refresh()
+    eng.apply(wal)  # evolved epochs land here
+    mv.refresh()
+    assert da.refresh()["mode"] == "incremental"
+
+    events = gen.events_table()
+    final = oracle.replay(events).to_pandas()
+    assert "model" in final.columns  # evolution actually happened
+    _assert_view_equals(mv, _expected(events))
+    g = final.groupby("role")
+    exp_roles = (
+        pd.DataFrame(
+            {
+                "n_turns": g.size(),
+                "total_chars": g["text"].apply(
+                    lambda s: int(s.fillna("").str.len().sum())
+                ),
+            }
+        )
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        da.table().to_pandas(), exp_roles, check_dtype=False
+    )
+
+
 def test_matview_survives_compaction(tmp_path):
     """Compaction rewrites runs but not logical state: the view's
     watermark (committed groups) is unchanged, so nothing refreshes
