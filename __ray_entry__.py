@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": lambda sf: A.q_ann_ivf(sf, nprobe=16),
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
+        # exact k-NN graph (block-pair sweep + k-sized partial merge)
+        "knn_graph": A.q_knn_graph,
         # iterative Lloyd's k-means (2 rounds), streaming assignment
         "kmeans_assign": A.q_kmeans_assign,
         # multimodal plumbing (stubbed decode)
@@ -359,6 +361,21 @@ def oracle_sql() -> dict[str, str]:
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        "knn_graph": """
+            with sims as (
+              select a.vec_id as vec_id, b.vec_id as neighbor,
+                     round(list_cosine_similarity(
+                       cast(a.embedding as double[]),
+                       cast(b.embedding as double[])), 4) as sim
+              from embeddings a join embeddings b on a.vec_id <> b.vec_id),
+            r as (
+              select *, row_number() over (
+                partition by vec_id order by sim desc, neighbor asc) as rn
+              from sims)
+            select vec_id, cast(rn as bigint) as rank, neighbor, sim
+            from r where rn <= 5
+            order by vec_id, rank
         """,
         "embedding_near_dup": """
             select a.vec_id as vec_a, b.vec_id as vec_b,

@@ -470,3 +470,103 @@ def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
             "max_norm": round_half_away(g["mx"].to_numpy(), 6),
         }
     ).sort_values("label", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+@ray.remote
+def _block_knn_partials(ta: pa.Table, tb: pa.Table, k: int, same: bool) -> pa.Table:
+    """Per-row top-k candidates between two embedding blocks, BOTH
+    directions when the blocks differ — bounded matmul per task, like
+    :func:`_block_pair_sims`.  Ordering key is (sim desc, neighbor asc)
+    over 4-dp-rounded sims, encoded exactly in int64 so the per-block
+    partials provably contain the global top-k under the same order."""
+    ia = ta["vec_id"].to_numpy(zero_copy_only=False)
+    ib = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = _normalize_rows(np.stack(ta["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+    mb = _normalize_rows(np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+    sims = np.round(ma @ mb.T, 4)
+
+    def side(sims_ab: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray, mask_diag: bool):
+        s = sims_ab.copy()
+        if mask_diag:
+            eq = ids_a[:, None] == ids_b[None, :]
+            s[eq] = -2.0  # a vector is not its own neighbor
+        # exact composite key: 4-dp sim scaled to int, minus neighbor id
+        key = (s * 10_000).astype(np.int64) * 10_000_000 - ids_b[None, :]
+        kk = min(k, key.shape[1])
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(key.shape[0]), kk)
+        cols = top.ravel()
+        keep = s[rows, cols] > -2.0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_a[rows[keep]], pa.int64()),
+                "neighbor": pa.array(ids_b[cols[keep]], pa.int64()),
+                "sim": pa.array(s[rows[keep], cols[keep]], pa.float64()),
+            }
+        )
+
+    parts = [side(sims, ia, ib, same)]
+    if not same:
+        parts.append(side(sims.T.copy(), ib, ia, False))
+    return pa.concat_tables(parts)
+
+
+def q_knn_graph(sf_dir: str, *, k: int = 5) -> pd.DataFrame:
+    """Exact k-nearest-neighbor graph over the embeddings table: every
+    vector's top-k cosine neighbors with rank — the similarity-search
+    building block a dedup/retrieval pipeline materializes once and
+    reuses (cluster seeding, near-dup chaining, diversity sampling).
+
+    Same scale shape as :func:`q_embedding_near_dup`: one bounded
+    matmul task per unordered block pair (each emits per-row partial
+    top-k for BOTH sides), then a groupby merge of k-sized partials —
+    no task holds more than two blocks, the merge input is
+    O(vectors x blocks x k), and the driver never sees raw sims.
+    Ordering (sim desc, neighbor asc on 4-dp sims) matches the SQL
+    oracle's window exactly, so ranks hash-match."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    refs = ds.to_arrow_refs()
+    futs = [
+        _block_knn_partials.remote(refs[i], refs[j], k, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "neighbor": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+
+    # bounded-bucket merge: per-vector groups are tiny (blocks x k), so
+    # shuffle on vec_id % NB and run ONE vectorized head-k pass per
+    # bucket instead of a per-vector map_groups call
+    NB = 64
+    cand = pa.concat_tables(parts)
+    cand = cand.append_column(
+        "bucket",
+        pa.array(
+            (cand["vec_id"].to_numpy(zero_copy_only=False) % NB).astype(np.int32)
+        ),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["vec_id", "sim", "neighbor"], ascending=[True, False, True]
+        )
+        g = g.groupby("vec_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("vec_id", sort=False).cumcount().to_numpy() + 1
+        return g[["vec_id", "rank", "neighbor", "sim"]]
+
+    out = (
+        rd.from_arrow(cand)
+        .groupby("bucket")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rank"], ignore_index=True)
