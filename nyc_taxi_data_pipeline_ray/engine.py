@@ -1111,6 +1111,80 @@ class CdcEngine:
             "per_partition": parts,
         }
 
+    def fsck(self) -> dict:
+        """Lake integrity audit from manifests + parquet footers (no
+        data read) — the recovery-time question "is every committed
+        epoch actually on disk, and does the ledger add up?":
+
+        - ``missing_delta``: a manifest commits a group whose delta
+          parquet is gone AND was not folded into the base (real loss);
+        - ``row_mismatch``: a live delta's footer row count differs
+          from its manifest's ``upserts + deletes`` lineage;
+        - ``orphan_base``: a base parquet without its compact marker
+          (crashed compaction — ignored by readers, reclaimable);
+        - ``orphan_delta``: a delta parquet without a manifest (crashed
+          apply — invisible to readers, reclaimable);
+        - ``tmp_file``: leftover ``*.tmp`` from an interrupted atomic
+          write (reclaimable).
+
+        ``ok`` is True iff no REAL issues (missing_delta/row_mismatch);
+        orphans and tmps are listed as reclaimable, not failures —
+        exactly-once means a crashed writer may leave them behind by
+        design."""
+        issues: list[dict] = []
+        reclaimable: list[dict] = []
+        for pid in self._live_pids():
+            d = mf.partition_dir(self.cfg.path, pid)
+            base = mf.current_base(self.cfg.path, pid)
+            through = -1
+            if base is not None:
+                markers = {m["generation"]: m for m in mf.read_compact_markers(self.cfg.path, pid)}
+                through = markers.get(base[0], {}).get("through_group", -1)
+            committed = {}
+            for m in mf.read_manifests(self.cfg.path, pid):
+                committed[int(m["group_id"])] = m
+            for g, m in committed.items():
+                path = mf.delta_path(self.cfg.path, pid, g)
+                c = m.get("counters", {})
+                expected = int(c.get("upserts", 0)) + int(c.get("deletes", 0))
+                if not os.path.exists(path):
+                    if g > through and expected > 0:
+                        issues.append({"kind": "missing_delta", "pid": pid, "group": g})
+                    continue
+                rows = pq.ParquetFile(path).metadata.num_rows
+                if rows != expected:
+                    issues.append(
+                        {
+                            "kind": "row_mismatch",
+                            "pid": pid,
+                            "group": g,
+                            "footer_rows": rows,
+                            "ledger_rows": expected,
+                        }
+                    )
+            for name in os.listdir(d):
+                full = os.path.join(d, name)
+                if name.endswith(".tmp"):
+                    reclaimable.append({"kind": "tmp_file", "pid": pid, "file": name})
+                elif name.startswith("delta-") and name.endswith(".parquet"):
+                    g = int(name[6:-8])
+                    if g not in committed:
+                        reclaimable.append(
+                            {"kind": "orphan_delta", "pid": pid, "group": g}
+                        )
+                elif name.startswith("base-") and name.endswith(".parquet"):
+                    gen = int(name[5:-8])
+                    if not os.path.exists(mf.compact_marker_path(self.cfg.path, pid, gen)):
+                        reclaimable.append(
+                            {"kind": "orphan_base", "pid": pid, "generation": gen}
+                        )
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "reclaimable": reclaimable,
+            "partitions": len(self._live_pids()),
+        }
+
     def metrics(self) -> dict:
         """Monoid-merged lineage counters across all committed
         partition-epoch manifests (the Redis-dashboard analog,

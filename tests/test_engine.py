@@ -103,6 +103,38 @@ def test_rejects_dead_letter(applied):
     assert total == rep.rejects
 
 
+def test_fsck(applied):
+    _, _, eng, _ = applied
+    rep = eng.fsck()
+    assert rep["ok"] and rep["issues"] == []
+
+    # leftover tmp + orphan delta (crashed writer) are reclaimable, not failures
+    pdir = os.path.join(eng.cfg.path, "p=0000")
+    open(os.path.join(pdir, "delta-000099.parquet.tmp"), "w").close()
+    import shutil as _sh
+
+    _sh.copy(
+        glob.glob(os.path.join(pdir, "delta-*.parquet"))[0],
+        os.path.join(pdir, "delta-000098.parquet"),
+    )
+    rep = eng.fsck()
+    assert rep["ok"]
+    kinds = {r["kind"] for r in rep["reclaimable"]}
+    assert {"tmp_file", "orphan_delta"} <= kinds
+
+    # a committed delta vanishing IS a real issue
+    victim = glob.glob(os.path.join(pdir, "delta-*.parquet"))
+    victim = [v for v in victim if "000098" not in v][0]
+    os.rename(victim, victim + ".bak")
+    rep = eng.fsck()
+    assert not rep["ok"]
+    assert any(i["kind"] == "missing_delta" for i in rep["issues"])
+    os.rename(victim + ".bak", victim)
+    os.remove(os.path.join(pdir, "delta-000099.parquet.tmp"))
+    os.remove(os.path.join(pdir, "delta-000098.parquet"))
+    assert eng.fsck()["ok"]
+
+
 def test_get_conversations_bulk_lookup(applied):
     # partition-pruned bulk point reads == the snapshot filtered to the
     # same keys; unknown keys return nothing; empty request is empty
