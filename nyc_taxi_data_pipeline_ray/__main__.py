@@ -13,6 +13,7 @@ operations are one command each:
     python -m nyc_taxi_data_pipeline_ray metrics  --lake /tmp/lake
     python -m nyc_taxi_data_pipeline_ray check    --lake /tmp/lake
     python -m nyc_taxi_data_pipeline_ray fsck     --lake /tmp/lake
+    python -m nyc_taxi_data_pipeline_ray vacuum   --lake /tmp/lake
     python -m nyc_taxi_data_pipeline_ray changes  --lake /tmp/lake --out /tmp/feed
     python -m nyc_taxi_data_pipeline_ray diff     --lake /tmp/lake --out /tmp/d --from-epoch 0
     python -m nyc_taxi_data_pipeline_ray rejects  --lake /tmp/lake --out /tmp/dlq
@@ -79,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         ("metrics", "print monoid-merged lineage counters"),
         ("describe", "print physical lake statistics (footers only)"),
         ("fsck", "audit ledger/file integrity (footers only); exit 1 on real issues"),
+        ("vacuum", "delete reclaimable crash remnants (orphans, tmp files)"),
         ("check", "run the transcript data-quality check suite"),
     ]:
         sp = sub.add_parser(name, help=help_)
@@ -234,6 +236,8 @@ def main(argv: list[str] | None = None) -> int:
             rep = eng.fsck()
             print(json.dumps(rep))
             return 0 if rep["ok"] else 1
+        elif args.cmd == "vacuum":
+            print(json.dumps(eng.vacuum()))
         elif args.cmd == "check":
             from nyc_taxi_data_pipeline_ray.stages import checks as ck
 

@@ -1185,6 +1185,29 @@ class CdcEngine:
             "partitions": len(self._live_pids()),
         }
 
+    def vacuum(self) -> dict:
+        """Delete the crash remnants :meth:`fsck` classifies as
+        reclaimable — orphan deltas/bases (no commit marker: invisible
+        to every reader) and ``*.tmp`` files.  Never touches committed
+        state, so it is safe concurrent with readers; run it after
+        crash recovery or on a janitor schedule."""
+        rep = self.fsck()
+        removed = 0
+        for r in rep["reclaimable"]:
+            pid = r["pid"]
+            if r["kind"] == "tmp_file":
+                path = os.path.join(mf.partition_dir(self.cfg.path, pid), r["file"])
+            elif r["kind"] == "orphan_delta":
+                path = mf.delta_path(self.cfg.path, pid, r["group"])
+            else:  # orphan_base
+                path = mf.base_path(self.cfg.path, pid, r["generation"])
+            try:
+                os.remove(path)
+                removed += 1
+            except OSError:
+                pass
+        return {"removed": removed, "had_issues": not rep["ok"]}
+
     def metrics(self) -> dict:
         """Monoid-merged lineage counters across all committed
         partition-epoch manifests (the Redis-dashboard analog,

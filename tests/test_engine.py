@@ -130,9 +130,12 @@ def test_fsck(applied):
     assert not rep["ok"]
     assert any(i["kind"] == "missing_delta" for i in rep["issues"])
     os.rename(victim + ".bak", victim)
-    os.remove(os.path.join(pdir, "delta-000099.parquet.tmp"))
-    os.remove(os.path.join(pdir, "delta-000098.parquet"))
-    assert eng.fsck()["ok"]
+    # vacuum reclaims the remnants, never committed state
+    rep = eng.vacuum()
+    assert rep["removed"] == 2 and not rep["had_issues"]
+    clean = eng.fsck()
+    assert clean["ok"] and clean["reclaimable"] == []
+    _assert_equal_state(eng, applied[0])  # lake state untouched
 
 
 def test_get_conversations_bulk_lookup(applied):
