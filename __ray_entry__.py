@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matview_conv_stats": R.q_matview_conv_stats,
         "cdc_snapshot_diff": R.q_cdc_snapshot_diff,
         "cdc_rejects_feed": R.q_cdc_rejects_feed,
+        "conversation_text": R.q_conversation_text,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1327,6 +1328,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
             group by 1 order by 1
+        """,
+        "conversation_text": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w as (
+              select 'u' || cast(user_id as varchar) as conv_id,
+                     t.turn_idx, r.event_type as text
+              from r join t using (event_type) where rn = 1),
+            a as (
+              select conv_id,
+                     string_agg(text, chr(10) order by turn_idx) as doc,
+                     cast(count(*) as bigint) as n_turns
+              from w group by conv_id)
+            select conv_id, doc, n_turns,
+                   cast(length(doc) as bigint) as n_chars
+            from a order by conv_id
         """,
         "cdc_rejects_feed": """
             with h as (select max(event_id) // 2 as half from events)

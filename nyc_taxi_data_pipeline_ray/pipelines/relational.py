@@ -2385,6 +2385,55 @@ def q_cdc_rejects_feed(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().sort_values("lsn").reset_index(drop=True)
 
 
+def q_conversation_text(sf_dir: str) -> pd.DataFrame:
+    """Transcript assembly — the bridge from the CDC lake to the corpus
+    pipelines: replay the events-as-transcripts WAL, then render ONE
+    training document per conversation (turns joined with newlines in
+    turn order) plus turn/char counts.  Downstream chunking, dedup and
+    quality scoring consume exactly this shape.
+
+    Scale: conversations are partition-local in the lake, but blocks
+    may re-split under Ray's dynamic blocking, so assembly shuffles on
+    a bounded hash bucket of conv_id and runs one vectorized
+    sort + groupby-join pass per bucket (never one task per
+    conversation, never the whole corpus in one task)."""
+    import os
+
+    root = "/tmp/nyc_ray_q_conv_text"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir)
+    snap = eng.snapshot(columns=["conv_id", "turn_idx", "text"])
+    NB = 64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from nyc_taxi_data_pipeline_ray.engine import hash_partition_ids
+
+        # deterministic cross-process hash (python hash() is salted)
+        h = hash_partition_ids(t["conv_id"], NB).astype(np.int32)
+        return t.append_column("bucket", pa.array(h))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        gb = g.groupby("conv_id", sort=True)
+        doc = gb["text"].agg("\n".join)
+        return pd.DataFrame(
+            {
+                "conv_id": doc.index,
+                "doc": doc.to_numpy(),
+                "n_turns": gb.size().to_numpy().astype("int64"),
+                "n_chars": doc.str.len().to_numpy().astype("int64"),
+            }
+        )
+
+    out = (
+        snap.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id", ignore_index=True)
+
+
 def q_cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Before/after-image change feed, driver-visible: replay the
     events-as-transcripts WAL epoch by epoch, then ``diff(from_epoch=0)``
