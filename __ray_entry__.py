@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_diff": R.q_cdc_snapshot_diff,
         "cdc_rejects_feed": R.q_cdc_rejects_feed,
         "conversation_text": R.q_conversation_text,
+        "role_stats_ivm": R.q_role_stats_ivm,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1327,6 +1328,18 @@ def oracle_sql() -> dict[str, str]:
             select o.o_year, cast(count(*) as bigint) as n_lines,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as sum_revenue
             from lineitem l join o on l.l_orderkey = o.o_orderkey
+            group by 1 order by 1
+        """,
+        "role_stats_ivm": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events)
+            select 'user' as role,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(length(event_type)) as bigint) as total_chars
+            from r where rn = 1
             group by 1 order by 1
         """,
         "conversation_text": """

@@ -2434,6 +2434,30 @@ def q_conversation_text(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
+    """Row-level incremental view maintenance, driver-visible: replay
+    the events-as-transcripts WAL epoch by epoch and keep per-role
+    totals in sync via :class:`DeltaAggregate` — bootstrap from the
+    epoch-0 snapshot, then fold ONLY the diff() before/after images of
+    the second commit group (O(changed keys), the retraction-based IVM
+    the partition-granular matview deliberately avoids).  The oracle is
+    the plain SQL aggregate over the LWW winners, so incremental
+    maintenance is certified equal to a from-scratch build."""
+    import os
+
+    from nyc_taxi_data_pipeline_ray.state.matview import DeltaAggregate
+
+    root = "/tmp/nyc_ray_q_role_ivm"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    da = DeltaAggregate(eng, os.path.join(root, "roles.json"))
+    eng.apply(wal_dir, max_epochs=1)
+    assert da.refresh()["mode"] == "full"
+    eng.apply(wal_dir)
+    assert da.refresh()["mode"] == "incremental"
+    assert da.refresh()["mode"] == "noop"
+    return da.table().to_pandas()
+
+
 def q_cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Before/after-image change feed, driver-visible: replay the
     events-as-transcripts WAL epoch by epoch, then ``diff(from_epoch=0)``
