@@ -151,6 +151,53 @@ def test_compaction_preserves_results(tmp_path, corpus):
     assert hits2 == hits
 
 
+def test_probe_equals_batch_pipeline(tmp_path, corpus):
+    """Equivalence witness: the incremental probe must reproduce the
+    BATCH minhash join's pairs exactly, restricted to (indexed, probe)
+    cross pairs — same signatures, same band hashes, same estimates."""
+    import pandas as pd
+
+    from nyc_taxi_data_pipeline_ray.pipelines import text as T
+
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    got = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+
+    union_dir = tmp_path / "union"
+    union_dir.mkdir()
+    union = pa.concat_tables([base, arrivals])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": union["doc_id"],
+                "text": union["text"],
+                "lang": pa.array(["en"] * union.num_rows),
+                "source": pa.array(["s"] * union.num_rows),
+                "n_chars": pa.array(
+                    [len(t) for t in union["text"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        str(union_dir / "documents.parquet"),
+    )
+    batch = T.q_minhash_near_dups(str(union_dir), threshold=0.5)
+    base_ids = set(base["doc_id"].to_pylist())
+    arr_ids = set(arrivals["doc_id"].to_pylist())
+    cross = batch[
+        (batch["doc_a"].isin(base_ids) & batch["doc_b"].isin(arr_ids))
+        | (batch["doc_a"].isin(arr_ids) & batch["doc_b"].isin(base_ids))
+    ].copy()
+    cross["probe_doc"] = cross[["doc_a", "doc_b"]].max(axis=1)
+    cross["indexed_doc"] = cross[["doc_a", "doc_b"]].min(axis=1)
+    exp = (
+        cross[["probe_doc", "indexed_doc", "est_jaccard"]]
+        .sort_values(["probe_doc", "indexed_doc"], ignore_index=True)
+        .astype({"probe_doc": "int64", "indexed_doc": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_params_persisted(tmp_path, corpus):
     base, _ = corpus
     idx = MinHashIndex(str(tmp_path / "idx"), num_perm=32, bands=8, num_buckets=16)
