@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejects_feed": R.q_cdc_rejects_feed,
         "conversation_text": R.q_conversation_text,
         "role_stats_ivm": R.q_role_stats_ivm,
+        "rejects_repair_replay": R.q_rejects_repair_replay,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1441,6 +1442,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(text)) as bigint) as total_chars,
                    max(lsn) as last_lsn
             from w group by conv_id order by conv_id
+        """,
+        # recovery witness: after dead-letter repair + re-inject, the
+        # lake equals the never-poisoned replay — same oracle as
+        # cdc_engine_replay by construction
+        "rejects_repair_replay": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role, r.event_type as text,
+                   cast(null as varchar) as tool, r.ts, r.event_id as lsn
+            from r join t using (event_type) where rn = 1
         """,
         "cdc_engine_replay": """
             with r as (

@@ -2458,6 +2458,67 @@ def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     return da.table().to_pandas()
 
 
+def q_rejects_repair_replay(sf_dir: str) -> pd.DataFrame:
+    """Dead-letter RECOVERY, end to end: poison the WAL (turn_idx = -1
+    on event_id % 97 == 0), replay — the poisoned rows dead-letter —
+    then read them back from ``rejects()``, repair the turn index
+    deterministically (re-derive it from the text, which carries the
+    event type), re-inject the repaired rows as a NEW epoch, and
+    replay again.  The final lake state must equal the NEVER-POISONED
+    replay (the ``cdc_engine_replay`` oracle): repaired rows re-enter
+    with their original (ts, lsn), so LWW puts every winner back —
+    the witness that dead letters are losslessly recoverable.
+
+    Scale shape: the repair is a map over the rejects feed (a Dataset)
+    plus one tiny broadcastable type->index mapping; re-injection is a
+    normal epoch write, so recovery cost is O(rejects), not O(lake)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray import schemas
+
+    root = "/tmp/nyc_ray_q_repair"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root, poison_mod=97)
+    rep = eng.apply(wal_dir)
+    assert rep.rejects > 0, "poison must dead-letter"
+
+    rej = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.rejects().iter_batches(batch_format="pyarrow")
+        ],
+        promote_options="default",
+    )
+    # deterministic repair: text IS the event type; its dense index is
+    # the turn_idx the clean WAL would have carried
+    types = np.array(sorted(set(pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )["event_type"].to_pylist())))
+    fixed_ti = np.searchsorted(types, rej["text"].to_numpy(zero_copy_only=False))
+    next_epoch = int(max(rep.epochs)) + 1
+    repaired = pa.table(
+        {
+            "lsn": rej["lsn"],
+            "op": rej["op"],
+            "epoch": pa.array(np.full(rej.num_rows, next_epoch, np.int32)),
+            "conv_id": rej["conv_id"],
+            "turn_idx": pa.array(fixed_ti.astype(np.int32)),
+            "role": rej["role"],
+            "text": rej["text"],
+            "tool": rej["tool"],
+            "ts": rej["ts"],
+        }
+    ).cast(schemas.EVENT_SCHEMA)
+    d = os.path.join(wal_dir, f"epoch={next_epoch:06d}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(repaired, os.path.join(d, "part-0000.parquet"))
+    rep2 = eng.apply(wal_dir)
+    assert rep2.rejects == 0, rep2
+    eng.compact()
+    return eng.snapshot_table().to_pandas()
+
+
 def q_cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Before/after-image change feed, driver-visible: replay the
     events-as-transcripts WAL epoch by epoch, then ``diff(from_epoch=0)``
