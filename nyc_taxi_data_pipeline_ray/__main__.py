@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "follow":
             sp.add_argument("--poll-interval", type=float, default=1.0)
             sp.add_argument("--max-idle-polls", type=int, default=3)
+            sp.add_argument(
+                "--view",
+                default=None,
+                help="materialized-view dir to refresh after each apply "
+                "(stale partitions only: the streaming-IVM loop)",
+            )
 
     for name, help_ in [
         ("compact", "fold delta runs into new base generations"),
@@ -214,14 +220,23 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "follow":
+            mv = None
+            if args.view:
+                from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
+
+                mv = MaterializedView(eng, args.view)
+
+            def on_apply(r):
+                line = {"applied": r.epochs, "rows_in": r.rows_in}
+                if mv is not None:
+                    line["view"] = mv.refresh()
+                print(json.dumps(line), flush=True)
+
             reports = eng.follow(
                 args.wal,
                 poll_interval_s=args.poll_interval,
                 max_idle_polls=args.max_idle_polls,
-                on_apply=lambda r: print(
-                    json.dumps({"applied": r.epochs, "rows_in": r.rows_in}),
-                    flush=True,
-                ),
+                on_apply=on_apply,
             )
             print(json.dumps({"applies": len(reports), "lag": eng.lag(args.wal)}))
         elif args.cmd == "lag":

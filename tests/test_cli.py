@@ -58,3 +58,28 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     assert main(["get", "--lake", lake, "--conv-id", conv]) == 0
     got = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert got[0]["turns"] >= 1 and got[1]["conv_id"] == conv
+
+
+def test_cli_follow_with_view(tmp_path, capsys):
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    assert main(["generate", "--wal", wal, "--epochs", "2",
+                 "--events-per-epoch", "300", "--conversations", "30"]) == 0
+    # streaming-IVM loop: tail the WAL, refresh the view per apply
+    assert main(["follow", "--wal", wal, "--lake", lake, "--partitions", "4",
+                 "--poll-interval", "0.1", "--max-idle-polls", "1",
+                 "--view", view]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    applies = [d for d in lines if "applied" in d]
+    assert applies and all("view" in d for d in applies)
+    assert applies[-1]["view"]["rows"] > 0
+    assert lines[-1]["lag"]["epochs_behind"] == 0
+    # the view on disk is current: one more refresh is a pure no-op
+    import ray.data  # noqa: F401  (session already up via conftest)
+
+    from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+    from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
+
+    eng = CdcEngine(LakeConfig.load(lake))
+    rep = MaterializedView(eng, view).refresh()
+    assert rep["refreshed"] == 0 and rep["reused"] == 4
