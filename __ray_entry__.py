@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
         "dedup_index_probe": T.q_dedup_index_probe,  # rows-only (incremental LSH index)
+        # exactness witness: index-probe candidates reranked by exact
+        # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
+        "dedup_index_rerank": T.q_dedup_index_rerank,
         # exactness witness: LSH candidates reranked by exact char-5-gram
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,
@@ -278,6 +281,21 @@ def oracle_sql() -> dict[str, str]:
                        $re$'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+$re$)) as bigint)
                      as n_bpe_tokens
             from documents
+        """,
+        "dedup_index_rerank": """
+            with g as (
+              select doc_id, list_distinct(list_transform(range(1, length(text) - 3),
+                  i -> substring(text, i, 5))) as grams
+              from documents where length(text) >= 5)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(cast(len(list_intersect(a.grams, b.grams)) as double)
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) as jac
+            from g a join g b on a.doc_id >= 250 and b.doc_id < 250
+            where cast(len(list_intersect(a.grams, b.grams)) as double)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                  >= 0.8
+            order by doc_a, doc_b
         """,
         "minhash_rerank": """
             with g as (

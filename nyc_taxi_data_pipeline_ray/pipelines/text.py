@@ -650,6 +650,42 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     return idx.probe(arrivals, threshold=threshold)
 
 
+def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.DataFrame:
+    """SQL exactness witness for the INCREMENTAL dedup index — the
+    counterpart of :func:`q_minhash_rerank` for the persisted-segment
+    path: the index-probe candidates (first half indexed as segment 0,
+    second half probed) reranked by EXACT char-5-gram Jaccard via the
+    same distributed pair verify.  The oracle is the exact cross-half
+    all-pairs Jaccard >= threshold in SQL; the shared band family's
+    recall bound (miss prob (1 - J^4)^16, 2e-4 at J = 0.8) under the
+    fixed seed makes the index output equal the exact set on this
+    corpus, and the driver hash-check certifies it."""
+    cand = q_dedup_index_probe(sf_dir, threshold=0.5).rename(
+        columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"}
+    )[["doc_a", "doc_b"]]
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chargrams(t: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            if len(s) < 5:
+                continue
+            out_id.append(did)
+            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "grams": pa.array(out_g, pa.list_(pa.string())),
+            }
+        )
+
+    df = _distributed_pair_jaccard(
+        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+    )
+    return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
 def q_minhash_rerank(
     sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
 ) -> pd.DataFrame:
