@@ -2340,7 +2340,7 @@ def q_matview_conv_stats(sf_dir: str) -> pd.DataFrame:
     (partition reuse + recompute-on-touch) equals a from-scratch build.
 
     The reference's analog rebuilds its whole gold layer per run
-    (``nyc_taxi_dbt/models/marts/core/agg_daily_metrics.sql``); at
+    (``nyc_taxi_dbt/models/marts/aggregations/agg_monthly.sql``); at
     10^10 events the view touches only the partitions an epoch's WAL
     slice hit — no shuffle, because conversations are partition-local.
     """

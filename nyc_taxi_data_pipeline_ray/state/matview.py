@@ -2,7 +2,7 @@
 
 The canonical CDC downstream the reference approximates with a dbt
 "gold" model rebuilt from scratch every run (``nyc_taxi_dbt/models/
-marts/core/agg_daily_metrics.sql`` re-aggregates the whole fact table
+marts/aggregations/agg_monthly.sql`` re-aggregates the whole fact table
 each ``dbt run``): here the per-conversation aggregate table is kept in
 sync with the lake by refreshing ONLY partitions whose commit ledger
 advanced since the view's last refresh.
