@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_text": R.q_conversation_text,
         "role_stats_ivm": R.q_role_stats_ivm,
         "rejects_repair_replay": R.q_rejects_repair_replay,
+        # range (interval-overlap) join: sessions x busy hours
+        "interval_overlap_join": R.q_interval_overlap_join,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1050,6 +1052,34 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) as session_start, max(ts) as session_end,
                    round(sum(value), 2) as sum_value
             from s group by 1, 2 order by 1, 2
+        """,
+        "interval_overlap_join": """
+            with o as (
+              select user_id, ts,
+                     lag(ts) over (partition by user_id order by ts) as prev_ts
+              from events),
+            m as (
+              select user_id, ts,
+                     case when prev_ts is null or ts - prev_ts > interval 30 minutes
+                          then 1 else 0 end as new_s
+              from o),
+            s as (
+              select user_id, ts,
+                     sum(new_s) over (partition by user_id order by ts) as session_id
+              from m),
+            sess as (
+              select user_id, session_id,
+                     min(ts) as s_start, max(ts) as s_end
+              from s group by 1, 2),
+            h as (
+              select date_trunc('hour', ts) as hour_start, count(*) as n
+              from events group by 1),
+            busy as (select hour_start from h where n > (select avg(n) from h))
+            select b.hour_start, cast(count(*) as bigint) as n_sessions
+            from busy b join sess x
+              on x.s_start < b.hour_start + interval 1 hour
+             and x.s_end >= b.hour_start
+            group by 1 order by 1
         """,
         "asof_join": """
             select e.event_id, p.value as last_purchase_value

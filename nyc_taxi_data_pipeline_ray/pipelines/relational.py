@@ -2458,6 +2458,68 @@ def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     return da.table().to_pandas()
 
 
+def q_interval_overlap_join(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
+    """Distributed RANGE (interval-overlap) join — the join shape Ray
+    Data has no native operator for: per-user activity sessions
+    (gap-sessionized intervals) joined to "busy hours" (hour buckets
+    with above-average event counts) on interval overlap, counting the
+    sessions that overlap each busy hour.
+
+    Scale shape: the busy-hour side is time-bounded-tiny (one row per
+    wall-clock hour), so it is the broadcast side — a sorted start
+    array shipped with the task closure; each session batch finds its
+    overlapped hour RANGE with two vectorized ``searchsorted`` calls
+    and accumulates per-hour partial counts (``np.add.at``), which the
+    driver folds (hours-cardinality, not session-cardinality).  No
+    shuffle beyond the sessionizer's hash-by-user exchange.  If BOTH
+    sides were huge, the path is bucket-replication by coarse time
+    range — documented, not needed for a bounded busy-hour side."""
+    sess = q_sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    ev = _rp(sf_dir, "events", ["ts"])
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour")
+        out = pa.table({"hour_start": h}).group_by("hour_start").aggregate(
+            [("hour_start", "count")]
+        )
+        return out.rename_columns(["hour_start", "n"])
+
+    hours = (
+        ev.map_batches(hour_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("hour_start", as_index=False)["n"]
+        .sum()
+    )
+    busy = np.sort(
+        hours[hours["n"] > hours["n"].mean()]["hour_start"]
+        .to_numpy()
+        .astype("datetime64[us]")
+    )
+    one_hour = np.timedelta64(1, "h")
+
+    def overlap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s0 = df["session_start"].to_numpy().astype("datetime64[us]")
+        s1 = df["session_end"].to_numpy().astype("datetime64[us]")
+        lo = np.searchsorted(busy, s0 - one_hour, side="right")
+        hi = np.searchsorted(busy, s1, side="right")
+        counts = np.zeros(len(busy), np.int64)
+        np.add.at(counts, np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]), 1)
+        keep = counts > 0
+        return pd.DataFrame(
+            {"hour_start": busy[keep], "n_sessions": counts[keep]}
+        )
+
+    parts = sess.map_batches(overlap_partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("hour_start", as_index=False)["n_sessions"]
+        .sum()
+        .sort_values("hour_start", ignore_index=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out
+
+
 def q_rejects_repair_replay(sf_dir: str) -> pd.DataFrame:
     """Dead-letter RECOVERY, end to end: poison the WAL (turn_idx = -1
     on event_id % 97 == 0), replay — the poisoned rows dead-letter —
