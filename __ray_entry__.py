@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,
+        # PageRank power iteration over the type-transition graph
+        "event_pagerank": R.q_event_pagerank,
         # mergeable quantile digest (exact below cap — witness config)
         "quantile_digest": R.q_quantile_digest,
         # unigram-LM mean log-prob per doc (perplexity-filter family)
@@ -1297,6 +1299,38 @@ def oracle_sql() -> dict[str, str]:
             select hour, cast(sum(n) as bigint) as n_events,
                    round(-sum(p * ln(p)), 6) as type_entropy
             from w group by 1 order by 1
+        """,
+        "event_pagerank": """
+            with o as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                       partition by user_id order by ts, event_id) as next_type
+              from events),
+            c as (
+              select event_type as a, next_type as b,
+                     cast(count(*) as double) as n
+              from o where next_type is not null group by 1, 2),
+            types as (select distinct event_type as v from events),
+            nn as (select cast(count(*) as double) as n_types from types),
+            tot as (select a, sum(n) as tn from c group by 1),
+            w as (select c.a, c.b, c.n / tot.tn as w from c join tot using (a)),
+            r0 as (select v, 1.0 / nn.n_types as r from types cross join nn),
+            r1 as (
+              select t.v,
+                     0.15 / (select n_types from nn)
+                     + 0.85 * coalesce((
+                         select sum(r0.r * w.w) from w join r0 on r0.v = w.a
+                         where w.b = t.v), 0) as r
+              from types t),
+            r2 as (
+              select t.v,
+                     0.15 / (select n_types from nn)
+                     + 0.85 * coalesce((
+                         select sum(r1.r * w.w) from w join r1 on r1.v = w.a
+                         where w.b = t.v), 0) as r
+              from types t)
+            select v as event_type, round(r, 6) as rank
+            from r2 order by event_type
         """,
         "event_transitions": """
             with o as (

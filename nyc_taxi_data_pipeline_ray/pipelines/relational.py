@@ -1868,6 +1868,35 @@ def q_hour_entropy(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+def q_event_pagerank(sf_dir: str, *, iters: int = 2, damping: float = 0.85) -> pd.DataFrame:
+    """PageRank over the event-type transition graph (power iteration,
+    iterative-algorithm family like ``q_kmeans_assign``): the
+    distributed work is the Markov pair counting (reused from
+    :func:`q_event_transitions`, bounded user buckets); the iteration
+    itself runs on the aggregated TYPE x TYPE matrix — domain-bounded
+    tiny (event-type cardinality), the correct driver-side residue.
+    Dangling mass is dropped identically on both sides (the oracle
+    unrolls the same update), so this is the formula contract, not
+    canonical dangling-redistributed PageRank."""
+    counts = q_event_transitions(sf_dir)
+    types = np.array(
+        sorted(set(counts["prev_type"]) | set(counts["next_type"]))
+    )
+    n = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((n, n))
+    for a, b, c in zip(counts["prev_type"], counts["next_type"], counts["n"]):
+        P[idx[a], idx[b]] = c
+    row = P.sum(axis=1, keepdims=True)
+    P = np.divide(P, row, out=np.zeros_like(P), where=row > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (r @ P)
+    return pd.DataFrame(
+        {"event_type": types, "rank": np.round(r, 6)}
+    ).sort_values("event_type", ignore_index=True)
+
+
 def q_event_transitions(sf_dir: str, *, n_buckets: int = 256) -> pd.DataFrame:
     """First-order Markov transition counts: for each user's event
     stream ordered by (ts, event_id), count consecutive
