@@ -254,6 +254,49 @@ def test_views_survive_schema_evolution(tmp_path):
     )
 
 
+def test_matview_property_random_shapes(tmp_path_factory):
+    """Property-style: across random op mixes, an epoch-at-a-time
+    refresh sequence must equal the full recompute."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        p_update=st.floats(min_value=0.0, max_value=0.5),
+        p_delete=st.floats(min_value=0.0, max_value=0.25),
+    )
+    def inner(seed, p_update, p_delete):
+        tmp = str(tmp_path_factory.mktemp(f"mvprop{seed % 100000}"))
+        spec = WalSpec(
+            seed=seed,
+            num_conversations=30,
+            num_epochs=2,
+            events_per_epoch=300,
+            p_update=p_update,
+            p_delete=p_delete,
+            ooo_fraction=0.1,
+        )
+        gen = WalGenerator(spec)
+        wal = os.path.join(tmp, "wal")
+        gen.write(wal)
+        eng = CdcEngine(
+            LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=4)
+        )
+        mv = MaterializedView(eng, os.path.join(tmp, "view"))
+        eng.apply(wal, max_epochs=1)
+        mv.refresh()
+        eng.apply(wal)
+        mv.refresh()
+        _assert_view_equals(mv, _expected(gen.events_table()))
+
+    inner()
+
+
 def test_matview_survives_compaction(tmp_path):
     """Compaction rewrites runs but not logical state: the view's
     watermark (committed groups) is unchanged, so nothing refreshes
