@@ -230,6 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": R.q_cohort_retention,
         # shuffle-planning skew diagnostic per hash partition
         "partition_skew": R.q_partition_skew,
+        # gaps-and-islands: longest consecutive-day streak per user
+        "user_streaks": R.q_user_streaks,
+        # distributed FULL OUTER JOIN via tagged union-merge exchange
+        "full_outer_join": R.q_full_outer_join,
+        # temperature-resampled per-language training-mix weights
+        "lang_mix_weights": T.q_lang_mix_weights,
+        # sequence packing: global prefix-sum token-bin assignment
+        "sequence_packing": T.q_sequence_packing,
     }
 
 
@@ -1777,5 +1785,60 @@ def oracle_sql() -> dict[str, str]:
             select cast(c.bucket as bigint) as bucket, cast(c.n as bigint) as n,
                    round(m.mx / m.mean_n, 6) as skew_factor
             from c, m order by bucket
+        """,
+        "user_streaks": """
+            with d as (select distinct user_id, cast(ts as date) as day from events),
+            r as (select user_id, day,
+                         row_number() over (partition by user_id order by day) as rn
+                  from d),
+            i as (select user_id, cast(count(*) as bigint) as len
+                  from r group by user_id, day - cast(rn as int))
+            select user_id, cast(sum(len) as bigint) as n_active_days,
+                   cast(max(len) as bigint) as longest_streak,
+                   cast(count(*) as bigint) as n_streaks
+            from i group by 1 order by 1
+        """,
+        "full_outer_join": """
+            with l as (
+              select c_custkey as custkey, c_acctbal as acctbal
+              from customer where c_mktsegment = 'BUILDING'),
+            r as (
+              select o_custkey as custkey, cast(count(*) as bigint) as n_urgent,
+                     round(sum(o_totalprice), 2) as urgent_spend
+              from orders where o_orderpriority = '1-URGENT' group by 1)
+            select coalesce(l.custkey, r.custkey) as custkey, l.acctbal,
+                   coalesce(r.n_urgent, 0) as n_urgent, r.urgent_spend
+            from l full outer join r using (custkey)
+            order by custkey
+        """,
+        "lang_mix_weights": r"""
+            with t as (
+              select lang, cast(count(*) as bigint) as n_docs,
+                     cast(sum(array_length(regexp_split_to_array(trim(text), '\s+')))
+                          as bigint) as n_tokens
+              from documents group by 1),
+            s as (select sum(power(n_tokens, 0.5)) as z from t)
+            select lang, n_docs, n_tokens,
+                   round(power(n_tokens, 0.5) / z, 6) as weight,
+                   round(power(n_tokens, 0.5) / z * 1000000 / n_tokens, 4)
+                     as epochs_at_budget
+            from t, s order by lang
+        """,
+        "sequence_packing": r"""
+            with t as (
+              select doc_id,
+                     cast(array_length(regexp_split_to_array(trim(text), '\s+'))
+                          as bigint) as n_tokens
+              from documents),
+            c as (
+              select doc_id, n_tokens,
+                     coalesce(sum(n_tokens) over (order by doc_id
+                         rows between unbounded preceding and 1 preceding), 0)
+                       as cum_before
+              from t)
+            select doc_id, n_tokens,
+                   cast(cum_before // 2048 as bigint) as seq_id,
+                   cast(cum_before % 2048 as bigint) as seq_offset
+            from c order by doc_id
         """,
     }

@@ -3407,3 +3407,130 @@ def q_partition_skew(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
     counts = counts.astype({"bucket": "int64", "n": "int64"})
     counts["skew_factor"] = skew[0]
     return counts.sort_values("bucket", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_user_streaks(sf_dir: str, *, n_buckets: int = 32) -> pd.DataFrame:
+    """Gaps-and-islands: per user, the longest run of consecutive
+    active DAYS, plus total active days and number of distinct streaks
+    (the classic engagement-streak window pattern, SQL-side done with
+    the day - row_number anchor trick).  One bounded user-hash exchange
+    does all the keyed work: blocks pre-dedup (user, day) pairs
+    map-side so at most users x 30 rows cross the wire, and each bucket
+    task computes islands vectorized (sorted day diffs -> cumsum run
+    ids -> two tiny groupbys).  A user never spans buckets, so the
+    driver only concatenates.
+    """
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+            }
+        )
+        g = g.group_by(["user_id", "day"]).aggregate([])
+        b = pc.bit_wise_and(g["user_id"], pa.scalar(n_buckets - 1, pa.int64()))
+        return g.append_column("bucket", b)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], ignore_index=True
+        )
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        new_run = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        run = np.cumsum(new_run)
+        g = pd.DataFrame({"user_id": u, "run": run})
+        lens = g.groupby(["user_id", "run"], sort=False).size().reset_index(name="len")
+        out = lens.groupby("user_id", sort=False).agg(
+            n_active_days=("len", "sum"),
+            longest_streak=("len", "max"),
+            n_streaks=("len", "size"),
+        ).reset_index()
+        return out.astype(
+            {"n_active_days": "int64", "longest_streak": "int64", "n_streaks": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    return parts.sort_values("user_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_full_outer_join(sf_dir: str, *, n_buckets: int = 32) -> rd.Dataset:
+    """Distributed FULL OUTER JOIN between two keyed sides that each
+    have keys the other lacks: BUILDING-segment customers (left) vs
+    per-customer urgent-order aggregates (right).  Both sides are
+    bucketed on the same custkey hash and unioned with a side tag; each
+    bucket task folds the right side's map-side partial aggregates,
+    outer-merges with the left, and emits — the standard union-merge
+    exchange (cf. q_lineitem_orders_join), generalized to preserve
+    unmatched rows from BOTH inputs.  One bounded shuffle, streaming
+    Dataset out.
+    """
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+        return pa.table(
+            {
+                "custkey": t["c_custkey"],
+                "acctbal": t["c_acctbal"],
+                "n_urgent": pa.nulls(t.num_rows, pa.int64()),
+                "urgent_spend": pa.nulls(t.num_rows, pa.float64()),
+                "bucket": pc.bit_wise_and(
+                    t["c_custkey"], pa.scalar(n_buckets - 1, pa.int64())
+                ),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def right_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+        g = pa.table({"custkey": t["o_custkey"], "spend": t["o_totalprice"]})
+        g = g.group_by("custkey").aggregate([("spend", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "custkey": g["custkey"],
+                "acctbal": pa.nulls(g.num_rows, pa.float64()),
+                "n_urgent": pc.cast(g["count_all"], pa.int64()),
+                "urgent_spend": g["spend_sum"],
+                "bucket": pc.bit_wise_and(
+                    g["custkey"], pa.scalar(n_buckets - 1, pa.int64())
+                ),
+                "side": pa.array(np.ones(g.num_rows, np.int8)),
+            }
+        )
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import round_half_away
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0][["custkey", "acctbal"]]
+        r = df[df["side"] == 1]
+        right = r.groupby("custkey", as_index=False).agg(
+            n_urgent=("n_urgent", "sum"), urgent_spend=("urgent_spend", "sum")
+        )
+        out = left.merge(right, on="custkey", how="outer")
+        out["n_urgent"] = out["n_urgent"].fillna(0).astype("int64")
+        spend = out["urgent_spend"].to_numpy(np.float64)
+        out["urgent_spend"] = np.where(
+            np.isnan(spend), np.nan, round_half_away(spend, 2)
+        )
+        out["custkey"] = out["custkey"].astype("int64")
+        return out[["custkey", "acctbal", "n_urgent", "urgent_spend"]]
+
+    return (
+        cust.map_batches(left_rows, batch_format="pyarrow")
+        .union(orders.map_batches(right_partial, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -2617,3 +2617,99 @@ def q_triangle_count(sf_dir: str, *, n_buckets: int = 64) -> pd.DataFrame:
             "clustering_coef": coef,
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_lang_mix_weights(
+    sf_dir: str, *, alpha: float = 0.5, token_budget: int = 1_000_000
+) -> pd.DataFrame:
+    """Training-mix planner: temperature-resampled per-language sampling
+    weights, w_l = n_tokens_l**alpha / sum_m n_tokens_m**alpha — the
+    standard multilingual up/down-sampling rule (alpha < 1 upweights
+    low-resource languages), plus the implied epochs over each language
+    at a fixed token budget.  Per-language token totals are a map-side
+    combiner (one row per (block, lang) leaves the workers — no
+    shuffle); the power/normalize step is driver math over ~10 rows.
+    At 100 TB the combiner shape is identical: lang cardinality is tiny
+    regardless of corpus size.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(_tokens(t["text"])), pa.int64())
+        g = pa.table({"lang": t["lang"], "n_tokens": n_tok})
+        return g.group_by("lang").aggregate([("n_tokens", "sum"), ([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", sort=True, as_index=False).agg(
+        n_docs=("count_all", "sum"), n_tokens=("n_tokens_sum", "sum")
+    )
+    toks = out["n_tokens"].to_numpy(np.float64)
+    w = toks**alpha / (toks**alpha).sum()
+    out["weight"] = round_half_away(w, 6)
+    out["epochs_at_budget"] = round_half_away(w * token_budget / toks, 4)
+    out = out[["lang", "n_docs", "n_tokens", "weight", "epochs_at_budget"]]
+    return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+
+# --------------------------------------------------------------------------
+def q_sequence_packing(
+    sf_dir: str, *, seq_tokens: int = 2048, range_size: int = 256
+) -> rd.Dataset:
+    """Sequence packing: concatenate documents in doc_id order and cut
+    the stream every ``seq_tokens`` tokens — each doc gets the training
+    sequence id and intra-sequence offset where its first token lands
+    (how packed pretraining shards are laid out).  The global running
+    token count is the same two-pass distributed prefix scan as
+    :func:`relational.q_record_events`: pass 1 reduces each contiguous
+    doc_id range to its token sum (combiner row per block x range), the
+    driver exclusive-scans those tiny partials into per-range carries,
+    and pass 2 assigns seq ids vectorized inside a per-range groupby
+    with the carries broadcast.  Output stays a streaming Dataset.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def range_sum(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(_tokens(t["text"])), pa.int64())
+        g = pa.table(
+            {
+                "rng": pc.cast(
+                    pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64())),
+                    pa.int64(),
+                ),
+                "n": n_tok,
+            }
+        )
+        return g.group_by("rng").aggregate([("n", "sum")])
+
+    parts = ds.map_batches(range_sum, batch_format="pyarrow").to_pandas()
+    rsum = parts.groupby("rng")["n_sum"].sum().sort_index()
+    carry = {int(r): int(c) for r, c in rsum.cumsum().shift(1, fill_value=0).items()}
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", ignore_index=True)
+        toks = pc.list_value_length(
+            _tokens(pa.array(df["text"], pa.string()))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = int(df["doc_id"].iloc[0]) // range_size
+        cum_before = carry[rng] + np.concatenate(([0], np.cumsum(toks[:-1])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": toks,
+                "seq_id": cum_before // seq_tokens,
+                "seq_offset": cum_before % seq_tokens,
+            }
+        )
+
+    def add_rng(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rng",
+            pc.cast(pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64())), pa.int64()),
+        )
+
+    return (
+        ds.map_batches(add_rng, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(assign, batch_format="pandas")
+    )
