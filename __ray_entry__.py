@@ -238,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix_weights": T.q_lang_mix_weights,
         # sequence packing: global prefix-sum token-bin assignment
         "sequence_packing": T.q_sequence_packing,
+        # SemDeDup: centroid-bucketed within-cluster cosine dedup
+        "semantic_dedup": A.q_semantic_dedup,
+        # sweep-line max simultaneously-open activity intervals
+        "peak_concurrency": R.q_peak_concurrency,
+        # exact duplicated 40-char-span fraction per doc
+        "span_dedup": T.q_span_dedup,
     }
 
 
@@ -1840,5 +1846,56 @@ def oracle_sql() -> dict[str, str]:
                    cast(cum_before // 2048 as bigint) as seq_id,
                    cast(cum_before % 2048 as bigint) as seq_offset
             from c order by doc_id
+        """,
+        "semantic_dedup": """
+            with v as (select vec_id, cast(embedding as double[]) as e
+                       from embeddings),
+            c0 as (select vec_id as cid, e from v where vec_id < 8),
+            a as (select v.vec_id, v.e,
+                    (select c.cid from c0 c
+                     order by list_distance(v.e, c.e), c.cid limit 1) as cluster
+                  from v),
+            d as (select x.vec_id, min(y.vec_id) as dup_of
+                  from a x join a y on x.cluster = y.cluster
+                                   and y.vec_id < x.vec_id
+                  where list_cosine_similarity(x.e, y.e) >= 0.40
+                  group by 1)
+            select a.vec_id, cast(a.cluster as bigint) as cluster,
+                   coalesce(d.dup_of, -1) as dup_of,
+                   d.dup_of is null as is_kept
+            from a left join d using (vec_id) order by vec_id
+        """,
+        "peak_concurrency": """
+            with iv as (select ts as s, ts + interval 5 minutes as e from events),
+            d as (
+              select s as t, 1 as delta from iv
+              union all
+              select e as t, -1 as delta from iv),
+            r as (select t, sum(delta) over (order by t, delta
+                    rows between unbounded preceding and current row) as running
+                  from d),
+            m as (select max(running) as peak from r)
+            select cast(m.peak as bigint) as peak_concurrent,
+                   (select min(t) from r where running = m.peak) as peak_ts
+            from m
+        """,
+        "span_dedup": """
+            with g as (
+              select doc_id,
+                     unnest(list_transform(range(1, length(text) - 38),
+                                           i -> substring(text, i, 40))) as gram
+              from documents where length(text) >= 40),
+            pg as (select doc_id, gram, count(*) as cnt from g group by 1, 2),
+            dup as (select gram from pg group by gram having count(*) > 1),
+            d as (select p.doc_id, sum(p.cnt) as n_dup
+                  from pg p join dup using (gram) group by 1)
+            select t.doc_id,
+                   cast(length(t.text) - 39 as bigint) as n_positions,
+                   cast(coalesce(d.n_dup, 0) as bigint) as n_dup_positions,
+                   round(coalesce(d.n_dup, 0) / (length(t.text) - 39.0), 6)
+                     as dup_fraction
+            from documents t left join d using (doc_id)
+            where length(t.text) >= 40
+            order by doc_id
         """,
     }

@@ -570,3 +570,55 @@ def q_knn_graph(sf_dir: str, *, k: int = 5) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["vec_id", "rank"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+def q_semantic_dedup(
+    sf_dir: str, *, k: int = 8, threshold: float = 0.40
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication: bucket vectors by nearest
+    centroid (one streaming assignment pass against k broadcast
+    centroids — deterministic init, vec_id < k via pruned read), then
+    inside each cluster mark every vector that has a LOWER-id neighbor
+    with cosine >= threshold as a duplicate of the smallest such id.
+    The cross-vector work happens only within clusters — one bounded
+    groupby exchange — so the pairwise matmul is (cluster size)^2, not
+    N^2; at scale k grows with N to hold cluster sizes at the matmul
+    budget (the SemDeDup recipe).  Output per vector: cluster id,
+    dup_of (-1 if kept), is_kept.  Fully SQL-oracled (single-pass
+    assignment keeps the oracle's centroid math unrolled-free).
+    """
+    _, cent = _vectors_where_id_below(sf_dir, k)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("cluster", pa.array(d2.argmin(axis=1).astype(np.int64)))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id", ignore_index=True)
+        ids = df["vec_id"].to_numpy(np.int64)
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        G = M @ M.T
+        hit = np.tril(G >= threshold, k=-1)  # j strictly before i in id order
+        any_dup = hit.any(axis=1)
+        first = hit.argmax(axis=1)  # ids sorted asc -> first True = min id
+        dup_of = np.where(any_dup, ids[first], np.int64(-1))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": df["cluster"].astype("int64"),
+                "dup_of": dup_of.astype(np.int64),
+                "is_kept": ~any_dup,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup, batch_format="pandas")
+    )

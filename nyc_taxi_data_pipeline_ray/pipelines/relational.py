@@ -3534,3 +3534,63 @@ def q_full_outer_join(sf_dir: str, *, n_buckets: int = 32) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+def q_peak_concurrency(sf_dir: str, *, window_minutes: int = 5) -> pd.DataFrame:
+    """Sweep-line peak concurrency: each event opens a
+    ``window_minutes`` activity interval; the answer is the maximum
+    number of simultaneously open intervals and the earliest instant it
+    is reached.  The interval endpoints become +1/-1 deltas, ends
+    ordered before starts at equal timestamps (touching intervals don't
+    overlap).  Distribution is segmented scan, not a serial pass: the
+    deltas shuffle once on their HOUR (equal timestamps can't split),
+    each hour task sorts locally and reduces to (total delta, local max
+    prefix, first ts achieving it) — a composable scan monoid — and the
+    driver folds the ~(days x 24) partials with an exclusive carry scan.
+    No task ever sees more than one hour of endpoints.
+    """
+    ds = _rp(sf_dir, "events", ["ts"])
+    win_us = np.int64(window_minutes * 60_000_000)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tt = np.concatenate([s, s + win_us])
+        dl = np.concatenate(
+            [np.ones(len(s), np.int64), np.full(len(s), -1, np.int64)]
+        )
+        return pa.table(
+            {"t": tt, "delta": dl, "hour": tt // np.int64(3_600_000_000)}
+        )
+
+    def scan_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["t", "delta"], ignore_index=True)  # ends before starts
+        run = df["delta"].to_numpy(np.int64).cumsum()
+        imax = int(run.argmax())  # first index achieving the local max
+        return pd.DataFrame(
+            {
+                "hour": df["hour"].iloc[:1].astype("int64"),
+                "total": [int(run[-1])],
+                "local_max": [int(run[imax])],
+                "t_at_max": [int(df["t"].iloc[imax])],
+            }
+        )
+
+    parts = (
+        ds.map_batches(deltas, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(scan_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("hour", ignore_index=True)
+    )
+    carry = parts["total"].cumsum().shift(1, fill_value=0).to_numpy(np.int64)
+    global_runs = carry + parts["local_max"].to_numpy(np.int64)
+    best = int(global_runs.argmax())  # earliest hour among ties
+    peak = int(global_runs[best])
+    peak_ts = pd.Timestamp(int(parts["t_at_max"].iloc[best]), unit="us")
+    return pd.DataFrame(
+        {
+            "peak_concurrent": pd.Series([peak], dtype="int64"),
+            "peak_ts": pd.Series([peak_ts], dtype="datetime64[us]"),
+        }
+    )

@@ -2713,3 +2713,98 @@ def q_sequence_packing(
         .groupby("rng")
         .map_groups(assign, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+def q_span_dedup(
+    sf_dir: str, *, gram_chars: int = 40, n_buckets: int = 256
+) -> rd.Dataset:
+    """Duplicated-span detection (the memorization / boilerplate metric
+    behind exact-substring dedup): for every ``gram_chars``-character
+    window position in every doc, is that exact window present in at
+    least one OTHER doc?  Per doc: window count, duplicated-window
+    count, duplicated fraction.  Blocks pre-reduce (gram, doc) pairs to
+    counts map-side, the (gram-hash % n_buckets) groupby bounds each
+    task to one hash stripe, and only per-doc partial sums come back —
+    the driver never sees a gram.  Windows cross the wire as exact
+    strings so shared spans are certain, not probabilistic (the
+    hash-prefilter + verify two-phase of q_ngram_jaccard is the
+    documented 100 TB refinement).
+    """
+    import zlib
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grams: list[str] = []
+        docs: list[np.ndarray] = []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            n = len(txt) - gram_chars + 1
+            if n <= 0:
+                continue
+            grams.extend(txt[i : i + gram_chars] for i in range(n))
+            docs.append(np.full(n, did, np.int64))
+        if not grams:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.table(
+            {"gram": pa.array(grams, pa.string()), "doc_id": pa.array(np.concatenate(docs))}
+        )
+        g = g.group_by(["gram", "doc_id"]).aggregate([([], "count_all")])
+        bk = pa.array(
+            np.fromiter(
+                (zlib.crc32(s.encode()) & (n_buckets - 1) for s in g["gram"].to_pylist()),
+                np.int64,
+                g.num_rows,
+            )
+        )
+        return pa.table(
+            {
+                "gram": g["gram"],
+                "doc_id": g["doc_id"],
+                "bucket": bk,
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pg = df.groupby(["gram", "doc_id"], sort=False, as_index=False)["cnt"].sum()
+        ndocs = pg.groupby("gram", sort=False)["doc_id"].transform("size")
+        dup = pg[ndocs > 1]
+        out = dup.groupby("doc_id", sort=False, as_index=False)["cnt"].sum()
+        return out.rename(columns={"cnt": "n_dup"}).astype("int64")
+
+    parts = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_by_doc = parts.groupby("doc_id")["n_dup"].sum().to_dict()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_pos = pc.subtract(
+            pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            pa.scalar(gram_chars - 1, pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        keep = n_pos > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        n_pos = n_pos[keep]
+        n_dup = np.array([dup_by_doc.get(int(d), 0) for d in ids], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_positions": pa.array(n_pos),
+                "n_dup_positions": pa.array(n_dup),
+                "dup_fraction": pa.array(round_half_away(n_dup / n_pos, 6)),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
