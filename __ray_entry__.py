@@ -244,6 +244,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": R.q_peak_concurrency,
         # exact duplicated 40-char-span fraction per doc
         "span_dedup": T.q_span_dedup,
+        # engine backfill: bulk correction through the CDC path
+        "cdc_backfill": R.q_cdc_backfill,
+        # engine purge: TTL tombstones + compaction through the CDC path
+        "cdc_retention": R.q_cdc_retention,
     }
 
 
@@ -1897,5 +1901,44 @@ def oracle_sql() -> dict[str, str]:
             from documents t left join d using (doc_id)
             where length(t.text) >= 40
             order by doc_id
+        """,
+        "cdc_backfill": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role,
+                   case when r.event_type = 'click' then 'CLICK'
+                        else r.event_type end as text,
+                   cast(null as varchar) as tool,
+                   case when r.event_type = 'click' then timestamp '2025-01-01'
+                        else r.ts end as ts,
+                   case when r.event_type = 'click'
+                        then 1152921504606846976 else r.event_id end as lsn
+            from r join t using (event_type) where rn = 1
+        """,
+        "cdc_retention": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role, r.event_type as text,
+                   cast(null as varchar) as tool, r.ts, r.event_id as lsn
+            from r join t using (event_type)
+            where rn = 1 and r.ts >= timestamp '2024-01-29'
         """,
     }

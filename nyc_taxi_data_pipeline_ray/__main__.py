@@ -133,6 +133,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lake", required=True)
     sp.add_argument("--view", required=True)
 
+    sp = sub.add_parser(
+        "purge",
+        help="retention: tombstone keys older than a cutoff through the CDC path",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--wal", required=True, help="WAL dir the tombstone epoch is written to")
+    sp.add_argument("--older-than", required=True, help="ISO timestamp cutoff")
+
     sp = sub.add_parser("get", help="point lookup: print one conversation's turns")
     sp.add_argument("--lake", required=True)
     sp.add_argument("--conv-id", required=True)
@@ -281,6 +289,17 @@ def main(argv: list[str] | None = None) -> int:
             from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
 
             print(json.dumps(MaterializedView(eng, args.view).refresh()))
+        elif args.cmd == "purge":
+            epoch, rep = eng.purge(args.wal, older_than=args.older_than)
+            print(
+                json.dumps(
+                    {
+                        "tombstone_epoch": epoch,
+                        "deletes": rep.deletes,
+                        "rows_in": rep.rows_in,
+                    }
+                )
+            )
         elif args.cmd == "get":
             t = eng.get_conversation(args.conv_id)
             print(json.dumps({"conv_id": args.conv_id, "turns": t.num_rows}))

@@ -1009,6 +1009,117 @@ class CdcEngine:
             diff_one, batch_format="pyarrow", batch_size=None
         )
 
+    # -------------------------------------------------- derived WAL epochs
+    def _next_wal_epoch(self, wal_dir: str) -> int:
+        """Next free epoch number in a WAL directory (max present + 1,
+        also past anything already committed to this lake)."""
+        present = [-1]
+        if os.path.isdir(wal_dir):
+            for name in os.listdir(wal_dir):
+                m = _EPOCH_DIR_RE.match(name)
+                if m:
+                    present.append(int(m.group(1)))
+        committed = self._global_committed()
+        if committed:
+            present.append(max(committed))
+        return max(present) + 1
+
+    def _emit_derived_epoch(
+        self, wal_dir: str, rows: rd.Dataset, *, op: str, ts, lsn: int
+    ) -> int | None:
+        """Write a Dataset of payload rows into ``wal_dir`` as a new WAL
+        epoch of ``op`` events, stamped with one (ts, lsn) chosen by the
+        caller to win LWW against the rows being corrected/retired.
+        The epoch directory appears atomically (tmp dir + rename), so a
+        crash mid-write never leaves a half epoch that ``discover``
+        would replay.  Returns the epoch number, or None if ``rows`` was
+        empty (no epoch created)."""
+        epoch = self._next_wal_epoch(wal_dir)
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+
+        def stamp(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                "lsn": pa.array(np.full(n, lsn, np.int64)),
+                "op": pa.array(np.full(n, op)),
+                "epoch": pa.array(np.full(n, epoch, np.int32), pa.int32()),
+            }
+            for name in t.schema.names:
+                if name not in ("lsn", "op", "epoch", "ts"):
+                    cols[name] = t[name]
+            cols["ts"] = pa.array(
+                np.full(n, ts_us, np.int64).view("datetime64[us]"),
+                pa.timestamp("us"),
+            )
+            # the ingest gate expects the full base envelope (tombstones
+            # carry keys only) — null-fill what the caller didn't supply
+            for f in schemas.TRANSCRIPT_SCHEMA:
+                if f.name not in cols:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols)
+
+        tmp = os.path.join(wal_dir, f".tmp-epoch-{epoch:06d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        rows.map_batches(stamp, batch_format="pyarrow").write_parquet(tmp)
+        files = (
+            [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if os.path.isdir(tmp)  # a zero-row write creates nothing
+            else []
+        )
+        n_rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows for f in files)
+        if n_rows == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        final = os.path.join(wal_dir, f"epoch={epoch:06d}")
+        os.rename(tmp, final)
+        return epoch
+
+    def backfill(
+        self, wal_dir: str, fn, *, ts, lsn: int = 1 << 60
+    ) -> tuple[int | None, "ApplyReport"]:
+        """Bulk correction THROUGH the CDC path: run ``fn`` (an Arrow
+        batch transform: rows in, corrected rows out — return only the
+        rows to rewrite) over the current snapshot, emit the result as
+        one new epoch of ``op='update'`` events stamped at ``ts`` (which
+        must exceed every corrected row's current ts), and apply it via
+        the normal exactly-once machinery.  The correction is therefore
+        replayable, time-travelable (the pre-backfill state stays
+        reachable via ``as_of_epoch``), visible in ``changes()``, and
+        crash-safe — none of which an in-place rewrite of lake files
+        would give.  The reference's analog is a full dbt re-run; this
+        touches only the corrected keys' partitions at merge time.
+        """
+        upd = self.snapshot().map_batches(fn, batch_format="pyarrow")
+        epoch = self._emit_derived_epoch(wal_dir, upd, op="update", ts=ts, lsn=lsn)
+        return epoch, self.apply(wal_dir)
+
+    def purge(
+        self, wal_dir: str, *, older_than, lsn: int = 1 << 60
+    ) -> tuple[int | None, "ApplyReport"]:
+        """Retention (TTL) delete through the CDC path: tombstone every
+        key whose current winner ``ts`` is older than ``older_than``.
+        Tombstones are stamped at exactly ``older_than`` (a purged row's
+        ts is strictly smaller, so the tombstone wins; anything at or
+        after the cutoff is untouched even if a concurrent writer races
+        the purge).  Deletion is logical and auditable — ``changes()``
+        shows the tombstones, ``as_of_epoch`` still reads the pre-purge
+        state — and ``compact()`` later reclaims the space physically.
+        """
+        cutoff = pd.Timestamp(older_than)
+        cutoff_us = int(cutoff.value // 1000)
+
+        def expired(t: pa.Table) -> pa.Table:
+            keep = pc.less(
+                pc.cast(t["ts"], pa.int64()), pa.scalar(cutoff_us, pa.int64())
+            )
+            return t.filter(pc.fill_null(keep, False))
+
+        dead = self.snapshot(columns=["conv_id", "turn_idx", "ts"]).map_batches(
+            expired, batch_format="pyarrow"
+        )
+        epoch = self._emit_derived_epoch(wal_dir, dead, op="delete", ts=cutoff, lsn=lsn)
+        return epoch, self.apply(wal_dir)
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 

@@ -3594,3 +3594,58 @@ def q_peak_concurrency(sf_dir: str, *, window_minutes: int = 5) -> pd.DataFrame:
             "peak_ts": pd.Series([peak_ts], dtype="datetime64[us]"),
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_cdc_backfill(sf_dir: str) -> pd.DataFrame:
+    """Bulk-correction witness, driver-visible: replay the
+    events-as-transcripts WAL through the REAL engine, then
+    ``backfill()`` a correction (every ``click`` turn's text rewritten
+    to ``CLICK``) THROUGH the CDC path — the fix travels as a derived
+    ``op='update'`` epoch with a fresh (ts, lsn) stamp, not an in-place
+    file rewrite, so it is exactly-once, time-travelable and visible in
+    ``changes()``.  The oracle applies the same rewrite to the SQL LWW
+    winners, including the stamped ts/lsn the corrected rows must now
+    carry.
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    root = "/tmp/nyc_ray_q_backfill"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir)
+
+    def fix(t: _pa.Table) -> _pa.Table:
+        sel = t.filter(_pc.equal(t["text"], _pa.scalar("click")))
+        return sel.set_column(
+            sel.schema.get_field_index("text"),
+            "text",
+            _pa.array(np.full(sel.num_rows, "CLICK")),
+        )
+
+    epoch, report = eng.backfill(
+        wal_dir, fix, ts=pd.Timestamp("2025-01-01"), lsn=1 << 60
+    )
+    assert epoch is not None and report.rejects == 0, (epoch, report)
+    return eng.snapshot_table().to_pandas()
+
+
+# --------------------------------------------------------------------------
+def q_cdc_retention(sf_dir: str) -> pd.DataFrame:
+    """Retention (TTL) witness, driver-visible: replay the
+    events-as-transcripts WAL, then ``purge()`` every key whose winner
+    is older than 2024-01-29 — tombstones emitted through the CDC path
+    at exactly the cutoff timestamp — and ``compact()`` to reclaim the
+    space physically.  The oracle keeps only the SQL LWW winners at or
+    after the cutoff, certifying that logical TTL deletion + compaction
+    equals a filtered rebuild.
+    """
+    root = "/tmp/nyc_ray_q_retention"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir)
+    epoch, report = eng.purge(
+        wal_dir, older_than=pd.Timestamp("2024-01-29"), lsn=1 << 60
+    )
+    assert epoch is not None and report.rejects == 0, (epoch, report)
+    eng.compact()
+    return eng.snapshot_table().to_pandas()

@@ -672,3 +672,69 @@ def test_incremental_feed_on_time_travel_base(tmp_path):
     snap = eng.snapshot_table()
     cols = sorted(snap.schema.names)
     assert rebuilt.select(cols).equals(snap.select(cols))
+
+
+def test_backfill_through_cdc_path(tmp_path):
+    """backfill() = bulk correction as a derived update epoch: state size
+    unchanged, corrected values present, pre-backfill state still
+    time-travelable, re-apply a no-op."""
+    import pandas as pd
+
+    gen, wal, eng = _build(str(tmp_path), WalSpec(seed=11, num_conversations=80,
+                                                  num_epochs=2, events_per_epoch=800))
+    eng.apply(wal)
+    snap0 = eng.snapshot_table()
+    n_assist0 = snap0.filter(pc.equal(snap0["role"], "assistant")).num_rows
+    assert n_assist0 > 0
+
+    def fix(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["role"], "assistant"))
+        return sel.set_column(
+            sel.schema.get_field_index("role"),
+            "role",
+            pa.array(["system"] * sel.num_rows),
+        )
+
+    ts = pd.Timestamp(pc.max(snap0["ts"]).as_py()) + pd.Timedelta(seconds=1)
+    epoch, rep = eng.backfill(wal, fix, ts=ts)
+    assert epoch is not None and rep.rejects == 0
+    snap1 = eng.snapshot_table()
+    assert snap1.num_rows == snap0.num_rows
+    assert snap1.filter(pc.equal(snap1["role"], "assistant")).num_rows == 0
+    assert (
+        snap1.filter(pc.equal(snap1["role"], "system")).num_rows
+        >= n_assist0
+    )
+    # time travel: the pre-backfill state is still reachable
+    pre = eng.snapshot_table(as_of_epoch=epoch - 1)
+    assert pre.filter(pc.equal(pre["role"], "assistant")).num_rows == n_assist0
+    # exactly-once: the derived epoch doesn't re-apply
+    assert eng.apply(wal).epochs == []
+
+
+def test_purge_retention_ttl(tmp_path):
+    """purge() tombstones exactly the keys whose winner predates the
+    cutoff; compaction preserves the post-purge state; an all-younger
+    cutoff emits no epoch."""
+    import pandas as pd
+
+    gen, wal, eng = _build(str(tmp_path), WalSpec(seed=12, num_conversations=80,
+                                                  num_epochs=2, events_per_epoch=800))
+    eng.apply(wal)
+    snap0 = eng.snapshot_table()
+    med = pd.Series(snap0["ts"].to_pandas()).median()
+    epoch, rep = eng.purge(wal, older_than=med)
+    assert epoch is not None and rep.rejects == 0 and rep.deletes > 0
+    snap1 = eng.snapshot_table()
+    exp = snap0.filter(pc.greater_equal(snap0["ts"], pa.scalar(med.to_datetime64())))
+    assert snap1.num_rows == exp.num_rows
+    assert snap1.select(["conv_id", "turn_idx"]).equals(
+        exp.select(["conv_id", "turn_idx"])
+    )
+    # physical reclaim keeps the logical state
+    eng.compact()
+    snap2 = eng.snapshot_table()
+    assert snap2.equals(snap1)
+    # nothing older than epoch-0 time: no epoch emitted
+    ep_none, _ = eng.purge(wal, older_than=pd.Timestamp("1990-01-01"))
+    assert ep_none is None
