@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_backfill": R.q_cdc_backfill,
         # engine purge: TTL tombstones + compaction through the CDC path
         "cdc_retention": R.q_cdc_retention,
+        # directed containment join (quote/subset detection)
+        "containment": T.q_containment,
     }
 
 
@@ -1940,5 +1942,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type)
             where rn = 1 and r.ts >= timestamp '2024-01-29'
+        """,
+        "containment": """
+            with g as (
+              select doc_id, list_distinct(list_transform(range(1, length(text) - 10),
+                  i -> substring(text, i, 12))) as grams
+              from documents where length(text) >= 12)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(cast(len(list_intersect(a.grams, b.grams)) as double)
+                         / len(a.grams), 4) as containment
+            from g a join g b on a.doc_id < 50 and a.doc_id != b.doc_id
+            where cast(len(list_intersect(a.grams, b.grams)) as double)
+                  >= 0.8 * len(a.grams)
+            order by doc_a, doc_b
         """,
     }

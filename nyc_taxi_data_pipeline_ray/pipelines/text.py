@@ -1276,7 +1276,13 @@ def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.Da
 
 
 def _distributed_pair_jaccard(
-    gram_ds: rd.Dataset, cand: pd.DataFrame, threshold: float, *, n_buckets: int = 64
+    gram_ds: rd.Dataset,
+    cand: pd.DataFrame,
+    threshold: float,
+    *,
+    n_buckets: int = 64,
+    metric: str = "jaccard",
+    out_col: str = "jac",
 ) -> pd.DataFrame:
     """Exact-Jaccard verify of candidate pairs — fully distributed.
 
@@ -1294,7 +1300,7 @@ def _distributed_pair_jaccard(
         {
             "doc_a": pd.Series(dtype="int64"),
             "doc_b": pd.Series(dtype="int64"),
-            "jac": pd.Series(dtype="float64"),
+            out_col: pd.Series(dtype="float64"),
         }
     )
     if cand.empty:
@@ -1347,10 +1353,15 @@ def _distributed_pair_jaccard(
                 sa, sb = set(grams[i]), set(grams[i + 1])
                 inter = len(sa & sb)
                 if inter:
-                    jac = inter / (len(sa) + len(sb) - inter)
-                    if jac >= threshold:
+                    if metric == "containment":
+                        score_v = inter / len(sa)  # asymmetric: |A n B| / |A|
+                        ok = float(inter) >= threshold * float(len(sa))
+                    else:
+                        score_v = inter / (len(sa) + len(sb) - inter)
+                        ok = score_v >= threshold
+                    if ok:
                         out_pid.append(pids[i])
-                        out_jac.append(round(jac, 4))
+                        out_jac.append(round(score_v, 4))
                 i += 2
             else:
                 i += 1
@@ -1374,7 +1385,7 @@ def _distributed_pair_jaccard(
         {
             "doc_a": out["doc_a"].to_numpy(),
             "doc_b": out["doc_b"].to_numpy(),
-            "jac": scored["jac"].to_numpy(),
+            out_col: scored["jac"].to_numpy(),
         }
     )
 
@@ -2808,3 +2819,162 @@ def q_span_dedup(
         )
 
     return ds.map_batches(finalize, batch_format="pyarrow")
+
+# --------------------------------------------------------------------------
+def q_containment(
+    sf_dir: str,
+    *,
+    k: int = 12,
+    threshold: float = 0.8,
+    n_buckets: int = 256,
+    hot_df: int = 64,
+    probe_below: int | None = 50,
+) -> pd.DataFrame:
+    """Directed containment join (quote / subset detection, the
+    asymmetric cousin of ngram Jaccard): pair (a, b) qualifies when
+    |grams(a) ∩ grams(b)| >= threshold * |grams(a)| — doc a is largely
+    contained IN doc b even when b is much bigger, which a symmetric
+    Jaccard threshold misses.
+
+    Candidate generation is a prefix-filter join under a HOT-LAST gram
+    order: a qualifying b can miss at most |A| - ceil(t*|A|) of a's
+    grams, so it must share one of a's first L = |A| - ceil(t*|A|) + 1
+    grams under ANY fixed total order; ordering by (global df >= hot_df,
+    hash) puts each doc's RAREST grams in its prefix, so prefix postings
+    lists are short and the per-gram probe x index product stays small —
+    the naive version (every shared gram enumerates pairs) is quadratic
+    in hot-gram df and died at 10x test scale.  The hot set is found by
+    a bucketed df count (Zipf => tiny, broadcast via ray.put); the
+    container side indexes ALL its grams (containment gives no bound on
+    b).  Exact verify then runs distributed per candidate pair
+    (:func:`_distributed_pair_jaccard`, containment metric) with the
+    same IEEE double threshold compare as the oracle.
+    """
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def gramsets(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_i, out_g = [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            if txt is None or len(txt) < k:
+                continue
+            out_i.append(did)
+            out_g.append(sorted({txt[i : i + k] for i in range(len(txt) - k + 1)}))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "grams": pa.array(out_g, pa.list_(pa.string())),
+            }
+        )
+
+    gram_ds = ds.map_batches(gramsets, batch_format="pyarrow")
+
+    # ---- pass 1: hot gram hashes (document frequency >= hot_df)
+    def df_partial(t: pa.Table) -> pa.Table:
+        grams = t["grams"].combine_chunks()
+        flat = grams.flatten().to_numpy(zero_copy_only=False).astype(object)
+        if not len(flat):
+            return pa.table(
+                {"bucket": pa.array([], pa.int32()), "gram_h": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        h = pd.util.hash_array(flat)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array((uniq % np.uint64(n_buckets)).astype(np.int32)),
+                "gram_h": pa.array(uniq.view(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def hot_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram_h", sort=False, as_index=False)["n"].sum()
+        return g[g["n"] >= hot_df][["gram_h"]].astype("int64")
+
+    hot = (
+        gram_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hot_fold, batch_format="pandas")
+        .to_pandas()["gram_h"]
+        .to_numpy(np.int64)
+    )
+    hot_ref = ray.put(np.sort(hot.view(np.uint64)))
+
+    # ---- pass 2: postings, probe rows = each doc's rare-first prefix
+    def explode(t: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        grams = t["grams"].combine_chunks()
+        offsets = grams.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(offsets)
+        flat = grams.flatten().to_numpy(zero_copy_only=False).astype(object)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "gram_h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "probe": pa.array([], pa.int8()),
+            }
+        )
+        if not len(flat):
+            return empty
+        h = pd.util.hash_array(flat)
+        row = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        idx = np.searchsorted(hot_sorted, h)
+        idx[idx == len(hot_sorted)] = max(len(hot_sorted) - 1, 0)
+        is_hot = (
+            hot_sorted[idx] == h if len(hot_sorted) else np.zeros(len(h), bool)
+        )
+        order = np.lexsort((h, is_hot.astype(np.int8), row))
+        rs, hs = row[order], h[order]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(rs)) - starts[rs]
+        L = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        probe = (pos < L[rs]).astype(np.int8)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if probe_below is not None:
+            probe &= (dids[rs] < probe_below).astype(np.int8)
+        return pa.table(
+            {
+                "bucket": pa.array((hs % np.uint64(n_buckets)).astype(np.int32)),
+                "gram_h": pa.array(hs.view(np.int64)),
+                "doc_id": pa.array(dids[rs], pa.int64()),
+                "probe": pa.array(probe),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["probe"] == 1][["gram_h", "doc_id"]]
+        if p.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        m = p.merge(g[["gram_h", "doc_id"]], on="gram_h", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}).astype(
+            "int64"
+        )
+
+    cand = (
+        gram_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "containment": pd.Series(dtype="float64"),
+            }
+        )
+    cand = cand.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+    out = _distributed_pair_jaccard(
+        gram_ds, cand, threshold, metric="containment", out_col="containment"
+    )
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
