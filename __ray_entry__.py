@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_retention": R.q_cdc_retention,
         # directed containment join (quote/subset detection)
         "containment": T.q_containment,
+        # order-independent lake content checksum (anti-entropy)
+        "cdc_checksum": R.q_cdc_checksum,
     }
 
 
@@ -1955,5 +1957,34 @@ def oracle_sql() -> dict[str, str]:
             where cast(len(list_intersect(a.grams, b.grams)) as double)
                   >= 0.8 * len(a.grams)
             order by doc_a, doc_b
+        """,
+        "cdc_checksum": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w as (
+              select 'u' || cast(r.user_id as varchar) as conv_id,
+                     t.turn_idx, 'user' as role, r.event_type as text,
+                     cast(null as varchar) as tool, r.ts, r.event_id as lsn
+              from r join t using (event_type) where rn = 1)
+            , x as (
+              select cast(count(*) as bigint) as n_rows,
+                     cast(bit_xor(md5_number_lower(concat_ws('|',
+                         coalesce(conv_id, ''), cast(turn_idx as varchar),
+                         coalesce(role, ''), coalesce(text, ''),
+                         coalesce(tool, ''), cast(epoch_us(ts) as varchar),
+                         cast(lsn as varchar)))) as hugeint) as cs
+              from w)
+            select n_rows,
+                   cast(case when cs >= 9223372036854775808
+                             then cs - 18446744073709551616
+                             else cs end as bigint) as checksum
+            from x
         """,
     }

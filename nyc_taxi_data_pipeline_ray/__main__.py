@@ -141,6 +141,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--wal", required=True, help="WAL dir the tombstone epoch is written to")
     sp.add_argument("--older-than", required=True, help="ISO timestamp cutoff")
 
+    sp = sub.add_parser(
+        "checksum",
+        help="order-independent 64-bit content checksum of the lake state",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--as-of-epoch", type=int, default=None)
+
     sp = sub.add_parser("get", help="point lookup: print one conversation's turns")
     sp.add_argument("--lake", required=True)
     sp.add_argument("--conv-id", required=True)
@@ -289,6 +296,8 @@ def main(argv: list[str] | None = None) -> int:
             from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
 
             print(json.dumps(MaterializedView(eng, args.view).refresh()))
+        elif args.cmd == "checksum":
+            print(json.dumps(eng.checksum(as_of_epoch=args.as_of_epoch)))
         elif args.cmd == "purge":
             epoch, rep = eng.purge(args.wal, older_than=args.older_than)
             print(

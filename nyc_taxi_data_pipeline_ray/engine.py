@@ -1120,6 +1120,67 @@ class CdcEngine:
         epoch = self._emit_derived_epoch(wal_dir, dead, op="delete", ts=cutoff, lsn=lsn)
         return epoch, self.apply(wal_dir)
 
+    def checksum(
+        self, columns: list[str] | None = None, *, as_of_epoch: int | None = None
+    ) -> dict:
+        """Order-independent content checksum of the lake state — the
+        anti-entropy / replication-verification primitive: two replicas
+        (or a replica and an independent reimplementation) can be
+        compared by exchanging ONE 64-bit digest instead of rows.
+
+        XOR of per-row 64-bit md5 digests over a canonical row encoding
+        ('|'-joined values, nulls as '', timestamps as epoch
+        microseconds).  XOR is a commutative monoid, so each partition
+        folds its own rows locally and the driver folds ~P partials —
+        no row ever moves, and the result is independent of partition
+        count, merge order, and compaction state.  Mirrors the SQL
+        ``bit_xor(md5_number_lower(concat_ws('|', ...)))`` exactly (the
+        per-row md5 is a Python loop — no Arrow md5 kernel — like the
+        fingerprint op; at 10^10 rows swap in a vectorized 128-bit
+        hash on both sides).
+        """
+        import hashlib
+
+        cols = columns or [f.name for f in schemas.TRANSCRIPT_SCHEMA]
+        snap = self.snapshot(columns=cols, as_of_epoch=as_of_epoch)
+
+        def part(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return pa.table(
+                    {"x": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            pieces = []
+            for c in cols:
+                col = t[c]
+                if pa.types.is_timestamp(col.type):
+                    col = pc.cast(pc.cast(col, pa.int64()), pa.string())
+                elif not pa.types.is_string(col.type) and not pa.types.is_large_string(
+                    col.type
+                ):
+                    col = pc.cast(col, pa.string())
+                pieces.append(pc.fill_null(col, ""))
+            enc = pieces[0]
+            for p in pieces[1:]:
+                enc = pc.binary_join_element_wise(enc, p, "|")
+            x = np.uint64(0)
+            for s in enc.to_pylist():
+                x ^= np.frombuffer(
+                    hashlib.md5(s.encode()).digest()[8:], dtype=np.uint64
+                )[0]
+            return pa.table(
+                {
+                    "x": pa.array([np.int64(x.view(np.int64))], pa.int64()),
+                    "n": pa.array([n], pa.int64()),
+                }
+            )
+
+        parts = snap.map_batches(part, batch_format="pyarrow").to_pandas()
+        x = np.uint64(0)
+        for v in parts["x"].to_numpy(np.int64):
+            x ^= np.int64(v).view(np.uint64)
+        return {"rows": int(parts["n"].sum()), "checksum": int(np.int64(x.view(np.int64)))}
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 

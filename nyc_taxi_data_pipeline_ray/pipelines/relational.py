@@ -3649,3 +3649,28 @@ def q_cdc_retention(sf_dir: str) -> pd.DataFrame:
     assert epoch is not None and report.rejects == 0, (epoch, report)
     eng.compact()
     return eng.snapshot_table().to_pandas()
+
+
+# --------------------------------------------------------------------------
+def q_cdc_checksum(sf_dir: str) -> pd.DataFrame:
+    """Anti-entropy witness, driver-visible: replay the
+    events-as-transcripts WAL through the engine and compute the lake's
+    order-independent content checksum (XOR of per-row 64-bit md5
+    digests over a canonical encoding) — the primitive two replicas use
+    to verify convergence without exchanging rows.  The oracle computes
+    the identical ``bit_xor(md5_number_lower(...))`` over the SQL LWW
+    winners, so an independent engine reproduces the digest bit for
+    bit.  One row out: (n_rows, checksum).
+    """
+    root = "/tmp/nyc_ray_q_checksum"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir)
+    cs = eng.checksum(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([cs["rows"]], dtype="int64"),
+            "checksum": pd.Series([cs["checksum"]], dtype="int64"),
+        }
+    )

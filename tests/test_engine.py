@@ -738,3 +738,45 @@ def test_purge_retention_ttl(tmp_path):
     # nothing older than epoch-0 time: no epoch emitted
     ep_none, _ = eng.purge(wal, older_than=pd.Timestamp("1990-01-01"))
     assert ep_none is None
+
+
+def test_checksum_partition_invariant(tmp_path):
+    """The anti-entropy checksum is a content digest: identical WALs
+    replayed into lakes with DIFFERENT partition counts (different file
+    layout, merge order, task split) produce the SAME digest; a single
+    extra update changes it."""
+    import os
+
+    spec = WalSpec(seed=21, num_conversations=60, num_epochs=2, events_per_epoch=600)
+    sums = []
+    for np_ in (2, 8):
+        tmp = os.path.join(str(tmp_path), f"p{np_}")
+        gen = WalGenerator(spec)
+        wal = os.path.join(tmp, "wal")
+        gen.write(wal)
+        eng = CdcEngine(
+            LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=np_)
+        )
+        eng.apply(wal)
+        sums.append(eng.checksum())
+    assert sums[0] == sums[1]
+    assert sums[0]["rows"] > 0
+
+    # one backfilled row flips the digest
+    import pandas as pd
+
+    tmp = os.path.join(str(tmp_path), "p8")
+    eng = CdcEngine(LakeConfig.load(os.path.join(tmp, "lake")))
+
+    def touch_one(t: pa.Table) -> pa.Table:
+        one = t.slice(0, min(1, t.num_rows))
+        if one.num_rows == 0:
+            return one
+        return one.set_column(
+            one.schema.get_field_index("text"), "text", pa.array(["EDITED"])
+        )
+
+    eng.backfill(
+        os.path.join(tmp, "wal"), touch_one, ts=pd.Timestamp("2030-01-01")
+    )
+    assert eng.checksum() != sums[0]
