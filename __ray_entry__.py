@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": T.q_containment,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
+        # cross-lake replication: feed export -> apply -> checksum match
+        "cdc_replicate": R.q_cdc_replicate,
     }
 
 
@@ -1986,5 +1988,21 @@ def oracle_sql() -> dict[str, str]:
                              then cs - 18446744073709551616
                              else cs end as bigint) as checksum
             from x
+        """,
+        "cdc_replicate": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role, r.event_type as text,
+                   cast(null as varchar) as tool, r.ts, r.event_id as lsn
+            from r join t using (event_type) where rn = 1
         """,
     }

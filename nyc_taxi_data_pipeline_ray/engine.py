@@ -1058,9 +1058,17 @@ class CdcEngine:
                     cols[f.name] = pa.nulls(n, f.type)
             return pa.table(cols)
 
+        return self._write_epoch_dir(
+            wal_dir, rows.map_batches(stamp, batch_format="pyarrow"), epoch
+        )
+
+    @staticmethod
+    def _write_epoch_dir(wal_dir: str, stamped: rd.Dataset, epoch: int) -> int | None:
+        """Write fully-stamped WAL rows as ``wal_dir/epoch=NNNNNN``,
+        atomically (tmp dir + rename); None if the Dataset was empty."""
         tmp = os.path.join(wal_dir, f".tmp-epoch-{epoch:06d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        rows.map_batches(stamp, batch_format="pyarrow").write_parquet(tmp)
+        stamped.write_parquet(tmp)
         files = (
             [f for f in os.listdir(tmp) if f.endswith(".parquet")]
             if os.path.isdir(tmp)  # a zero-row write creates nothing
@@ -1073,6 +1081,39 @@ class CdcEngine:
         final = os.path.join(wal_dir, f"epoch={epoch:06d}")
         os.rename(tmp, final)
         return epoch
+
+    def export_changes_as_wal(
+        self,
+        out_wal_dir: str,
+        *,
+        after_epoch: int = -1,
+        through_epoch: int | None = None,
+    ) -> int | None:
+        """Cross-lake replication bridge: export the change feed as ONE
+        WAL epoch another :class:`CdcEngine` can ``apply``.  Delta runs
+        are already per-(key, group) LWW winners with winning tombstones
+        retained and each row keeps its original (ts, lsn), so replaying
+        the whole window as a single epoch reproduces this lake's end
+        state on the target — the key with the greatest (ts, lsn) wins
+        there exactly as it did here.  Pair with :meth:`checksum` on
+        both sides to verify convergence without moving rows again.
+        Incremental: run per consumer watermark window; rows stream
+        straight from the feed Dataset into the target's WAL files."""
+        feed = self.changes(after_epoch=after_epoch, through_epoch=through_epoch)
+        epoch = self._next_wal_epoch(out_wal_dir)
+
+        def stamp(t: pa.Table) -> pa.Table:
+            drop = [c for c in ("change_group", "epoch") if c in t.schema.names]
+            if drop:
+                t = t.drop_columns(drop)
+            return t.append_column(
+                "epoch", pa.array(np.full(t.num_rows, epoch, np.int32), pa.int32())
+            )
+
+        os.makedirs(out_wal_dir, exist_ok=True)
+        return self._write_epoch_dir(
+            out_wal_dir, feed.map_batches(stamp, batch_format="pyarrow"), epoch
+        )
 
     def backfill(
         self, wal_dir: str, fn, *, ts, lsn: int = 1 << 60

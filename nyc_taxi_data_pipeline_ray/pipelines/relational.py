@@ -3674,3 +3674,38 @@ def q_cdc_checksum(sf_dir: str) -> pd.DataFrame:
             "checksum": pd.Series([cs["checksum"]], dtype="int64"),
         }
     )
+
+
+# --------------------------------------------------------------------------
+def q_cdc_replicate(sf_dir: str) -> pd.DataFrame:
+    """Cross-lake replication witness, driver-visible: replay the
+    events-as-transcripts WAL into lake A, export A's change feed as a
+    WAL epoch (``export_changes_as_wal``), apply it to a FRESH lake B
+    with a different partition count, and prove convergence with the
+    order-independent anti-entropy checksum before returning B's
+    snapshot.  Delta runs keep original (ts, lsn) per winner, so LWW on
+    the target reproduces the source state exactly — the oracle is the
+    same SQL LWW winner set, now certified through the full
+    produce -> feed -> consume -> verify loop.
+    """
+    import os
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+
+    root = "/tmp/nyc_ray_q_replicate"
+    eng_a, wal_a = _events_as_transcript_wal(sf_dir, root)
+    eng_a.apply(wal_a)
+
+    wal_b = os.path.join(root, "wal_b")
+    shutil.rmtree(wal_b, ignore_errors=True)
+    epoch = eng_a.export_changes_as_wal(wal_b)
+    assert epoch is not None
+    eng_b = CdcEngine(
+        LakeConfig.open_or_create(os.path.join(root, "lake_b"), num_partitions=8)
+    )
+    rep = eng_b.apply(wal_b)
+    assert rep.rejects == 0, rep
+    cs_a, cs_b = eng_a.checksum(), eng_b.checksum()
+    assert cs_a == cs_b, (cs_a, cs_b)
+    return eng_b.snapshot_table().to_pandas()
