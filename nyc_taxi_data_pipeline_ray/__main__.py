@@ -148,6 +148,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lake", required=True)
     sp.add_argument("--as-of-epoch", type=int, default=None)
 
+    sp = sub.add_parser(
+        "replicate",
+        help="export a change-feed window as a WAL epoch for another lake",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out-wal", required=True)
+    sp.add_argument("--after-epoch", type=int, default=-1)
+    sp.add_argument("--through-epoch", type=int, default=None)
+
     sp = sub.add_parser("get", help="point lookup: print one conversation's turns")
     sp.add_argument("--lake", required=True)
     sp.add_argument("--conv-id", required=True)
@@ -296,6 +305,13 @@ def main(argv: list[str] | None = None) -> int:
             from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
 
             print(json.dumps(MaterializedView(eng, args.view).refresh()))
+        elif args.cmd == "replicate":
+            ep = eng.export_changes_as_wal(
+                args.out_wal,
+                after_epoch=args.after_epoch,
+                through_epoch=args.through_epoch,
+            )
+            print(json.dumps({"out_wal": args.out_wal, "epoch": ep}))
         elif args.cmd == "checksum":
             print(json.dumps(eng.checksum(as_of_epoch=args.as_of_epoch)))
         elif args.cmd == "purge":
