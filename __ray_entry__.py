@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejects_feed": R.q_cdc_rejects_feed,
         "conversation_text": R.q_conversation_text,
         "role_stats_ivm": R.q_role_stats_ivm,
+        "derived_enriched": R.q_derived_enriched,
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,
@@ -1448,6 +1449,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(event_type)) as bigint) as total_chars
             from r where rn = 1
             group by 1 order by 1
+        """,
+        # incremental derived table == the same enrichment over the LWW
+        # winners computed from scratch in SQL
+        "derived_enriched": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w as (
+              select 'u' || cast(user_id as varchar) as conv_id,
+                     t.turn_idx, r.event_type as text, r.ts, r.event_id as lsn
+              from r join t using (event_type) where rn = 1)
+            select conv_id,
+                   cast(turn_idx as int) as turn_idx,
+                   'user' as role,
+                   cast(length(text) as bigint) as n_chars,
+                   cast(extract(hour from ts) as bigint) as ts_hour,
+                   true as is_user,
+                   upper(text) as text_upper,
+                   lsn
+            from w order by conv_id, turn_idx
         """,
         "conversation_text": """
             with r as (

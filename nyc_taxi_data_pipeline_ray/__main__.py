@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--view", required=True)
 
     sp = sub.add_parser(
+        "derived-refresh",
+        help="refresh the row-level incremental derived table (stock enrichment)",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--table", required=True, help="derived-table directory")
+
+    sp = sub.add_parser(
         "purge",
         help="retention: tombstone keys older than a cutoff through the CDC path",
     )
@@ -305,6 +312,13 @@ def main(argv: list[str] | None = None) -> int:
             from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
 
             print(json.dumps(MaterializedView(eng, args.view).refresh()))
+        elif args.cmd == "derived-refresh":
+            from nyc_taxi_data_pipeline_ray.state.derived import (
+                DerivedTable,
+                enrich_turns,
+            )
+
+            print(json.dumps(DerivedTable(eng, args.table, enrich_turns).refresh()))
         elif args.cmd == "replicate":
             ep = eng.export_changes_as_wal(
                 args.out_wal,

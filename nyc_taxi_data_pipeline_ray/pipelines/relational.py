@@ -2487,6 +2487,38 @@ def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     return da.table().to_pandas()
 
 
+def q_derived_enriched(sf_dir: str) -> pd.DataFrame:
+    """Row-level incrementally-maintained DERIVED TABLE, driver-visible
+    — the dbt incremental-model analog (``fct_trips.sql`` merges only
+    new rows; ``int_trips_validated.sql:46-69`` is the enrichment):
+    replay the events-as-transcripts WAL epoch by epoch and keep an
+    enriched per-turn table (char count, hour, user flag, display
+    form) in sync via :class:`DerivedTable.refresh`, which re-runs the
+    transform ONLY over keys whose LWW winner changed (state/derived.py
+    — changed keys from the diff machinery, full-schema rows by
+    vectorized key semi-join, old file patched in place).  The oracle
+    is the same enrichment in SQL over the LWW winners, so incremental
+    maintenance is certified equal to transform(full snapshot).  The
+    in-query assertions witness that the second refresh was
+    incremental (transformed <= changed keys, not table size) and that
+    a third refresh is a noop."""
+    import os
+
+    from nyc_taxi_data_pipeline_ray.state.derived import DerivedTable, enrich_turns
+
+    root = "/tmp/nyc_ray_q_derived"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    dt = DerivedTable(eng, os.path.join(root, "derived"), enrich_turns)
+    eng.apply(wal_dir, max_epochs=1)
+    r1 = dt.refresh()
+    eng.apply(wal_dir)
+    r2 = dt.refresh()
+    assert r2["transformed_rows"] <= r2["rows"], (r1, r2)
+    r3 = dt.refresh()
+    assert r3["refreshed"] == 0 and r3["transformed_rows"] == 0
+    return dt.table().to_pandas()
+
+
 def q_interval_overlap_join(sf_dir: str, *, gap_minutes: int = 30) -> pd.DataFrame:
     """Distributed RANGE (interval-overlap) join — the join shape Ray
     Data has no native operator for: per-user activity sessions

@@ -48,9 +48,15 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
     assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
 
+    dtab = str(tmp_path / "derived")
+    assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
+    assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
+
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     refreshes = [d for d in lines if "refreshed" in d]
     assert refreshes[-1]["refreshed"] == 0 and refreshes[-1]["reused"] == 4
+    derived = [d for d in lines if "transformed_rows" in d]
+    assert derived[0]["transformed_rows"] > 0 and derived[-1]["transformed_rows"] == 0
 
     conv = pq.read_table(glob.glob(str(tmp_path / "lake" / "p=*" / "*.parquet"))[0])[
         "conv_id"

@@ -1,0 +1,146 @@
+"""DerivedTable: row-level incrementally-maintained derived table (the
+dbt incremental-model analog, ``fct_trips.sql``/``obt_trips.sql``).
+Pins (a) equality vs transform(full snapshot) under a random op mix,
+(b) the row-level incrementality witness (second refresh transforms
+only the changed rows), (c) delete propagation, (d) crash-resume
+idempotency, (e) full-rebuild fallback when history is compacted away."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+from nyc_taxi_data_pipeline_ray.state.derived import DerivedTable, enrich_turns
+
+SPEC = WalSpec(
+    seed=23,
+    num_conversations=100,
+    num_epochs=3,
+    events_per_epoch=900,
+    p_update=0.3,
+    p_delete=0.1,
+    ooo_fraction=0.1,
+    dup_fraction=0.02,
+)
+
+
+def _build(tmp):
+    gen = WalGenerator(SPEC)
+    wal = os.path.join(tmp, "wal")
+    gen.write(wal)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=4)
+    )
+    dt = DerivedTable(eng, os.path.join(tmp, "derived"), enrich_turns)
+    return wal, eng, dt
+
+
+def _expected(eng) -> pa.Table:
+    return (
+        enrich_turns(eng.snapshot_table())
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        .combine_chunks()
+    )
+
+
+def test_derived_equals_full_transform(tmp_path):
+    wal, eng, dt = _build(str(tmp_path))
+    eng.apply(wal)
+    r = dt.refresh()
+    assert r["refreshed"] == 4 and r["rows"] == dt.table().num_rows
+    assert dt.table().equals(_expected(eng))
+
+
+def test_derived_row_level_incrementality_and_deletes(tmp_path):
+    """After a tiny targeted second epoch, refresh transforms only the
+    touched keys — not the table — and propagates the delete."""
+    wal, eng, dt = _build(str(tmp_path))
+    eng.apply(wal)
+    dt.refresh()
+    before = dt.table()
+
+    # hand-written epoch: one update + one delete on known keys
+    live = eng.snapshot_table()
+    k_upd = (live["conv_id"][0].as_py(), live["turn_idx"][0].as_py())
+    k_del = (live["conv_id"][-1].as_py(), live["turn_idx"][-1].as_py())
+    max_lsn = pc.max(live["lsn"]).as_py()
+    max_ts = pc.max(live["ts"]).as_py()
+    ep = pa.table(
+        {
+            "lsn": pa.array([max_lsn + 1, max_lsn + 2], pa.int64()),
+            "op": pa.array(["update", "delete"]),
+            "epoch": pa.array([SPEC.num_epochs] * 2, pa.int32()),
+            "conv_id": pa.array([k_upd[0], k_del[0]]),
+            "turn_idx": pa.array([k_upd[1], k_del[1]], pa.int32()),
+            "role": pa.array(["assistant", None]),
+            "text": pa.array(["PATCHED TEXT", None]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([max_ts, max_ts], pa.timestamp("us")),
+        }
+    )
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ep, os.path.join(d, "part-0000.parquet"))
+    eng.apply(wal)
+
+    r = dt.refresh()
+    # winner changed for at most the 2 touched keys; the delete's key
+    # is gone from current state so only the update row is transformed
+    assert r["transformed_rows"] <= 2, r
+    assert r["reused"] >= 1 or eng.cfg.num_partitions == r["refreshed"]
+    after = dt.table()
+    assert after.equals(_expected(eng))
+    assert after.num_rows == before.num_rows - 1
+    patched = after.filter(
+        pc.and_(
+            pc.equal(after["conv_id"], k_upd[0]),
+            pc.equal(after["turn_idx"], pa.scalar(k_upd[1], pa.int32())),
+        )
+    )
+    assert patched["text_upper"][0].as_py() == "PATCHED TEXT"
+    keys_del = after.filter(
+        pc.and_(
+            pc.equal(after["conv_id"], k_del[0]),
+            pc.equal(after["turn_idx"], pa.scalar(k_del[1], pa.int32())),
+        )
+    )
+    assert keys_del.num_rows == 0
+    assert dt.refresh()["refreshed"] == 0  # noop on unchanged ledger
+
+
+def test_derived_crash_resume_idempotent(tmp_path):
+    """Data file written but manifest lost (crash between the two
+    writes): re-refresh re-patches to identical state."""
+    wal, eng, dt = _build(str(tmp_path))
+    eng.apply(wal, max_epochs=1)
+    dt.refresh()
+    eng.apply(wal)
+    dt.refresh()
+    expected = dt.table()
+    # simulate the crash: roll one partition's manifest back to the
+    # epoch-1 watermark while its data file stays current
+    p = dt._manifest_path(0)
+    m = json.load(open(p))
+    stale = dict(m, watermark=0)
+    with open(p, "w") as f:
+        json.dump(stale, f)
+    r = dt.refresh()
+    assert r["refreshed"] == 1
+    assert dt.table().equals(expected)
+
+
+def test_derived_full_rebuild_below_compaction_watermark(tmp_path):
+    """Compaction folds the diff history away -> the stale partition
+    falls back to a full rebuild and still converges."""
+    wal, eng, dt = _build(str(tmp_path))
+    eng.apply(wal, max_epochs=1)
+    dt.refresh()
+    eng.apply(wal)
+    eng.compact(force=True)
+    r = dt.refresh()
+    assert r["refreshed"] == 4
+    assert dt.table().equals(_expected(eng))
