@@ -753,12 +753,18 @@ class CdcEngine:
 
         with _LakeLease(self.cfg.path):
 
+            row_group_rows = getattr(self.cfg, "base_row_group_rows", BASE_ROW_GROUP_ROWS)
+
             def compact_one(batch: pa.Table) -> pa.Table:
                 done = []
                 for pid in batch["pid"].to_pylist():
                     done.append(
                         _compact_partition(
-                            lake_path, int(pid), force=force, drop_tombstones=drop_tombstones
+                            lake_path,
+                            int(pid),
+                            force=force,
+                            drop_tombstones=drop_tombstones,
+                            row_group_rows=row_group_rows,
                         )
                     )
                 return pa.table({"pid": batch["pid"], "compacted": pa.array(done, pa.bool_())})
@@ -1233,22 +1239,25 @@ class CdcEngine:
         pid = int(
             hash_partition_ids(pa.array([conv_id], pa.string()), self.cfg.num_partitions)[0]
         )
-        state = _read_partition_state(self.cfg.path, pid)
-        if state is None:
+        out, _, _ = _read_keys_pruned(self.cfg.path, pid, [conv_id])
+        if out is None:
             return pa.table(
                 {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
             )
-        out = state.filter(pc.equal(state["conv_id"], conv_id))
         return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
 
     def get_conversations(self, conv_ids) -> rd.Dataset:
-        """Bulk point lookup, partition-pruned: hashes the requested
-        keys to their owning partitions and reads ONLY those — a lake
-        with 10 000 partitions serving a 50-conversation lookup merges
-        at most 50 partitions, and each task receives just the key
-        subset it owns (no full request list broadcast).  Rows come
-        back (conv_id, turn_idx)-sorted within each partition, like
-        :meth:`snapshot`."""
+        """Bulk point lookup, partition- AND row-group-pruned: hashes
+        the requested keys to their owning partitions and reads ONLY
+        those — a lake with 10 000 partitions serving a 50-conversation
+        lookup merges at most 50 partitions, and each task receives
+        just the key subset it owns (no full request list broadcast).
+        Within a partition, compacted bases are key-sorted with bounded
+        row groups, so footer min/max stats narrow the read to the
+        O(keys) groups that can hold the requested conversations
+        (``_read_keys_pruned``) instead of scanning the partition.
+        Rows come back (conv_id, turn_idx)-sorted within each
+        partition, like :meth:`snapshot`."""
         ids = sorted(set(conv_ids))
         lake_path = self.cfg.path
         if not ids:
@@ -1269,13 +1278,8 @@ class CdcEngine:
         def read_keys(batch: pa.Table) -> pa.Table:
             outs = []
             for pid, keys in zip(batch["pid"].to_pylist(), batch["keys"].to_pylist()):
-                state = _read_partition_state(lake_path, int(pid))
-                if state is None:
-                    continue
-                hit = state.filter(
-                    pc.is_in(state["conv_id"], value_set=pa.array(keys, pa.string()))
-                )
-                if hit.num_rows:
+                hit, _, _ = _read_keys_pruned(lake_path, int(pid), list(keys))
+                if hit is not None and hit.num_rows:
                     outs.append(hit)
             if not outs:
                 return pa.table(
@@ -1639,10 +1643,24 @@ def _dict_cols(schema: pa.Schema) -> list[str]:
     return [c for c in ("conv_id", "role", "tool", "op", "model") if c in schema.names]
 
 
-def _atomic_write_parquet(path: str, table: pa.Table) -> None:
+#: rows per row group in compacted base files.  Bases are key-sorted, so
+#: bounded groups give footer min/max stats real selectivity: a point
+#: lookup reads O(keys) groups of a multi-GB partition, not the file.
+#: 64k rows x ~2 KB text ~ 128 MB per group.
+BASE_ROW_GROUP_ROWS = 65536
+
+
+def _atomic_write_parquet(
+    path: str, table: pa.Table, *, row_group_rows: int | None = None
+) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, use_dictionary=_dict_cols(table.schema))
+    pq.write_table(
+        table,
+        tmp,
+        use_dictionary=_dict_cols(table.schema),
+        **({"row_group_size": row_group_rows} if row_group_rows else {}),
+    )
     os.replace(tmp, path)
 
 
@@ -1784,8 +1802,89 @@ def _read_partition_state(
     return merged.drop_columns([c for c in ("op", "epoch") if c in merged.schema.names])
 
 
+def _partition_run_paths(lake_path: str, pid: int) -> list[str]:
+    """Current base + committed delta paths, oldest first (the file list
+    ``_partition_runs`` reads, without reading them)."""
+    paths: list[str] = []
+    base = mf.current_base(lake_path, pid)
+    through = -1
+    if base is not None:
+        markers = {m["generation"]: m for m in mf.read_compact_markers(lake_path, pid)}
+        through = markers.get(base[0], {}).get("through_group", -1)
+        paths.append(base[1])
+    paths.extend(p for ep, p in mf.delta_runs(lake_path, pid) if ep > through)
+    return paths
+
+
+def _read_run_pruned(path: str, keys: list[str]) -> tuple[pa.Table | None, int, int]:
+    """Row-group-pruned run read for point lookups: parquet footer
+    min/max statistics on ``conv_id`` select only the groups a requested
+    key can live in (compacted bases are key-sorted and written with
+    bounded row groups, so a k-key lookup touches O(k) groups of a
+    multi-GB partition instead of scanning it).  Returns
+    ``(rows, groups_read, groups_total)``; rows are already filtered to
+    the requested keys.  Parquet string stats may be truncated, but
+    truncation keeps them valid bounds, so pruning is always safe —
+    a group with no stats is read (correctness over selectivity)."""
+    import bisect
+
+    keys_sorted = sorted(keys)
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    try:
+        ci = f.schema_arrow.get_field_index("conv_id")
+    except KeyError:
+        ci = -1
+    pick: list[int] = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics if ci >= 0 else None
+        if st is None or not st.has_min_max:
+            pick.append(g)
+            continue
+        lo, hi = st.min, st.max
+        j = bisect.bisect_left(keys_sorted, lo)
+        if j < len(keys_sorted) and keys_sorted[j] <= hi:
+            pick.append(g)
+    if not pick:
+        return None, 0, md.num_row_groups
+    t = f.read_row_groups(pick)
+    t = t.filter(pc.is_in(t["conv_id"], value_set=pa.array(keys_sorted, pa.string())))
+    return (t if t.num_rows else None), len(pick), md.num_row_groups
+
+
+def _read_keys_pruned(
+    lake_path: str, pid: int, keys: list[str]
+) -> tuple[pa.Table | None, int, int]:
+    """Merged LWW state restricted to ``keys``, reading only the row
+    groups that can contain them.  Filtering each run by ``conv_id``
+    before the merge preserves LWW exactly: every run's rows for a key
+    either all pass or all fail the filter, and tombstones for the
+    requested keys are retained until the merge drops them."""
+    runs: list[pa.Table] = []
+    read = total = 0
+    for path in _partition_run_paths(lake_path, pid):
+        t, r, n = _read_run_pruned(path, keys)
+        read += r
+        total += n
+        if t is not None:
+            runs.append(t)
+    if not runs:
+        return None, read, total
+    merged = mg.merge_runs(runs, drop_tombstones=True)
+    return (
+        merged.drop_columns([c for c in ("op", "epoch") if c in merged.schema.names]),
+        read,
+        total,
+    )
+
+
 def _compact_partition(
-    lake_path: str, pid: int, *, force: bool, drop_tombstones: bool = False
+    lake_path: str,
+    pid: int,
+    *,
+    force: bool,
+    drop_tombstones: bool = False,
+    row_group_rows: int = BASE_ROW_GROUP_ROWS,
 ) -> bool:
     """Fold base + deltas into a new base generation.  Tombstones are
     RETAINED unless ``drop_tombstones`` (full compaction, WAL complete):
@@ -1808,7 +1907,9 @@ def _compact_partition(
     if base is not None:
         markers = {m["generation"]: m for m in mf.read_compact_markers(lake_path, pid)}
         through = max(through, markers.get(base[0], {}).get("through_group", -1))
-    _atomic_write_parquet(mf.base_path(lake_path, pid, gen), merged)
+    _atomic_write_parquet(
+        mf.base_path(lake_path, pid, gen), merged, row_group_rows=row_group_rows
+    )
     mf.atomic_write_json(
         mf.compact_marker_path(lake_path, pid, gen),
         {"generation": gen, "through_group": through, "rows": merged.num_rows},

@@ -522,6 +522,68 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_row_group_pruned_lookup(tmp_path):
+    """Compacted bases are key-sorted with bounded row groups; a point
+    lookup reads only the groups whose footer [min,max] conv_id range
+    can hold the requested keys — and stays exactly equal to the
+    filtered snapshot."""
+    from nyc_taxi_data_pipeline_ray.engine import (
+        _partition_run_paths,
+        _read_keys_pruned,
+        _read_run_pruned,
+        hash_partition_ids,
+    )
+
+    spec = WalSpec(seed=77, num_conversations=300, num_epochs=2, events_per_epoch=3000)
+    gen = WalGenerator(spec)
+    wal = os.path.join(str(tmp_path), "wal")
+    gen.write(wal)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(
+            os.path.join(str(tmp_path), "lake"),
+            num_partitions=2,
+            base_row_group_rows=64,
+        )
+    )
+    eng.apply(wal)
+    eng.compact(force=True)
+
+    snap = eng.snapshot_table()
+    conv = snap["conv_id"][0].as_py()
+    pid = int(hash_partition_ids(pa.array([conv]), eng.cfg.num_partitions)[0])
+
+    # the base really has multiple bounded row groups ...
+    base = _partition_run_paths(eng.cfg.path, pid)[0]
+    t, read, total = _read_run_pruned(base, [conv])
+    assert total >= 4, f"base has only {total} row groups"
+    # ... and the lookup touched a strict subset of them
+    assert 0 < read < total, (read, total)
+
+    # pruned merged state == filtered snapshot, for single and bulk
+    got = eng.get_conversation(conv)
+    want = snap.filter(pc.equal(snap["conv_id"], conv))
+    want = want.take(pc.sort_indices(want, sort_keys=[("turn_idx", "ascending")]))
+    cols = sorted(want.schema.names)
+    assert got.select(cols).equals(want.select(cols))
+
+    ids = sorted(set(snap["conv_id"].to_pylist()))[:9]
+    merged, _, _ = _read_keys_pruned(
+        eng.cfg.path, pid, [c for c in ids] + ["missing-key"]
+    )
+    in_pid = [
+        c
+        for c in ids
+        if int(hash_partition_ids(pa.array([c]), eng.cfg.num_partitions)[0]) == pid
+    ]
+    exp = snap.filter(pc.is_in(snap["conv_id"], value_set=pa.array(in_pid)))
+    merged = merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    assert merged.select(cols).equals(exp.select(cols))
+
+
 def test_time_travel_snapshot_matches_prefix_oracle(tmp_path):
     gen, wal, eng = _build(str(tmp_path), SPEC)
     for _ in range(SPEC.num_epochs):
