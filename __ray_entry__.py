@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_retention": R.q_cdc_retention,
         # directed containment join (quote/subset detection)
         "containment": T.q_containment,
+        "lm_surprisal": T.q_lm_surprisal,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1973,6 +1974,50 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type)
             where rn = 1 and r.ts >= timestamp '2024-01-29'
+        """,
+        # integer-quantized bigram-LM surprisal: floor-log2 of exact
+        # counts via length(bin(x))-1, so the whole score is integer
+        # arithmetic and hash-matches cross-engine (hll precedent)
+        "lm_surprisal": r"""
+            with t as (
+              select doc_id, list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x != '') as toks
+              from documents),
+            u as (select doc_id, unnest(toks) as w,
+                         generate_subscripts(toks, 1) as pos from t),
+            cnt as (select w, cast(count(*) as bigint) as c from u group by 1),
+            v as (select w, c from cnt order by c desc, w limit 256),
+            h as (select cast(count(*) as bigint) as hn from v),
+            pairs as (
+              select a.doc_id, a.w as w1, b.w as w2
+              from u a join u b on a.doc_id = b.doc_id and b.pos = a.pos + 1),
+            big as (
+              select p.w1, p.w2, cast(count(*) as bigint) as cab
+              from pairs p
+              join v v1 on v1.w = p.w1
+              join v v2 on v2.w = p.w2
+              group by 1, 2),
+            scored as (
+              select p.doc_id,
+                     (length(bin(coalesce(v1.c, 0) + h.hn)) - 1)
+                   - (length(bin(coalesce(big.cab, 0) + 1)) - 1) as bits
+              from pairs p
+              cross join h
+              left join v v1 on v1.w = p.w1
+              left join big on big.w1 = p.w1 and big.w2 = p.w2),
+            agg as (
+              select doc_id, cast(count(*) as bigint) as n_bigrams,
+                     cast(sum(bits) as bigint) as surprisal_bits
+              from scored group by 1)
+            select d.doc_id,
+                   coalesce(a.n_bigrams, 0) as n_bigrams,
+                   coalesce(a.surprisal_bits, 0) as surprisal_bits,
+                   case when a.n_bigrams > 0
+                        then cast(a.surprisal_bits as double)
+                             / cast(a.n_bigrams as double) end as mean_bits
+            from documents d left join agg a using (doc_id)
+            order by d.doc_id
         """,
         "containment": """
             with g as (

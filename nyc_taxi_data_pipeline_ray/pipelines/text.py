@@ -2978,3 +2978,146 @@ def q_containment(
         gram_ds, cand, threshold, metric="containment", out_col="containment"
     )
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def q_lm_surprisal(sf_dir: str, *, vocab: int = 256) -> rd.Dataset:
+    """Bigram language-model quality filter (the CCNet/KenLM-perplexity
+    pattern: score each document by how surprising its word sequence is
+    under a corpus-level LM; boilerplate scores low, gibberish high).
+    The model is integer-quantized so it is EXACT cross-engine: the
+    per-bigram surprisal is ``floor(log2(cnt(a) + H)) -
+    floor(log2(cnt(ab) + 1))`` bits — floor-log2 of exact integer
+    counts (no libm, no float accumulation; the ``hll_distinct``
+    precedent), summed per doc as int64.  ``mean_bits`` is one IEEE
+    division of the two exact integers (the ``tfidf_topk`` precedent).
+
+    The LM is bounded for 100 TB: only the top-``vocab`` head tokens
+    (by corpus token count, ties token-asc) carry counts, so the
+    broadcast model is <= H unigrams + H^2 bigrams regardless of corpus
+    size; out-of-head tokens score as unseen (count 0) — exactly the
+    pruned-LM trade CCNet makes with its 5-gram model cutoffs.
+
+    Three streaming passes, all vectorized batch combiners:
+      1. token-count partials (np.unique per batch, Zipf-bounded driver
+         fold — hash-bucket final reduce is the 10^12-token path, as
+         ``term_doc_freq`` documents) -> head vocab;
+      2. head-head consecutive-pair partials (searchsorted id mapping,
+         encoded ``ida * H + idb`` bincount) -> bigram counts,
+         broadcast via ``ray.put`` (<= H^2 entries);
+      3. per-doc scoring: bits per bigram via exact ``frexp`` exponents
+         (counts < 2^53 so the float64 conversion is lossless),
+         ``np.bincount`` per-doc sums — a streaming Dataset out, one
+         row per document including token-poor ones (n_bigrams = 0).
+    """
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_token_arrays(t: pa.Table):
+        """(flat tokens, doc index per token) with '' dropped, order
+        preserved — consecutive same-doc tokens form the bigrams."""
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        keep = flat != ""
+        return flat[keep], doc_of[keep]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _ = doc_token_arrays(t)
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    cnts = parts.groupby("term", as_index=False)["n"].sum()
+    head = cnts.sort_values(["n", "term"], ascending=[False, True]).head(vocab)
+    vterms = head["term"].to_numpy(object)
+    order = np.argsort(vterms)
+    vterms_sorted = vterms[order]
+    vcnt = head["n"].to_numpy(np.int64)[order]
+    H = len(vterms_sorted)
+
+    def head_ids(flat: np.ndarray) -> np.ndarray:
+        """Token -> head-vocab id (lexicographic), -1 when out of head."""
+        if H == 0 or len(flat) == 0:
+            return np.full(len(flat), -1, np.int64)
+        pos = np.searchsorted(vterms_sorted, flat)
+        pos_clip = np.minimum(pos, H - 1)
+        return np.where(vterms_sorted[pos_clip] == flat, pos_clip, -1)
+
+    def doc_bigrams(t: pa.Table):
+        """(doc index, id of first token, id of second token) for every
+        consecutive same-doc token pair; ids are -1 out of head."""
+        flat, doc_of = doc_token_arrays(t)
+        if len(flat) < 2:
+            z = np.array([], np.int64)
+            return z, z, z, t.num_rows
+        same = doc_of[1:] == doc_of[:-1]
+        ids = head_ids(flat)
+        return doc_of[:-1][same], ids[:-1][same], ids[1:][same], t.num_rows
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        _, ida, idb, _ = doc_bigrams(t)
+        ok = (ida >= 0) & (idb >= 0)
+        if not ok.any():
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        keys, counts = np.unique(ida[ok] * H + idb[ok], return_counts=True)
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    p2 = ds.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    agg = p2.groupby("key", as_index=False)["n"].sum()
+    pair_keys = agg["key"].to_numpy(np.int64)
+    pair_cnt = agg["n"].to_numpy(np.int64)
+    ksort = np.argsort(pair_keys)
+    model_ref = ray.put(
+        {
+            "pair_keys": pair_keys[ksort],
+            "pair_cnt": pair_cnt[ksort],
+            "vcnt": vcnt,
+            "H": H,
+        }
+    )
+
+    def flog2(x: np.ndarray) -> np.ndarray:
+        # exact for int counts < 2^53: frexp exponent of a lossless
+        # float64 is floor(log2(x)) + 1
+        return np.frexp(x.astype(np.float64))[1].astype(np.int64) - 1
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        doc_idx, ida, idb, n_docs = doc_bigrams(t)
+        n_bi = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        bits_sum = np.zeros(n_docs, np.int64)
+        if len(doc_idx):
+            cnt_a = np.where(ida >= 0, m["vcnt"][np.maximum(ida, 0)], 0)
+            key = ida * m["H"] + idb
+            pos = np.searchsorted(m["pair_keys"], key)
+            pos_clip = np.minimum(pos, max(len(m["pair_keys"]) - 1, 0))
+            hit = (
+                (len(m["pair_keys"]) > 0)
+                & (ida >= 0)
+                & (idb >= 0)
+                & (m["pair_keys"][pos_clip] == key)
+            )
+            cab = np.where(hit, m["pair_cnt"][pos_clip], 0)
+            bits = flog2(cnt_a + m["H"]) - flog2(cab + 1)
+            np.add.at(bits_sum, doc_idx, bits)
+        mean = np.where(n_bi > 0, bits_sum / np.maximum(n_bi, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "surprisal_bits": pa.array(bits_sum, pa.int64()),
+                "mean_bits": pa.array(mean, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
