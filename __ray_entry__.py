@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # directed containment join (quote/subset detection)
         "containment": T.q_containment,
         "lm_surprisal": T.q_lm_surprisal,
+        "weighted_sample": T.q_weighted_sample,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1974,6 +1975,19 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type)
             where rn = 1 and r.ts >= timestamp '2024-01-29'
+        """,
+        # bottom-k priority sample: pure integer priorities, exact
+        # cross-engine (md5_number_lower == little-endian digest[8:16])
+        "weighted_sample": """
+            with p as (
+              select doc_id,
+                     cast(greatest(n_chars, 1) as bigint) as weight,
+                     (cast(md5_number_lower(cast(doc_id as varchar))
+                           % 1099511627776 as bigint) * 1048576)
+                       // cast(greatest(n_chars, 1) as bigint) as prio
+              from documents)
+            select doc_id, weight, prio
+            from p order by prio, doc_id limit 100
         """,
         # integer-quantized bigram-LM surprisal: floor-log2 of exact
         # counts via length(bin(x))-1, so the whole score is integer

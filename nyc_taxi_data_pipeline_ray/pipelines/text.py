@@ -3121,3 +3121,54 @@ def q_lm_surprisal(sf_dir: str, *, vocab: int = 256) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_weighted_sample(sf_dir: str, *, k: int = 100) -> pd.DataFrame:
+    """Deterministic weighted sample without replacement — the bottom-k
+    priority sketch (Cohen-Kaplan): each doc gets priority ``hash/w``
+    and the global k smallest priorities are the sample, so inclusion
+    probability scales with weight (here ``n_chars``, the
+    tokens-proportional sampling used for training-mix draws) yet the
+    result is replayable — no RNG state, any re-run or resumed job
+    draws the identical sample, and two lakes agree without
+    coordination (the md5-keyed split precedent, ``stratified_sample``).
+
+    Exactness: priority is pure integer math — ``(h mod 2^40) * 2^20
+    // w`` fits int64 and divides exactly the same in numpy and SQL,
+    avoiding the float-compare ties a ``u^(1/w)`` implementation risks
+    cross-engine.  Distributed shape: per-block partial bottom-k
+    (argpartition, no sort), driver folds block-count x k tiny
+    partials; shuffle-free like ``top_spenders``."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode("utf-8")).digest()[8:16], "little")
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False), 1).astype(np.int64)
+        prio = ((h % np.uint64(1 << 40)).astype(np.int64) << 20) // w
+        if len(prio) > k:
+            keep = np.argpartition(prio, k)[:k]
+        else:
+            keep = np.arange(len(prio))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "weight": pa.array(w[keep], pa.int64()),
+                "prio": pa.array(prio[keep], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["prio", "doc_id"], ignore_index=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
