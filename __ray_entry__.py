@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_text": R.q_conversation_text,
         "role_stats_ivm": R.q_role_stats_ivm,
         "derived_enriched": R.q_derived_enriched,
+        "index_lookup": R.q_index_lookup,
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,
@@ -1451,6 +1452,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(event_type)) as bigint) as total_chars
             from r where rn = 1
             group by 1 order by 1
+        """,
+        # secondary-index lookup == the SQL LWW winners filtered to the
+        # same probe values (turn_idx = dense rank of event_type, as in
+        # the WAL witness)
+        "index_lookup": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            probe as (
+              select event_type
+              from (select distinct event_type from events order by 1 limit 2)),
+            w as (
+              select r.event_type as value,
+                     'u' || cast(user_id as varchar) as conv_id,
+                     cast(t.turn_idx as int) as turn_idx
+              from r join t using (event_type)
+              where rn = 1 and r.event_type in (select event_type from probe))
+            select value, conv_id, turn_idx
+            from w order by value, conv_id, turn_idx
         """,
         # incremental derived table == the same enrichment over the LWW
         # winners computed from scratch in SQL

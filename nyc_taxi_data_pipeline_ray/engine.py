@@ -1816,9 +1816,11 @@ def _partition_run_paths(lake_path: str, pid: int) -> list[str]:
     return paths
 
 
-def _read_run_pruned(path: str, keys: list[str]) -> tuple[pa.Table | None, int, int]:
+def _read_run_pruned(
+    path: str, keys: list[str], column: str = "conv_id"
+) -> tuple[pa.Table | None, int, int]:
     """Row-group-pruned run read for point lookups: parquet footer
-    min/max statistics on ``conv_id`` select only the groups a requested
+    min/max statistics on ``column`` select only the groups a requested
     key can live in (compacted bases are key-sorted and written with
     bounded row groups, so a k-key lookup touches O(k) groups of a
     multi-GB partition instead of scanning it).  Returns
@@ -1832,7 +1834,7 @@ def _read_run_pruned(path: str, keys: list[str]) -> tuple[pa.Table | None, int, 
     f = pq.ParquetFile(path)
     md = f.metadata
     try:
-        ci = f.schema_arrow.get_field_index("conv_id")
+        ci = f.schema_arrow.get_field_index(column)
     except KeyError:
         ci = -1
     pick: list[int] = []
@@ -1848,7 +1850,7 @@ def _read_run_pruned(path: str, keys: list[str]) -> tuple[pa.Table | None, int, 
     if not pick:
         return None, 0, md.num_row_groups
     t = f.read_row_groups(pick)
-    t = t.filter(pc.is_in(t["conv_id"], value_set=pa.array(keys_sorted, pa.string())))
+    t = t.filter(pc.is_in(t[column], value_set=pa.array(keys_sorted, pa.string())))
     return (t if t.num_rows else None), len(pick), md.num_row_groups
 
 

@@ -2487,6 +2487,50 @@ def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     return da.table().to_pandas()
 
 
+def q_index_lookup(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained secondary index, driver-visible: replay
+    the events-as-transcripts WAL epoch by epoch, keep a value index
+    over the ``text`` column in sync (state/secondary_index.py —
+    partition-granular recompute-on-touch, value-sorted files with
+    bounded row groups), then serve "every turn whose text equals one
+    of the two smallest distinct values" through the index's pruned
+    lookup.  The oracle filters the SQL LWW winners to the same probe
+    set, certifying the index's posting lists against a from-scratch
+    scan.  The reference has no secondary access path (dashboard
+    drilldowns re-filter whole tables, ``streaming/dashboard/app.py``);
+    this is the lake-native answer at 10^10 rows: O(hits) row groups
+    read, not a partition scan."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from nyc_taxi_data_pipeline_ray.state.secondary_index import SecondaryIndex
+
+    root = "/tmp/nyc_ray_q_sidx"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    idx = SecondaryIndex(eng, os.path.join(root, "textidx"), "text")
+    eng.apply(wal_dir, max_epochs=1)
+    idx.refresh()
+    eng.apply(wal_dir)
+    idx.refresh()
+    assert idx.refresh()["refreshed"] == 0  # noop witness
+
+    ev = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
+    probe = sorted(set(ev["event_type"].to_pylist()))[:2]
+    t = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in idx.lookup(probe).iter_batches(batch_format="pyarrow")
+        ],
+        promote_options="default",
+    )
+    return (
+        t.to_pandas()
+        .sort_values(["value", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def q_derived_enriched(sf_dir: str) -> pd.DataFrame:
     """Row-level incrementally-maintained DERIVED TABLE, driver-visible
     — the dbt incremental-model analog (``fct_trips.sql`` merges only

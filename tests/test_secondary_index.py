@@ -1,0 +1,146 @@
+"""SecondaryIndex: incrementally-maintained value index over a non-key
+lake column (``tool``).  Pins (a) lookup == snapshot filter under a
+random op mix, (b) partition-reuse incrementality, (c) row-group
+pruning on the value column, (d) updates moving a key between values."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from nyc_taxi_data_pipeline_ray import CdcEngine, LakeConfig
+from nyc_taxi_data_pipeline_ray.sources.generator import WalGenerator, WalSpec
+from nyc_taxi_data_pipeline_ray.state.secondary_index import SecondaryIndex
+
+SPEC = WalSpec(
+    seed=31,
+    num_conversations=150,
+    num_epochs=3,
+    events_per_epoch=1500,
+    p_update=0.3,
+    p_delete=0.08,
+    ooo_fraction=0.1,
+)
+
+
+def _build(tmp, **cfg):
+    gen = WalGenerator(SPEC)
+    wal = os.path.join(tmp, "wal")
+    gen.write(wal)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(
+            os.path.join(tmp, "lake"), num_partitions=4, **cfg
+        )
+    )
+    idx = SecondaryIndex(eng, os.path.join(tmp, "toolidx"), "tool")
+    return gen, wal, eng, idx
+
+
+def _collect(ds) -> pa.Table:
+    batches = [
+        b if isinstance(b, pa.Table) else pa.table(b)
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables([b for b in batches if b.num_rows] or batches[:1])
+    return t.sort_by(
+        [("value", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).combine_chunks()
+
+
+def _expected(eng, values) -> pa.Table:
+    snap = eng.snapshot_table()
+    hit = snap.filter(pc.is_in(snap["tool"], value_set=pa.array(sorted(values))))
+    t = pa.table(
+        {
+            "value": hit["tool"],
+            "conv_id": hit["conv_id"],
+            "turn_idx": hit["turn_idx"],
+        }
+    )
+    return t.sort_by(
+        [("value", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).combine_chunks()
+
+
+def test_index_lookup_equals_snapshot_filter(tmp_path):
+    gen, wal, eng, idx = _build(str(tmp_path))
+    eng.apply(wal)
+    idx.refresh()
+    snap = eng.snapshot_table()
+    tools = sorted({t for t in snap["tool"].to_pylist() if t})
+    assert len(tools) >= 2
+    probe = tools[:2]
+    got = _collect(idx.lookup(probe))
+    assert got.equals(_expected(eng, probe))
+    # unknown value -> empty
+    assert idx.lookup(["no-such-tool"]).count() == 0
+
+
+def test_index_incremental_reuse_and_noop(tmp_path):
+    gen, wal, eng, idx = _build(str(tmp_path))
+    eng.apply(wal, max_epochs=1)
+    r1 = idx.refresh()
+    assert r1["refreshed"] == 4
+    eng.apply(wal)
+    idx.refresh()
+    r3 = idx.refresh()
+    assert r3["refreshed"] == 0 and r3["reused"] == 4
+    snap = eng.snapshot_table()
+    tools = sorted({t for t in snap["tool"].to_pylist() if t})
+    got = _collect(idx.lookup(tools))
+    assert got.equals(_expected(eng, tools))
+
+
+def test_index_row_group_pruning(tmp_path):
+    gen, wal, eng, idx = _build(str(tmp_path), base_row_group_rows=32)
+    eng.apply(wal)
+    idx.refresh()
+    snap = eng.snapshot_table()
+    tools = sorted({t for t in snap["tool"].to_pylist() if t})
+    st = idx.lookup_stats([tools[0]])
+    assert st["groups_total"] >= 4, st
+    assert 0 < st["groups_read"] < st["groups_total"], st
+    assert st["hits"] == _expected(eng, [tools[0]]).num_rows
+
+
+def test_index_tracks_value_moves(tmp_path):
+    """An update that changes a turn's tool re-homes the key to the new
+    value's posting list and removes it from the old one."""
+    gen, wal, eng, idx = _build(str(tmp_path))
+    eng.apply(wal)
+    idx.refresh()
+    snap = eng.snapshot_table()
+    with_tool = snap.filter(pc.is_valid(snap["tool"]))
+    conv = with_tool["conv_id"][0].as_py()
+    ti = with_tool["turn_idx"][0].as_py()
+    old_tool = with_tool["tool"][0].as_py()
+    max_lsn = pc.max(snap["lsn"]).as_py()
+    max_ts = pc.max(snap["ts"]).as_py()
+    ep = pa.table(
+        {
+            "lsn": pa.array([max_lsn + 1], pa.int64()),
+            "op": pa.array(["update"]),
+            "epoch": pa.array([SPEC.num_epochs], pa.int32()),
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([ti], pa.int32()),
+            "role": pa.array(["tool"]),
+            "text": pa.array(["moved"]),
+            "tool": pa.array(["brand-new-tool"], pa.string()),
+            "ts": pa.array([max_ts], pa.timestamp("us")),
+        }
+    )
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ep, os.path.join(d, "part-0000.parquet"))
+    eng.apply(wal)
+    r = idx.refresh()
+    assert 1 <= r["refreshed"] <= 4
+    new_hits = _collect(idx.lookup(["brand-new-tool"]))
+    assert new_hits.num_rows == 1
+    assert new_hits["conv_id"][0].as_py() == conv
+    old_hits = _collect(idx.lookup([old_tool]))
+    keys = set(
+        zip(old_hits["conv_id"].to_pylist(), old_hits["turn_idx"].to_pylist())
+    )
+    assert (conv, ti) not in keys
