@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_stats_ivm": R.q_role_stats_ivm,
         "derived_enriched": R.q_derived_enriched,
         "index_lookup": R.q_index_lookup,
+        "order_timeline": R.q_order_timeline,
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,
@@ -1452,6 +1453,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(event_type)) as bigint) as total_chars
             from r where rn = 1
             group by 1 order by 1
+        """,
+        # LEAD / FIRST_VALUE / LAST_VALUE / DENSE_RANK per customer
+        "order_timeline": """
+            select o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   date_diff('day', o_orderdate,
+                             lead(o_orderdate) over w) as gap_days,
+                   first_value(o_totalprice) over w as first_price,
+                   last_value(o_totalprice) over (
+                       partition by o_custkey
+                       order by o_orderdate, o_orderkey
+                       rows between unbounded preceding
+                                and unbounded following) as last_price,
+                   cast(dense_rank() over (
+                       partition by o_custkey
+                       order by date_trunc('month', o_orderdate)) as bigint)
+                     as month_rank
+            from orders
+            window w as (partition by o_custkey
+                         order by o_orderdate, o_orderkey)
+            order by o_custkey, o_orderdate, o_orderkey
         """,
         # secondary-index lookup == the SQL LWW winners filtered to the
         # same probe values (turn_idx = dense rank of event_type, as in

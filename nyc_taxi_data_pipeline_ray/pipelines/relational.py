@@ -1265,6 +1265,67 @@ def q_customer_running_total(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_order_timeline(sf_dir: str) -> rd.Dataset:
+    """The remaining per-entity window family in one shape — LEAD
+    (next order date + day gap), FIRST_VALUE / LAST_VALUE over the
+    whole-partition frame (first and latest order price), and
+    DENSE_RANK (distinct-order-month rank within customer) — the
+    per-customer timeline features a churn/LTV model consumes.
+
+    Same physical plan as ``q_customer_running_total``: ONE bounded
+    custkey-hash bucket shuffle co-locates each customer's history,
+    then the bucket task computes every window in vectorized pandas
+    group ops (shift / transform first-last / factorized month rank) —
+    no per-key loop, no global sort, streaming Dataset out."""
+    NB = 32
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("bucket", b)
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], ignore_index=True)
+        g = df.groupby("o_custkey", sort=False)
+        nxt = g["o_orderdate"].shift(-1)
+        # float64 with NaN for the last order (DuckDB's nullable BIGINT
+        # lands as float64 in pandas too)
+        df["gap_days"] = (nxt - df["o_orderdate"]).dt.days.astype(np.float64)
+        df["first_price"] = g["o_totalprice"].transform("first")
+        df["last_price"] = g["o_totalprice"].transform("last")
+        # dense_rank over order month within customer: months are
+        # already in sorted order, so rank = running count of distinct
+        # month starts per customer
+        month = df["o_orderdate"].values.astype("datetime64[M]")
+        new_month = np.concatenate([[True], month[1:] != month[:-1]]) | (
+            df["o_custkey"].values
+            != np.concatenate([[-1], df["o_custkey"].values[:-1]])
+        )
+        df["month_rank"] = (
+            pd.Series(new_month.astype(np.int64)).groupby(df["o_custkey"], sort=False).cumsum()
+        )
+        return df[
+            [
+                "o_custkey",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                "gap_days",
+                "first_price",
+                "last_price",
+                "month_rank",
+            ]
+        ]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 def q_repeat_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.DataFrame:
     """Set intersection (INTERSECT): customers who ordered in BOTH
