@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derived_enriched": R.q_derived_enriched,
         "index_lookup": R.q_index_lookup,
         "order_timeline": R.q_order_timeline,
+        "cms_heavy_hitters": R.q_cms_heavy_hitters,
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,
@@ -1453,6 +1454,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(event_type)) as bigint) as total_chars
             from r where rn = 1
             group by 1 order by 1
+        """,
+        # count-min sketch mirrored in SQL: same md5 cells, same min-
+        # over-depth estimator (hll_distinct precedent)
+        "cms_heavy_hitters": """
+            with exact as (
+              select user_id, cast(count(*) as bigint) as n
+              from events group by 1),
+            hashes as (
+              select e.user_id, i.i,
+                     cast(md5_number_lower(
+                         cast(e.user_id as varchar) || ':' || cast(i.i as varchar)
+                     ) % 512 as bigint) as j
+              from exact e
+              cross join (select unnest(range(4)) as i) i),
+            cells as (
+              select h.i, h.j, cast(sum(exact.n) as bigint) as cell
+              from hashes h join exact using (user_id)
+              group by 1, 2),
+            est as (
+              select h.user_id, min(c.cell) as cms_estimate
+              from hashes h join cells c on c.i = h.i and c.j = h.j
+              group by 1)
+            select e.user_id, x.n as exact_count, e.cms_estimate
+            from est e join exact x using (user_id)
+            order by e.cms_estimate desc, e.user_id limit 20
         """,
         # LEAD / FIRST_VALUE / LAST_VALUE / DENSE_RANK per customer
         "order_timeline": """

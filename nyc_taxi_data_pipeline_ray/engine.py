@@ -1816,6 +1816,59 @@ def _partition_run_paths(lake_path: str, pid: int) -> list[str]:
     return paths
 
 
+#: Bloom sidecar parameters: ~10 bits/key, 6 double-hashed probes ->
+#: ~1% false-positive rate; the filter only SKIPS reads, never rows, so
+#: a false positive costs one row-group read and a false negative is
+#: impossible (standard per-SSTable bloom, cf. the LSM literature).
+_BLOOM_K = 6
+_BLOOM_H1 = "cdc-bloom-h1-key"
+_BLOOM_H2 = "cdc-bloom-h2-key"
+
+
+def _bloom_path(base_path: str) -> str:
+    return base_path + ".bloom.npy"
+
+
+def _bloom_positions(keys: np.ndarray, m: int) -> np.ndarray:
+    """(len(keys), K) bit positions via double hashing of two
+    independent deterministic 64-bit key hashes."""
+    h1 = pd.util.hash_array(keys, hash_key=_BLOOM_H1)
+    h2 = pd.util.hash_array(keys, hash_key=_BLOOM_H2) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _write_bloom(base_path: str, conv_ids) -> None:
+    """Key-membership bloom sidecar for a compacted base, written
+    atomically next to it.  Built once per compaction from the unique
+    conv_ids (vectorized hashing, no per-key Python)."""
+    arr = np.unique(np.asarray(conv_ids.to_numpy(zero_copy_only=False), dtype=object))
+    m = 1 << int(np.ceil(np.log2(max(10 * max(len(arr), 1), 64))))
+    bits = np.zeros(m >> 3, np.uint8)
+    if len(arr):
+        pos = _bloom_positions(arr, m).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    tmp = _bloom_path(base_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, bits, allow_pickle=False)
+    os.replace(tmp, _bloom_path(base_path))
+
+
+def _bloom_filter_keys(base_path: str, keys: list[str]) -> list[str] | None:
+    """Subset of ``keys`` the base MIGHT contain, or None when no
+    sidecar exists (older lakes: read everything)."""
+    path = _bloom_path(base_path)
+    try:
+        bits = np.load(path, allow_pickle=False)
+    except (OSError, ValueError):
+        return None
+    m = int(bits.shape[0]) << 3
+    arr = np.asarray(keys, dtype=object)
+    pos = _bloom_positions(arr, m)
+    hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return [k for k, ok in zip(keys, hit.all(axis=1)) if ok]
+
+
 def _read_run_pruned(
     path: str, keys: list[str], column: str = "conv_id"
 ) -> tuple[pa.Table | None, int, int]:
@@ -1865,7 +1918,13 @@ def _read_keys_pruned(
     runs: list[pa.Table] = []
     read = total = 0
     for path in _partition_run_paths(lake_path, pid):
-        t, r, n = _read_run_pruned(path, keys)
+        run_keys = keys
+        surviving = _bloom_filter_keys(path, keys)
+        if surviving is not None:
+            if not surviving:  # bloom proves no requested key is here
+                continue
+            run_keys = surviving
+        t, r, n = _read_run_pruned(path, run_keys)
         read += r
         total += n
         if t is not None:
@@ -1912,6 +1971,7 @@ def _compact_partition(
     _atomic_write_parquet(
         mf.base_path(lake_path, pid, gen), merged, row_group_rows=row_group_rows
     )
+    _write_bloom(mf.base_path(lake_path, pid, gen), merged["conv_id"])
     mf.atomic_write_json(
         mf.compact_marker_path(lake_path, pid, gen),
         {"generation": gen, "through_group": through, "rows": merged.num_rows},
@@ -1924,8 +1984,9 @@ def _compact_partition(
             except OSError:
                 pass
     if base is not None:
-        try:
-            os.remove(base[1])
-        except OSError:
-            pass
+        for victim in (base[1], _bloom_path(base[1])):
+            try:
+                os.remove(victim)
+            except OSError:
+                pass
     return True

@@ -3846,3 +3846,85 @@ def q_cdc_replicate(sf_dir: str) -> pd.DataFrame:
     cs_a, cs_b = eng_a.checksum(), eng_b.checksum()
     assert cs_a == cs_b, (cs_a, cs_b)
     return eng_b.snapshot_table().to_pandas()
+
+
+def q_cms_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 512, top: int = 20) -> pd.DataFrame:
+    """Count-min sketch heavy hitters: per-user event counts estimated
+    from a ``depth x width`` mergeable counter matrix — THE
+    bounded-memory frequency sketch for streams (Cormode-Muthukrishnan;
+    the Redis per-zone counter analog at unbounded key cardinality,
+    ``fraud_detector.py:54-118``, where exact per-key state no longer
+    fits).  Reported next to the exact count so over-estimation bias is
+    visible in the output.
+
+    The sketch is a pure monoid: each block folds its per-user counts
+    into a local (depth, width) int64 matrix (vectorized ``np.add.at``
+    over md5-derived cells), the driver sums the tiny matrices —
+    constant memory regardless of user cardinality, one streaming
+    pass.  Estimates are ``min`` over the key's depth cells.  The
+    oracle builds the IDENTICAL sketch in SQL (``md5_number_lower`` of
+    ``user:row`` mod width — the ``hll_distinct`` precedent: mirror
+    the sketch, don't approximate the oracle), so the driver hash
+    certifies the estimator itself, not just the exact counts.  The
+    exact side is a user-count combiner (Zipf-bounded partials, as
+    ``term_doc_freq``)."""
+    import hashlib
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def _cells(users: np.ndarray) -> np.ndarray:
+        """(len(users), depth) md5-derived cell columns, matching
+        DuckDB md5_number_lower(user || ':' || i) % width."""
+        out = np.empty((len(users), depth), np.int64)
+        for r, u in enumerate(users):
+            for i in range(depth):
+                h = hashlib.md5(f"{u}:{i}".encode("utf-8")).digest()
+                out[r, i] = int.from_bytes(h[8:16], "little") % width
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        users, counts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        cms = np.zeros((depth, width), np.int64)
+        cells = _cells(users)
+        for i in range(depth):
+            np.add.at(cms[i], cells[:, i], counts)
+        flat = cms.ravel()
+        nz = np.flatnonzero(flat)
+        cell_rows = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(nz), np.int8)),
+                "key": pa.array(nz, pa.int64()),
+                "n": pa.array(flat[nz], pa.int64()),
+            }
+        )
+        user_rows = pa.table(
+            {
+                "kind": pa.array(np.ones(len(users), np.int8)),
+                "key": pa.array(users.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+        return pa.concat_tables([cell_rows, user_rows])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["kind", "key"], as_index=False)["n"].sum()
+    cms = np.zeros(depth * width, np.int64)
+    c = agg[agg["kind"] == 0]
+    cms[c["key"].to_numpy()] = c["n"].to_numpy()
+    cms = cms.reshape(depth, width)
+    u = agg[agg["kind"] == 1]
+    users = u["key"].to_numpy(np.int64)
+    exact = u["n"].to_numpy(np.int64)
+    cells = _cells(users)
+    est = np.min(
+        np.stack([cms[i][cells[:, i]] for i in range(depth)]), axis=0
+    )
+    out = pd.DataFrame(
+        {"user_id": users, "exact_count": exact, "cms_estimate": est}
+    )
+    out = out.sort_values(
+        ["cms_estimate", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(top)
+    return out.reset_index(drop=True)

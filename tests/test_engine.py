@@ -522,6 +522,53 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_bloom_sidecar_skips_absent_keys(tmp_path):
+    """Compaction writes a per-base key bloom; a lookup for a key the
+    partition never held skips the base read entirely (no false
+    negatives: present keys always pass)."""
+    from nyc_taxi_data_pipeline_ray.engine import (
+        _bloom_filter_keys,
+        _bloom_path,
+        _partition_run_paths,
+        hash_partition_ids,
+    )
+
+    spec = WalSpec(seed=91, num_conversations=80, num_epochs=2, events_per_epoch=900)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    eng.compact(force=True)
+
+    snap = eng.snapshot_table()
+    present = sorted(set(snap["conv_id"].to_pylist()))
+    # a key lexicographically inside the base's [min, max] range that
+    # was never written: min/max pruning can't reject it, bloom must
+    ghost = present[0] + "-ghost"
+    assert present[0] < ghost < present[-1]
+
+    for pid in eng._live_pids():
+        paths = _partition_run_paths(eng.cfg.path, pid)
+        base = paths[0]
+        assert os.path.exists(_bloom_path(base)), "compaction must write the sidecar"
+        assert _bloom_filter_keys(base, [ghost]) == []
+        in_pid = [
+            c
+            for c in present
+            if int(hash_partition_ids(pa.array([c]), eng.cfg.num_partitions)[0]) == pid
+        ]
+        if in_pid:
+            kept = _bloom_filter_keys(base, [in_pid[0], ghost])
+            assert in_pid[0] in kept and ghost not in kept
+
+    # end-to-end: ghost lookup is empty, real lookups unaffected
+    assert eng.get_conversation(ghost).num_rows == 0
+    conv = present[0]
+    got = eng.get_conversation(conv)
+    want = snap.filter(pc.equal(snap["conv_id"], conv))
+    want = want.take(pc.sort_indices(want, sort_keys=[("turn_idx", "ascending")]))
+    cols = sorted(want.schema.names)
+    assert got.select(cols).equals(want.select(cols))
+
+
 def test_row_group_pruned_lookup(tmp_path):
     """Compacted bases are key-sorted with bounded row groups; a point
     lookup reads only the groups whose footer [min,max] conv_id range
