@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True, help="derived-table directory")
 
     sp = sub.add_parser(
+        "reshard",
+        help="rewrite the lake at a new partition count (scale-out/in)",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--target", required=True, help="new lake directory")
+    sp.add_argument("--partitions", type=int, required=True)
+
+    sp = sub.add_parser(
         "purge",
         help="retention: tombstone keys older than a cutoff through the CDC path",
     )
@@ -326,6 +334,17 @@ def main(argv: list[str] | None = None) -> int:
                 through_epoch=args.through_epoch,
             )
             print(json.dumps({"out_wal": args.out_wal, "epoch": ep}))
+        elif args.cmd == "reshard":
+            eng2 = eng.reshard(args.target, args.partitions)
+            print(
+                json.dumps(
+                    {
+                        "target": args.target,
+                        "partitions": args.partitions,
+                        "checksum_match": eng2.checksum() == eng.checksum(),
+                    }
+                )
+            )
         elif args.cmd == "checksum":
             print(json.dumps(eng.checksum(as_of_epoch=args.as_of_epoch)))
         elif args.cmd == "purge":

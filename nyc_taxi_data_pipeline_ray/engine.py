@@ -1228,6 +1228,168 @@ class CdcEngine:
             x ^= np.int64(v).view(np.uint64)
         return {"rows": int(parts["n"].sum()), "checksum": int(np.int64(x.view(np.int64)))}
 
+    def reshard(self, target_path: str, num_partitions: int) -> "CdcEngine":
+        """Scale-out (or -in) repartitioning: rewrite the lake at a new
+        partition count — the operation a 10^10-event lake needs when
+        the partition count chosen at creation stops fitting the
+        cluster (hot partitions outgrow worker heaps, or 4096
+        partitions starve a 16-node cluster of parallelism).  The
+        reference has no analog (Snowflake hides physical layout); for
+        an explicit-layout lake this is as fundamental as compaction.
+
+        Two distributed stages, both embarrassingly parallel:
+
+        1. one task per SOURCE partition merges its runs (tombstones
+           RETAINED — they must keep masking late out-of-order events
+           after the move, exactly as in compaction) and splits the
+           rows by ``hash(conv_id) % new_N`` into per-target fragment
+           files (tmp-named, atomic);
+        2. one task per TARGET partition concatenates its fragments —
+           no re-merge needed: each key lived in exactly one source
+           partition and arrives already LWW-resolved, keys from
+           different sources are disjoint — key-sorts, and writes a
+           generation-1 base with bloom sidecar, compact marker, and a
+           bootstrap manifest carrying the source's applied-epoch
+           ledger.
+
+        The target lake then behaves like a freshly-compacted lake at
+        the same watermark: ``discover``/``apply`` skip the already
+        applied epochs (the global ``_epochs`` markers are copied) and
+        later WAL epochs apply under the new partitioning; history
+        below the watermark reads as compacted-away (time travel /
+        change feed re-sync from a snapshot, the documented LSM
+        horizon).  Reject/audit history stays with the source lake.
+        Convergence is checkable with :meth:`checksum`, which is
+        partition-layout invariant by construction."""
+        if os.path.exists(os.path.join(target_path, "_lake.json")):
+            raise ValueError(f"target lake already exists: {target_path}")
+        src = self.cfg
+        tgt_cfg = LakeConfig(
+            path=target_path,
+            num_partitions=num_partitions,
+            max_delta_runs=src.max_delta_runs,
+            salt_shards=src.salt_shards,
+            batch_size=src.batch_size,
+            stage_unit_rows=src.stage_unit_rows,
+            task_cpus=src.task_cpus,
+            base_row_group_rows=getattr(src, "base_row_group_rows", BASE_ROW_GROUP_ROWS),
+        )
+        with _LakeLease(src.path):
+            applied = sorted(self._global_committed())
+            watermark = applied[-1] if applied else -1
+            src_pids = self._live_pids()
+            lake_path = src.path
+            stage_dir = os.path.join(target_path, "_reshard")
+            os.makedirs(stage_dir, exist_ok=True)
+            tgt_cfg.save()
+            row_group_rows = tgt_cfg.base_row_group_rows
+
+            def split_one(batch: pa.Table) -> pa.Table:
+                out_pid, out_rows = [], []
+                for pid in batch["pid"].to_pylist():
+                    pid = int(pid)
+                    runs = _partition_runs(lake_path, pid)
+                    if not runs:
+                        continue
+                    state = mg.merge_runs(runs, drop_tombstones=False)
+                    tpids = hash_partition_ids(state["conv_id"], num_partitions)
+                    for t in np.unique(tpids):
+                        frag = state.take(pa.array(np.flatnonzero(tpids == t)))
+                        _atomic_write_parquet(
+                            os.path.join(
+                                stage_dir, f"t={int(t):04d}-src={pid:04d}.parquet"
+                            ),
+                            frag,
+                        )
+                    out_pid.append(pid)
+                    out_rows.append(state.num_rows)
+                return pa.table(
+                    {
+                        "pid": pa.array(out_pid, pa.int32()),
+                        "rows": pa.array(out_rows, pa.int64()),
+                    }
+                )
+
+            ds = rd.from_arrow(pa.table({"pid": pa.array(src_pids, pa.int32())}))
+            ds.repartition(max(len(src_pids), 1)).map_batches(
+                split_one, batch_format="pyarrow", batch_size=None
+            ).count()
+
+            def build_one(batch: pa.Table) -> pa.Table:
+                out_pid, out_rows = [], []
+                for t in batch["pid"].to_pylist():
+                    t = int(t)
+                    frags = sorted(
+                        glob.glob(os.path.join(stage_dir, f"t={t:04d}-src=*.parquet"))
+                    )
+                    parts = [pq.read_table(f) for f in frags]
+                    parts = [p for p in parts if p.num_rows]
+                    if not parts:
+                        # nothing hashed here: the partition dir is
+                        # created lazily by the first apply that hits it
+                        continue
+                    base = mg.sort_by_key(mg.concat_unified(parts)).combine_chunks()
+                    _atomic_write_parquet(
+                        mf.base_path(target_path, t, 1),
+                        base,
+                        row_group_rows=row_group_rows,
+                    )
+                    _write_bloom(mf.base_path(target_path, t, 1), base["conv_id"])
+                    mf.atomic_write_json(
+                        mf.compact_marker_path(target_path, t, 1),
+                        {
+                            "generation": 1,
+                            "through_group": watermark,
+                            "rows": base.num_rows,
+                        },
+                    )
+                    live = (
+                        base.filter(pc.not_equal(base["op"], "delete")).num_rows
+                        if "op" in base.schema.names
+                        else base.num_rows
+                    )
+                    mf.atomic_write_json(
+                        mf.manifest_path(target_path, t, watermark if watermark >= 0 else 0),
+                        {
+                            "pid": t,
+                            "group_id": watermark if watermark >= 0 else 0,
+                            "epochs": applied or [0],
+                            "counters": {
+                                "rows_in": int(base.num_rows),
+                                "upserts": int(live),
+                                "deletes": int(base.num_rows - live),
+                                "rejects": 0,
+                            },
+                            "resharded_from": src.path,
+                        },
+                    )
+                    out_pid.append(t)
+                    out_rows.append(base.num_rows)
+                return pa.table(
+                    {
+                        "pid": pa.array(out_pid, pa.int32()),
+                        "rows": pa.array(out_rows, pa.int64()),
+                    }
+                )
+
+            tds = rd.from_arrow(
+                pa.table({"pid": pa.array(list(range(num_partitions)), pa.int32())})
+            )
+            tds.repartition(num_partitions).map_batches(
+                build_one, batch_format="pyarrow", batch_size=None
+            ).count()
+
+            src_epochs = os.path.join(src.path, "_epochs")
+            tgt_epochs = os.path.join(target_path, "_epochs")
+            if os.path.isdir(src_epochs):
+                os.makedirs(tgt_epochs, exist_ok=True)
+                for name in os.listdir(src_epochs):
+                    shutil.copyfile(
+                        os.path.join(src_epochs, name), os.path.join(tgt_epochs, name)
+                    )
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        return CdcEngine(tgt_cfg)
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 

@@ -48,6 +48,9 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
     assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
 
+    tgt = str(tmp_path / "lake9")
+    assert main(["reshard", "--lake", lake, "--target", tgt, "--partitions", "9"]) == 0
+
     dtab = str(tmp_path / "derived")
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0

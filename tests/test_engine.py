@@ -522,6 +522,59 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_reshard_convergence(tmp_path):
+    """Scale-out repartitioning: the resharded lake holds the same
+    state (checksum + snapshot equality), keeps serving pruned lookups,
+    skips already-applied epochs, and CONVERGES with the source when
+    the remaining WAL epochs are applied to both under the new
+    partitioning — including late out-of-order events that must stay
+    masked by moved tombstones."""
+    spec = WalSpec(
+        seed=67,
+        num_conversations=120,
+        num_epochs=3,
+        events_per_epoch=1200,
+        p_update=0.3,
+        p_delete=0.1,
+        ooo_fraction=0.15,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal, max_epochs=2)
+
+    tgt = os.path.join(str(tmp_path), "lake7")
+    eng2 = eng.reshard(tgt, 7)
+    assert eng2.cfg.num_partitions == 7
+
+    assert eng2.checksum() == eng.checksum()
+    cols = sorted(f.name for f in __import__(
+        "nyc_taxi_data_pipeline_ray.schemas", fromlist=["TRANSCRIPT_SCHEMA"]
+    ).TRANSCRIPT_SCHEMA)
+    snap_a = eng.snapshot_table().select(cols)
+    snap_b = eng2.snapshot_table().select(cols)
+    assert snap_a.equals(snap_b)
+
+    # already-applied epochs are skipped on the target
+    assert eng2.discover(wal) == eng.discover(wal)
+    assert len(eng2.discover(wal)) == 1
+
+    # pruned point lookup on the resharded layout
+    conv = snap_b["conv_id"][0].as_py()
+    got = eng2.get_conversation(conv)
+    want = snap_b.filter(pc.equal(snap_b["conv_id"], conv))
+    want = want.take(pc.sort_indices(want, sort_keys=[("turn_idx", "ascending")]))
+    assert got.select(cols).equals(want.select(cols))
+
+    # converge: remaining epoch (with ooo events) applied to both
+    eng.apply(wal)
+    eng2.apply(wal)
+    assert eng2.checksum() == eng.checksum()
+    _assert_equal_state(eng2, gen)
+
+    # target path collision is refused
+    with pytest.raises(ValueError):
+        eng.reshard(tgt, 3)
+
+
 def test_bloom_sidecar_skips_absent_keys(tmp_path):
     """Compaction writes a per-base key bloom; a lookup for a key the
     partition never held skips the base read entirely (no false
