@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_lookup": R.q_index_lookup,
         "order_timeline": R.q_order_timeline,
         "cms_heavy_hitters": R.q_cms_heavy_hitters,
+        "ann_pq": A.q_ann_pq,
         "rejects_repair_replay": R.q_rejects_repair_replay,
         # range (interval-overlap) join: sessions x busy hours
         "interval_overlap_join": R.q_interval_overlap_join,

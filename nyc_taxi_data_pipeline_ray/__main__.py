@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
                 help="materialized-view dir to refresh after each apply "
                 "(stale partitions only: the streaming-IVM loop)",
             )
+            sp.add_argument(
+                "--derived",
+                default=None,
+                help="derived-table dir to refresh after each apply "
+                "(changed rows only: the streaming incremental-model loop)",
+            )
 
     for name, help_ in [
         ("compact", "fold delta runs into new base generations"),
@@ -264,11 +270,21 @@ def main(argv: list[str] | None = None) -> int:
                 from nyc_taxi_data_pipeline_ray.state.matview import MaterializedView
 
                 mv = MaterializedView(eng, args.view)
+            dt = None
+            if args.derived:
+                from nyc_taxi_data_pipeline_ray.state.derived import (
+                    DerivedTable,
+                    enrich_turns,
+                )
+
+                dt = DerivedTable(eng, args.derived, enrich_turns)
 
             def on_apply(r):
                 line = {"applied": r.epochs, "rows_in": r.rows_in}
                 if mv is not None:
                     line["view"] = mv.refresh()
+                if dt is not None:
+                    line["derived"] = dt.refresh()
                 print(json.dumps(line), flush=True)
 
             reports = eng.follow(

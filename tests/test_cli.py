@@ -75,13 +75,16 @@ def test_cli_follow_with_view(tmp_path, capsys):
     assert main(["generate", "--wal", wal, "--epochs", "2",
                  "--events-per-epoch", "300", "--conversations", "30"]) == 0
     # streaming-IVM loop: tail the WAL, refresh the view per apply
+    derived = str(tmp_path / "derived")
     assert main(["follow", "--wal", wal, "--lake", lake, "--partitions", "4",
                  "--poll-interval", "0.1", "--max-idle-polls", "1",
-                 "--view", view]) == 0
+                 "--view", view, "--derived", derived]) == 0
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     applies = [d for d in lines if "applied" in d]
     assert applies and all("view" in d for d in applies)
     assert applies[-1]["view"]["rows"] > 0
+    assert all("derived" in d for d in applies)
+    assert applies[-1]["derived"]["rows"] > 0
     assert lines[-1]["lag"]["epochs_behind"] == 0
     # the view on disk is current: one more refresh is a pure no-op
     import ray.data  # noqa: F401  (session already up via conftest)

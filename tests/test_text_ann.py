@@ -373,3 +373,30 @@ def test_bloom_filter_membership():
     probe = np.arange(100000, 200000, dtype=np.int64)
     fp = _bloom_test(bm, probe, bits, k).mean()
     assert fp < 0.01, fp
+
+
+def test_ann_pq_recall_and_exactness_witness():
+    bf = ann.q_ann_pq.__globals__["q_ann_bruteforce"](SF_DIR)
+    pq_df = ann.q_ann_pq(SF_DIR)
+    bf_pairs = set(zip(bf["qid"], bf["vec_id"]))
+    pq_pairs = set(zip(pq_df["qid"], pq_df["vec_id"]))
+    recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
+    # m=4 x 32 codes on near-random vectors: coarse, but far above the
+    # ~k/N random baseline (~0.01)
+    assert recall >= 0.1, f"PQ recall {recall:.2f}"
+    # ADC scores are bounded inner products of unit vectors (up to
+    # quantization wobble)
+    assert (pq_df["sim"] <= 1.2).all()
+
+    # exactness witness: one subspace whose codebook is trained with
+    # enough centroids on the EXACT probe set degrades to lookup of the
+    # true subvector -> on a tiny id range, ADC == exact dot product,
+    # so PQ reproduces brute force row-for-row
+    small_bf = ann.q_ann_bruteforce(SF_DIR, k=3, num_queries=3)
+    small_pq = ann.q_ann_pq(
+        SF_DIR, k=3, num_queries=3, m_sub=1, k_codes=4096, sample_rows=10**9
+    )
+    small_bf = small_bf.sort_values(["qid", "vec_id"], ignore_index=True)
+    got = small_pq.sort_values(["qid", "vec_id"], ignore_index=True)
+    assert list(got["qid"]) == list(small_bf["qid"])
+    assert list(got["vec_id"]) == list(small_bf["vec_id"])
