@@ -44,12 +44,19 @@ def test_replay_equals_oracle_any_shape(tmp_path_factory, seed, p_update, p_dele
     wal = os.path.join(tmp, "wal")
     gen.write(wal)
     eng = CdcEngine(LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=4))
+    eng.apply(wal, max_epochs=1)
+    # reshard mid-stream to a coprime partition count: the rest of the
+    # WAL (ooo/dup/skew included) must converge under the new layout
+    eng2 = eng.reshard(os.path.join(tmp, "lake5"), 5)
     eng.apply(wal)
+    eng2.apply(wal)
+    assert eng2.checksum() == eng.checksum()
     snap = eng.snapshot_table()
     exp = oracle.replay(gen.events_table())
     cols = sorted(exp.schema.names)
     assert snap.num_rows == exp.num_rows
     assert snap.select(cols).equals(exp.select(cols))
+    assert eng2.snapshot_table().select(cols).equals(exp.select(cols))
 
 
 @settings(
