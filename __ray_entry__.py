@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": T.q_containment,
         "lm_surprisal": T.q_lm_surprisal,
         "weighted_sample": T.q_weighted_sample,
+        "char_surprisal": T.q_char_surprisal,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -2049,6 +2050,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type)
             where rn = 1 and r.ts >= timestamp '2024-01-29'
+        """,
+        # char-level surprisal, same integer-log2 scheme as lm_surprisal
+        "char_surprisal": r"""
+            with ch as (
+              select doc_id, unnest(regexp_extract_all(text, '(?s).')) as c
+              from documents),
+            cnt as (select c, cast(count(*) as bigint) as n from ch group by 1),
+            tot as (select cast(count(*) as bigint) as t from ch),
+            scored as (
+              select ch.doc_id,
+                     (length(bin(tot.t)) - 1) - (length(bin(cnt.n)) - 1) as bits
+              from ch join cnt using (c) cross join tot),
+            agg as (
+              select doc_id, cast(count(*) as bigint) as n_cp,
+                     cast(sum(bits) as bigint) as surprisal_bits
+              from scored group by 1)
+            select d.doc_id,
+                   coalesce(a.n_cp, 0) as n_cp,
+                   coalesce(a.surprisal_bits, 0) as surprisal_bits,
+                   case when a.n_cp > 0
+                        then cast(a.surprisal_bits as double)
+                             / cast(a.n_cp as double) end as bits_per_char
+            from documents d left join agg a using (doc_id)
+            order by d.doc_id
         """,
         # bottom-k priority sample: pure integer priorities, exact
         # cross-engine (md5_number_lower == little-endian digest[8:16])

@@ -3172,3 +3172,73 @@ def q_weighted_sample(sf_dir: str, *, k: int = 100) -> pd.DataFrame:
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q_char_surprisal(sf_dir: str) -> rd.Dataset:
+    """Character-level surprisal quality score — the gibberish /
+    keyboard-mash / wrong-charset detector that complements
+    ``q_lm_surprisal``: each codepoint contributes its integer bits of
+    surprise under the corpus character distribution
+    (``floor(log2(total_chars)) - floor(log2(count(ch)))``), so
+    documents dominated by rare characters score high.  Same exactness
+    scheme as the bigram LM (floor-log2 of exact integer counts, no
+    libm, order-free int64 sums); ``bits_per_char`` is one IEEE
+    division of exact ints.
+
+    Two streaming passes, fully vectorized: codepoint histograms per
+    batch via a single utf-32 decode + ``np.unique`` (charset-bounded
+    partials, driver-folded and broadcast), then per-doc scoring with
+    ``np.add.reduceat`` over the same decode — no per-row Python."""
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def decode(t: pa.Table):
+        texts = t["text"].to_pylist()
+        texts = ["" if x is None else x for x in texts]
+        lens = np.array([len(x) for x in texts], np.int64)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+        return cp, lens
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cp, _ = decode(t)
+        u, c = np.unique(cp, return_counts=True)
+        return pa.table(
+            {"cp": pa.array(u.astype(np.int64)), "n": pa.array(c, pa.int64())}
+        )
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    cnts = parts.groupby("cp", as_index=False)["n"].sum()
+    vocab_cp = cnts["cp"].to_numpy(np.int64)
+    vocab_n = cnts["n"].to_numpy(np.int64)
+    order = np.argsort(vocab_cp)
+    vocab_cp, vocab_n = vocab_cp[order], vocab_n[order]
+    total = int(vocab_n.sum())
+    flog2_total = int(total).bit_length() - 1 if total else 0
+    model_ref = ray.put((vocab_cp, vocab_n, flog2_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        vcp, vn, ft = ray.get(model_ref)
+        cp, lens = decode(t)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        if len(cp):
+            idx = np.searchsorted(vcp, cp.astype(np.int64))
+            n = vn[idx]  # every corpus codepoint is in the vocab
+            bits = ft - (np.frexp(n.astype(np.float64))[1].astype(np.int64) - 1)
+            # reduceat rejects an index == len (trailing empty doc):
+            # clip, then zero empty docs explicitly
+            sums = np.add.reduceat(bits, np.minimum(starts, len(cp) - 1))
+            sums = np.where(lens > 0, sums, 0)
+        else:
+            sums = np.zeros(t.num_rows, np.int64)
+        bpc = np.where(lens > 0, sums / np.maximum(lens, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_cp": pa.array(lens, pa.int64()),
+                "surprisal_bits": pa.array(sums.astype(np.int64), pa.int64()),
+                "bits_per_char": pa.array(bpc, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
