@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": T.q_lm_surprisal,
         "weighted_sample": T.q_weighted_sample,
         "char_surprisal": T.q_char_surprisal,
+        "churned_customers": R.q_churned_customers,
+        "tokenizer_fertility": T.q_tokenizer_fertility,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -544,6 +546,32 @@ def oracle_sql() -> dict[str, str]:
                        rows between unbounded preceding and current row), 2)
                      as running_total
             from orders order by o_custkey, o_orderdate, o_orderkey
+        """,
+        "tokenizer_fertility": r"""
+            with d as (
+              select lang,
+                     cast(array_length(regexp_split_to_array(trim(text), '\s+'))
+                          as bigint) as w,
+                     cast(len(regexp_extract_all(text,
+                         $re$'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+$re$))
+                          as bigint) as p
+              from documents)
+            select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(w) as bigint) as n_words,
+                   cast(sum(p) as bigint) as n_pieces,
+                   cast(sum(p) as double) / cast(sum(w) as double) as fertility
+            from d group by lang order by lang
+        """,
+        "churned_customers": """
+            select distinct o_custkey from orders
+            where o_orderdate >= timestamp '1995-01-01'
+              and o_orderdate <  timestamp '1996-01-01'
+            except
+            select distinct o_custkey from orders
+            where o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate <  timestamp '1997-01-01'
+            order by o_custkey
         """,
         "repeat_customers": """
             select distinct o_custkey from orders

@@ -1370,6 +1370,49 @@ def q_repeat_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.Dat
     return out.sort_values("o_custkey", ignore_index=True)
 
 
+def q_churned_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.DataFrame:
+    """Set difference (EXCEPT): customers who ordered in ``y1`` but not
+    in ``y2`` — the churn cohort, completing the set-op family next to
+    INTERSECT (``q_repeat_customers``, whose physical plan this
+    shares): per-block distinct ``(custkey, year)`` combiner, one
+    custkey-hash bucket shuffle, and the bucket task keeps keys whose
+    surviving year set is exactly ``{y1}``."""
+    import pyarrow.dataset as pads
+
+    NB = 32
+    lo = pd.Timestamp(f"{y1}-01-01").to_pydatetime()
+    hi = pd.Timestamp(f"{y2 + 1}-01-01").to_pydatetime()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        g = pa.table({"o_custkey": t["o_custkey"], "o_year": y}).group_by(
+            ["o_custkey", "o_year"]
+        ).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(g["o_custkey"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    def only_y1(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["o_custkey", "o_year"])
+        years = d.groupby("o_custkey")["o_year"].agg(["min", "max"])
+        keep = years[(years["min"] == y1) & (years["max"] == y1)].index.to_numpy()
+        return pd.DataFrame({"o_custkey": np.sort(keep)})
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(only_y1, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey", ignore_index=True)
+
+
 # --------------------------------------------------------------------------
 def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (year, month): the finest (year, month) rollup

@@ -3242,3 +3242,43 @@ def q_char_surprisal(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per language — pieces-per-word, THE
+    cross-lingual tokenizer-health metric (a language whose fertility
+    is 2x English pays 2x the context budget; tokenizer-vocab planning
+    starts from this table).  Per-language totals of whitespace words
+    and BPE-ish pieces are additive int partials (the ``q_bpe_tokens``
+    kernels, grouped by ``lang`` in the combiner — langs x 2 ints per
+    block regardless of corpus size); fertility is one IEEE division of
+    the exact totals (the ``tfidf_topk`` precedent)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_words": pc.cast(pc.list_value_length(_tokens(t["text"])), pa.int64()),
+                "n_pieces": pc.cast(
+                    pc.count_substring_regex(t["text"], BPE_PATTERN), pa.int64()
+                ),
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        out = g.group_by("lang").aggregate(
+            [("n_words", "sum"), ("n_pieces", "sum"), ("n_docs", "sum")]
+        )
+        return out.rename_columns(["lang", "n_words", "n_pieces", "n_docs"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("lang", as_index=False)[["n_words", "n_pieces", "n_docs"]].sum()
+    agg["fertility"] = agg["n_pieces"].astype(np.float64) / agg["n_words"].astype(
+        np.float64
+    )
+    return (
+        agg[["lang", "n_docs", "n_words", "n_pieces", "fertility"]]
+        .sort_values("lang", ignore_index=True)
+    )
