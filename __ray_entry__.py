@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_surprisal": T.q_char_surprisal,
         "churned_customers": R.q_churned_customers,
         "tokenizer_fertility": T.q_tokenizer_fertility,
+        "corpus_refresh": R.q_corpus_refresh,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1580,6 +1581,31 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # incremental corpus table == the conversation_text assembly
+        # rendered from scratch in SQL
+        "corpus_refresh": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w as (
+              select 'u' || cast(user_id as varchar) as conv_id,
+                     t.turn_idx, r.event_type as text
+              from r join t using (event_type) where rn = 1),
+            a as (
+              select conv_id,
+                     string_agg(text, chr(10) order by turn_idx) as doc,
+                     cast(count(*) as bigint) as n_turns
+              from w group by conv_id)
+            select conv_id, doc, n_turns,
+                   cast(length(doc) as bigint) as n_chars
+            from a order by conv_id
         """,
         "conversation_text": """
             with r as (

@@ -2567,6 +2567,31 @@ def q_conversation_text(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def q_corpus_refresh(sf_dir: str) -> pd.DataFrame:
+    """Incremental corpus refresh, driver-visible: replay the
+    events-as-transcripts WAL epoch by epoch and keep the
+    one-document-per-conversation corpus table in sync via
+    :class:`CorpusTable` (state/derived.py — group-granular: only
+    conversations whose turn set changed are re-rendered).  The oracle
+    is the same assembly in SQL over the LWW winners, so incremental
+    corpus maintenance is certified equal to a from-scratch render —
+    the continuous-pretraining story: an epoch touching 0.1% of
+    conversations re-renders 0.1% of documents."""
+    import os
+
+    from nyc_taxi_data_pipeline_ray.state.derived import CorpusTable
+
+    root = "/tmp/nyc_ray_q_corpus_refresh"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    ct = CorpusTable(eng, os.path.join(root, "corpus"))
+    eng.apply(wal_dir, max_epochs=1)
+    ct.refresh()
+    eng.apply(wal_dir)
+    ct.refresh()
+    assert ct.refresh()["refreshed"] == 0  # noop witness
+    return ct.table().to_pandas()
+
+
 def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     """Row-level incremental view maintenance, driver-visible: replay
     the events-as-transcripts WAL epoch by epoch and keep per-role

@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -276,3 +277,214 @@ def enrich_turns(state: pa.Table) -> pa.Table:
             "lsn": state["lsn"],
         }
     )
+
+
+def render_conversations(state: pa.Table) -> pa.Table:
+    """Group-granular stock transform: one training DOCUMENT per
+    conversation (turns newline-joined in turn order) + turn/char
+    counts — the corpus-assembly shape (`q_conversation_text`)
+    downstream chunking/dedup/quality scoring consume.  Vectorized:
+    one sort + pandas groupby-join per call, never per-conversation
+    Python."""
+    import pandas as pd
+
+    if state.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "doc": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    g = (
+        pa.table(
+            {
+                "conv_id": state["conv_id"],
+                "turn_idx": state["turn_idx"],
+                "text": pc.fill_null(state["text"], ""),
+            }
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    gb = g.groupby("conv_id", sort=True)
+    doc = gb["text"].agg("\n".join)
+    return pa.table(
+        {
+            "conv_id": pa.array(doc.index.to_numpy(object), pa.string()),
+            "doc": pa.array(doc.to_numpy(object), pa.string()),
+            "n_turns": pa.array(gb.size().to_numpy().astype(np.int64), pa.int64()),
+            "n_chars": pa.array(
+                doc.str.len().to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+class CorpusTable:
+    """GROUP-granular incremental derived table: one output row per
+    CONVERSATION, re-rendered only for conversations whose turn set
+    changed — the incremental corpus-refresh bridge (continuous
+    pretraining-data maintenance: an epoch that touches 0.1% of
+    conversations re-renders 0.1% of documents, not the corpus).
+
+    Same machinery as :class:`DerivedTable` (diff-driven staleness,
+    partition-local work, idempotent tmp+rename patch, full-rebuild
+    fallback below the compaction watermark) at conversation
+    granularity: the changed-key set from the diff is projected to
+    distinct ``conv_id``s, ALL current rows of those conversations are
+    re-read (a group transform needs the whole group, not just changed
+    turns), and the per-partition corpus file is patched by conv_id.
+    ``transform`` maps a state subset to one row per conv_id present.
+    """
+
+    def __init__(self, engine, path: str, transform=render_conversations):
+        self.engine = engine
+        self.path = path
+        self.transform = transform
+        os.makedirs(path, exist_ok=True)
+
+    _lake_watermark = DerivedTable._lake_watermark
+    _manifest_path = DerivedTable._manifest_path
+    _data_path = DerivedTable._data_path
+    _stored_watermark = DerivedTable._stored_watermark
+
+    def refresh(self) -> dict:
+        """Returns ``{"refreshed", "reused", "rendered_convs", "rows"}``
+        — ``rendered_convs`` is the group-level incrementality
+        witness."""
+        from nyc_taxi_data_pipeline_ray.engine import (
+            _atomic_write_parquet,
+            _diff_states,
+            _read_partition_state,
+        )
+
+        lake_path = self.engine.cfg.path
+        view_path = self.path
+        transform = self.transform
+        pids = self.engine._live_pids()
+        stale: list[tuple[int, int, int | None]] = []
+        reused = 0
+        for pid in pids:
+            wm = self._lake_watermark(pid)
+            old = self._stored_watermark(pid)
+            if old == wm:
+                reused += 1
+            else:
+                stale.append((pid, wm, old))
+
+        rendered_total = 0
+        if stale:
+
+            def refresh_one(batch: pa.Table) -> pa.Table:
+                out_pid, out_n = [], []
+                for pid, wm, old in zip(
+                    batch["pid"].to_pylist(),
+                    batch["wm"].to_pylist(),
+                    batch["old"].to_pylist(),
+                ):
+                    pid = int(pid)
+                    now = _read_partition_state(lake_path, pid)
+                    if now is None:
+                        now = _empty_state()
+                    before = None
+                    if old is not None:
+                        try:
+                            before = _read_partition_state(lake_path, pid, int(old))
+                        except Exception:
+                            before = None
+                    data_path = os.path.join(view_path, f"p={pid:04d}.parquet")
+                    if before is None and old is not None:
+                        old = None
+                    if old is None:
+                        derived = transform(now)
+                        n_rend = derived.num_rows
+                    else:
+                        d = _diff_states(before, now)
+                        changed = (
+                            pc.unique(d["conv_id"])
+                            if d.num_rows
+                            else pa.array([], pa.string())
+                        )
+                        prev = pq.read_table(data_path)
+                        keep = prev.filter(
+                            pc.invert(pc.is_in(prev["conv_id"], value_set=changed))
+                        )
+                        hit = now.filter(pc.is_in(now["conv_id"], value_set=changed))
+                        patch = transform(hit)
+                        n_rend = patch.num_rows
+                        derived = pa.concat_tables(
+                            [keep, patch], promote_options="default"
+                        )
+                    derived = derived.sort_by(
+                        [("conv_id", "ascending")]
+                    ).combine_chunks()
+                    _atomic_write_parquet(data_path, derived)
+                    mf.atomic_write_json(
+                        os.path.join(view_path, f"p={pid:04d}.json"),
+                        {
+                            "pid": pid,
+                            "watermark": int(wm),
+                            "rows": derived.num_rows,
+                            "rendered": int(n_rend),
+                        },
+                    )
+                    out_pid.append(pid)
+                    out_n.append(int(n_rend))
+                return pa.table(
+                    {
+                        "pid": pa.array(out_pid, pa.int32()),
+                        "rendered": pa.array(out_n, pa.int64()),
+                    }
+                )
+
+            work = pa.table(
+                {
+                    "pid": pa.array([p for p, _, _ in stale], pa.int32()),
+                    "wm": pa.array([w for _, w, _ in stale], pa.int64()),
+                    "old": pa.array([o for _, _, o in stale], pa.int64()),
+                }
+            )
+            res = (
+                rd.from_arrow(work)
+                .repartition(len(stale))
+                .map_batches(refresh_one, batch_format="pyarrow", batch_size=None)
+                .to_pandas()
+            )
+            rendered_total = int(res["rendered"].sum())
+
+        rows = 0
+        for pid in pids:
+            try:
+                with open(self._manifest_path(pid)) as f:
+                    rows += int(json.load(f)["rows"])
+            except (OSError, ValueError, KeyError):
+                pass
+        return {
+            "refreshed": len(stale),
+            "reused": reused,
+            "rendered_convs": rendered_total,
+            "rows": rows,
+        }
+
+    def read(self) -> rd.Dataset:
+        paths = [
+            self._data_path(pid)
+            for pid in self.engine._live_pids()
+            if self._stored_watermark(pid) is not None
+            and os.path.exists(self._data_path(pid))
+        ]
+        if not paths:
+            return rd.from_arrow(self.transform(_empty_state()))
+        return rd.read_parquet(paths)
+
+    def table(self) -> pa.Table:
+        batches = [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in self.read().iter_batches(batch_format="pyarrow")
+        ]
+        if not batches:
+            batches = [self.transform(_empty_state())]
+        t = pa.concat_tables(batches, promote_options="default")
+        return t.sort_by([("conv_id", "ascending")]).combine_chunks()

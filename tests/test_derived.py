@@ -144,3 +144,73 @@ def test_derived_full_rebuild_below_compaction_watermark(tmp_path):
     r = dt.refresh()
     assert r["refreshed"] == 4
     assert dt.table().equals(_expected(eng))
+
+
+def _expected_corpus(eng) -> "pa.Table":
+    from nyc_taxi_data_pipeline_ray.state.derived import render_conversations
+
+    return (
+        render_conversations(eng.snapshot_table())
+        .sort_by([("conv_id", "ascending")])
+        .combine_chunks()
+    )
+
+
+def test_corpus_table_incremental_refresh(tmp_path):
+    """Group-granular incremental corpus refresh: equality vs a full
+    render, only touched conversations re-rendered, deletes drop the
+    document, noop on an unchanged ledger."""
+    from nyc_taxi_data_pipeline_ray.state.derived import CorpusTable
+
+    wal, eng, _ = _build(str(tmp_path))
+    ct = CorpusTable(eng, os.path.join(str(tmp_path), "corpus"))
+    eng.apply(wal, max_epochs=1)
+    ct.refresh()
+    eng.apply(wal)
+    r = ct.refresh()
+    assert r["rows"] == ct.table().num_rows
+    assert ct.table().equals(_expected_corpus(eng))
+
+    # tiny targeted epoch: 1 update + 1 whole-conversation delete
+    live = eng.snapshot_table()
+    k_upd = (live["conv_id"][0].as_py(), live["turn_idx"][0].as_py())
+    # delete EVERY turn of the last conversation so its doc disappears
+    del_conv = live["conv_id"][-1].as_py()
+    del_rows = live.filter(pc.equal(live["conv_id"], del_conv))
+    max_lsn = pc.max(live["lsn"]).as_py()
+    max_ts = pc.max(live["ts"]).as_py()
+    n_del = del_rows.num_rows
+    ep = pa.table(
+        {
+            "lsn": pa.array(
+                list(range(max_lsn + 1, max_lsn + 2 + n_del)), pa.int64()
+            ),
+            "op": pa.array(["update"] + ["delete"] * n_del),
+            "epoch": pa.array([SPEC.num_epochs] * (1 + n_del), pa.int32()),
+            "conv_id": pa.array([k_upd[0]] + [del_conv] * n_del),
+            "turn_idx": pa.array(
+                [k_upd[1]] + del_rows["turn_idx"].to_pylist(), pa.int32()
+            ),
+            "role": pa.array(["assistant"] + [None] * n_del),
+            "text": pa.array(["REWRITTEN"] + [None] * n_del),
+            "tool": pa.array([None] * (1 + n_del), pa.string()),
+            "ts": pa.array([max_ts] * (1 + n_del), pa.timestamp("us")),
+        }
+    )
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ep, os.path.join(d, "part-0000.parquet"))
+    eng.apply(wal)
+
+    before_rows = ct.table().num_rows
+    r = ct.refresh()
+    # only the touched conversations re-rendered (update conv; the
+    # deleted conv contributes no current rows)
+    assert r["rendered_convs"] <= 2, r
+    after = ct.table()
+    assert after.equals(_expected_corpus(eng))
+    assert after.num_rows == before_rows - 1  # deleted conv's doc gone
+    got = after.filter(pc.equal(after["conv_id"], k_upd[0]))
+    assert "REWRITTEN" in got["doc"][0].as_py()
+    assert after.filter(pc.equal(after["conv_id"], del_conv)).num_rows == 0
+    assert ct.refresh()["refreshed"] == 0
