@@ -147,6 +147,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True, help="derived-table directory")
 
     sp = sub.add_parser(
+        "wal-gc",
+        help="delete WAL epoch dirs the lake has fully committed",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--wal", required=True)
+
+    sp = sub.add_parser(
         "reshard",
         help="rewrite the lake at a new partition count (scale-out/in)",
     )
@@ -350,6 +357,8 @@ def main(argv: list[str] | None = None) -> int:
                 through_epoch=args.through_epoch,
             )
             print(json.dumps({"out_wal": args.out_wal, "epoch": ep}))
+        elif args.cmd == "wal-gc":
+            print(json.dumps(eng.wal_gc(args.wal)))
         elif args.cmd == "reshard":
             eng2 = eng.reshard(args.target, args.partitions)
             print(

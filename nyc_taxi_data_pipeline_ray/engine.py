@@ -727,6 +727,35 @@ class CdcEngine:
         return reports
 
     # ------------------------------------------------------------ compaction
+    def wal_gc(self, wal_dir: str) -> dict:
+        """WAL retention: delete epoch directories the lake has fully
+        committed (global ``_epochs`` markers — the same ledger
+        ``discover`` diffs against), so the log's disk footprint tracks
+        lag instead of history.  The Kafka-retention analog with an
+        exactly-once twist: a committed epoch is a no-op on re-apply,
+        so GC never changes replay semantics — it only reclaims bytes.
+        Epochs at or above the first UNcommitted epoch are always kept
+        (even if individually committed) so a resumable gap never loses
+        its tail.  Returns ``{"removed": n, "kept": n}``."""
+        done = self._global_committed()
+        names = []
+        for name in sorted(os.listdir(wal_dir)):
+            m = _EPOCH_DIR_RE.match(name)
+            if m:
+                names.append((int(m.group(1)), name))
+        removed = kept = 0
+        for epoch, name in names:
+            if epoch in done:
+                shutil.rmtree(os.path.join(wal_dir, name), ignore_errors=True)
+                removed += 1
+            else:
+                # first gap: keep everything from here on
+                kept = len(names) - removed
+                break
+        else:
+            kept = 0
+        return {"removed": removed, "kept": kept}
+
     def compact(
         self,
         pids: list[int] | None = None,

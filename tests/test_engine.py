@@ -522,6 +522,25 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_wal_gc(tmp_path):
+    """GC deletes only fully-committed epoch dirs below the first gap,
+    and replay semantics are unchanged (re-apply is a no-op; a new
+    epoch after GC still applies)."""
+    spec = WalSpec(seed=41, num_conversations=50, num_epochs=3, events_per_epoch=500)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal, max_epochs=2)
+    rep = eng.wal_gc(wal)
+    assert rep["removed"] == 2 and rep["kept"] == 1
+    assert len(eng.discover(wal)) == 1  # uncommitted epoch survived
+    before = eng.checksum()
+    assert eng.apply(wal).epochs == [2]
+    _assert_equal_state(eng, gen)
+    assert eng.wal_gc(wal) == {"removed": 1, "kept": 0}
+    assert eng.discover(wal) == []
+    assert eng.apply(wal).epochs == []  # nothing left, still a no-op
+    assert eng.checksum() != before  # epoch 2 did land
+
+
 def test_reshard_convergence(tmp_path):
     """Scale-out repartitioning: the resharded lake holds the same
     state (checksum + snapshot equality), keeps serving pruned lookups,
