@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": R.q_churned_customers,
         "tokenizer_fertility": T.q_tokenizer_fertility,
         "corpus_refresh": R.q_corpus_refresh,
+        "bfs_hops": T.q_bfs_hops,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1307,6 +1308,34 @@ def oracle_sql() -> dict[str, str]:
             join documents da on da.doc_id = p.doc_a
             join documents db on db.doc_id = p.doc_b
             order by doc_a, doc_b
+        """,
+        # depth-bounded recursive CTE over the same near-dup pair
+        # predicate; min depth per node == BFS level
+        "bfs_hops": r"""
+            with recursive t as (
+              select doc_id, lang, regexp_split_to_array(trim(text), '\s+') as toks
+              from documents),
+            g as (
+              select doc_id, lang,
+                     list_distinct(list_transform(range(1, array_length(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as grams
+              from t where array_length(toks) >= 3),
+            p as (
+              select a.doc_id as doc_a, b.doc_id as doc_b
+              from g a join g b on a.lang = b.lang and a.doc_id < b.doc_id
+              where cast(len(list_intersect(a.grams, b.grams)) as double)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.5),
+            e as (select doc_a as a, doc_b as b from p
+                  union select doc_b, doc_a from p),
+            walk as (
+              select (select min(doc_a) from p) as node, 0 as d
+              union
+              select e.b, walk.d + 1
+              from walk join e on e.a = walk.node
+              where walk.d < 3)
+            select node as doc_id, cast(min(d) as bigint) as hops
+            from walk group by node order by doc_id
         """,
         "dedup_clusters": r"""
             with recursive t as (

@@ -3282,3 +3282,63 @@ def q_tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
         agg[["lang", "n_docs", "n_words", "n_pieces", "fertility"]]
         .sort_values("lang", ignore_index=True)
     )
+
+
+def q_bfs_hops(sf_dir: str, *, threshold: float = 0.5, max_hops: int = 3) -> pd.DataFrame:
+    """Hop-bounded BFS shortest distances over the near-dup pair graph
+    — the frontier-expansion algorithm class (reachability, blast-
+    radius, contamination-spread audits: "every doc within 3 similarity
+    hops of this known-bad seed"), distinct from the repo's min-label
+    propagation (components) and power iteration (PageRank).
+
+    Broadcast-frontier rounds: the edge list (the similarity
+    detector's output class) stays a distributed Dataset; each round
+    ships the CURRENT FRONTIER — bounded by the reachable set, not the
+    corpus — to a vectorized ``np.isin`` scan over the edges and folds
+    the new nodes on the driver.  For frontiers too big to broadcast
+    the same rounds run as frontier-edge bucket joins (the
+    ``_connected_components`` exchange); not needed at the output
+    scale near-dup graphs have.  Seed = smallest doc_id in the graph
+    (deterministic).  Oracle: depth-bounded recursive CTE over the
+    same pair predicate, min depth per node."""
+    import ray
+
+    pairs = q_ngram_jaccard(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "hops": pd.Series(dtype="int64")}
+        )
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    src = int(min(a.min(), b.min()))
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+    )
+    dist = {src: 0}
+    frontier = {src}
+    for hop in range(1, max_hops + 1):
+        fref = ray.put(np.array(sorted(frontier), np.int64))
+
+        def expand(t: pa.Table, fref=fref) -> pa.Table:
+            f = ray.get(fref)
+            hit = np.isin(t["a"].to_numpy(zero_copy_only=False), f)
+            nb = np.unique(t["b"].to_numpy(zero_copy_only=False)[hit])
+            return pa.table({"b": pa.array(nb, pa.int64())})
+
+        reached = (
+            edges.map_batches(expand, batch_format="pyarrow").to_pandas()["b"].unique()
+        )
+        frontier = {int(n) for n in reached if int(n) not in dist}
+        if not frontier:
+            break
+        for n_ in frontier:
+            dist[n_] = hop
+    out = pd.DataFrame(
+        {"doc_id": sorted(dist), "hops": [dist[k] for k in sorted(dist)]}
+    )
+    return out.astype({"doc_id": "int64", "hops": "int64"})
