@@ -147,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True, help="derived-table directory")
 
     sp = sub.add_parser(
+        "sidx-refresh",
+        help="refresh the incremental secondary index over a lake column",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.add_argument("--column", default="tool")
+
+    sp = sub.add_parser(
+        "sidx-lookup",
+        help="row-group-pruned value lookup against a secondary index",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--column", default="tool")
+    sp.add_argument("--value", required=True, action="append")
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser(
         "wal-gc",
         help="delete WAL epoch dirs the lake has fully committed",
     )
@@ -357,6 +375,17 @@ def main(argv: list[str] | None = None) -> int:
                 through_epoch=args.through_epoch,
             )
             print(json.dumps({"out_wal": args.out_wal, "epoch": ep}))
+        elif args.cmd in ("sidx-refresh", "sidx-lookup"):
+            from nyc_taxi_data_pipeline_ray.state.secondary_index import SecondaryIndex
+
+            sidx = SecondaryIndex(eng, args.index, args.column)
+            if args.cmd == "sidx-refresh":
+                print(json.dumps(sidx.refresh()))
+            else:
+                sidx.lookup(args.value).write_parquet(args.out)
+                print(
+                    json.dumps({"out": args.out} | sidx.lookup_stats(args.value))
+                )
         elif args.cmd == "wal-gc":
             print(json.dumps(eng.wal_gc(args.wal)))
         elif args.cmd == "reshard":

@@ -55,6 +55,21 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
 
+    sidx = str(tmp_path / "toolidx")
+    assert main(["sidx-refresh", "--lake", lake, "--index", sidx]) == 0
+    assert main(["sidx-refresh", "--lake", lake, "--index", sidx]) == 0  # noop
+    iout = str(tmp_path / "idxhits")
+    tool = next(
+        t
+        for f in glob.glob(str(tmp_path / "lake" / "p=*" / "*.parquet"))
+        for t in pq.read_table(f)["tool"].to_pylist()
+        if t
+    )
+    assert main(["sidx-lookup", "--lake", lake, "--index", sidx,
+                 "--value", tool, "--out", iout]) == 0
+    n_hits = sum(pq.read_table(f).num_rows for f in glob.glob(iout + "/*.parquet"))
+    assert n_hits > 0
+
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     refreshes = [d for d in lines if "refreshed" in d]
     assert refreshes[-1]["refreshed"] == 0 and refreshes[-1]["reused"] == 4

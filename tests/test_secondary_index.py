@@ -104,6 +104,45 @@ def test_index_row_group_pruning(tmp_path):
     assert st["hits"] == _expected(eng, [tools[0]]).num_rows
 
 
+def test_index_on_evolved_column(tmp_path):
+    """An index over a column that only EXISTS after mid-stream schema
+    evolution (`model`, added at epoch 1): before evolution the index
+    is empty-but-valid; after, it serves the evolved values — and
+    rows written before the evolution (null model) never appear."""
+    spec = WalSpec(
+        seed=13,
+        num_conversations=80,
+        num_epochs=2,
+        events_per_epoch=800,
+        evolve_at_epoch=1,
+    )
+    gen = WalGenerator(spec)
+    wal = os.path.join(str(tmp_path), "wal")
+    gen.write(wal)
+    eng = CdcEngine(
+        LakeConfig.open_or_create(os.path.join(str(tmp_path), "lake"), num_partitions=4)
+    )
+    idx = SecondaryIndex(eng, os.path.join(str(tmp_path), "modelidx"), "model")
+    eng.apply(wal, max_epochs=1)
+    r = idx.refresh()
+    assert r["rows"] == 0  # column doesn't exist yet: empty, not broken
+    eng.apply(wal)
+    idx.refresh()
+    snap = eng.snapshot_table()
+    assert "model" in snap.schema.names
+    vals = sorted({v for v in snap["model"].to_pylist() if v})
+    assert vals, "evolution should have written model values"
+    got = _collect(idx.lookup(vals))
+    hit = snap.filter(pc.is_in(snap["model"], value_set=pa.array(vals)))
+    exp = pa.table(
+        {"value": hit["model"], "conv_id": hit["conv_id"], "turn_idx": hit["turn_idx"]}
+    ).sort_by(
+        [("value", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).combine_chunks()
+    got = got.set_column(2, "turn_idx", pc.cast(got["turn_idx"], exp["turn_idx"].type))
+    assert got.equals(exp)
+
+
 def test_index_tracks_value_moves(tmp_path):
     """An update that changes a turn's tool re-homes the key to the new
     value's posting list and removes it from the old one."""
