@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": T.q_tokenizer_fertility,
         "corpus_refresh": R.q_corpus_refresh,
         "bfs_hops": T.q_bfs_hops,
+        "cdc_corpus_release": R.q_cdc_corpus_release,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1610,6 +1611,38 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # capstone: lake -> corpus -> normalize -> dedup -> split, all
+        # composed from scratch in SQL over the LWW winners
+        "cdc_corpus_release": r"""
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            w as (
+              select 'u' || cast(user_id as varchar) as conv_id,
+                     t.turn_idx, r.event_type as text
+              from r join t using (event_type) where rn = 1),
+            a as (
+              select conv_id,
+                     string_agg(text, chr(10) order by turn_idx) as doc,
+                     cast(count(*) as bigint) as n_turns
+              from w group by conv_id),
+            n as (
+              select conv_id, n_turns,
+                     trim(regexp_replace(lower(nfc_normalize(doc)),
+                                         '\s+', ' ', 'g')) as nd
+              from a)
+            select conv_id, n_turns,
+                   case when md5_number_lower(conv_id) % 10 = 0
+                        then 'val' else 'train' end as split,
+                   conv_id = min(conv_id) over (partition by nd) as keep
+            from n order by conv_id
         """,
         # incremental corpus table == the conversation_text assembly
         # rendered from scratch in SQL

@@ -2592,6 +2592,81 @@ def q_corpus_refresh(sf_dir: str) -> pd.DataFrame:
     return ct.table().to_pandas()
 
 
+def q_cdc_corpus_release(sf_dir: str) -> pd.DataFrame:
+    """CAPSTONE composition — the full CDC-to-training-data release in
+    one oracle-checked path: replay the events-as-transcripts WAL
+    through the engine, keep the corpus table in incremental sync
+    (:class:`CorpusTable`), then run the release steps the corpus
+    pipelines implement — NFC+casefold+whitespace normalization, exact
+    dedup with smallest-conv_id winner election, md5-keyed
+    deterministic train/val split — all as one lazy Dataset chain over
+    the corpus Dataset (no driver materialization until the final
+    bounded output).  The oracle composes the same steps in SQL over
+    the LWW winners, so the whole lake -> corpus -> release bridge is
+    certified end-to-end, not just per stage.
+
+    Scale: assembly is partition-local (conversations never cross
+    partitions), normalization/split are per-row kernels, and winner
+    election is a bounded digest-group shuffle (one row per distinct
+    normalized doc leaves each block)."""
+    import hashlib
+    import os
+
+    from nyc_taxi_data_pipeline_ray.pipelines.text import _normalize_col
+    from nyc_taxi_data_pipeline_ray.state.derived import CorpusTable
+
+    root = "/tmp/nyc_ray_q_corpus_release"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    ct = CorpusTable(eng, os.path.join(root, "corpus"))
+    eng.apply(wal_dir, max_epochs=1)
+    ct.refresh()
+    eng.apply(wal_dir)
+    ct.refresh()
+
+    def release(t: pa.Table) -> pa.Table:
+        norm = _normalize_col(t["doc"])
+        convs = t["conv_id"].to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(c.encode("utf-8")).digest()[8:16], "little")
+                for c in convs
+            ],
+            dtype=np.uint64,
+        )
+        split = np.where(h % 10 == 0, "val", "train")
+        # 24-byte digest stands in for the full doc in the dedup
+        # shuffle (the q_dedup_exact precedent)
+        digest = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "digest": pa.array(digest, pa.string()),
+                "n_turns": t["n_turns"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        """Winner per distinct normalized doc = smallest conv_id."""
+        g = g.sort_values("conv_id")
+        g["keep"] = ~g["digest"].duplicated()
+        return g
+
+    out = (
+        ct.read()
+        .map_batches(release, batch_format="pyarrow")
+        .groupby("digest")
+        .map_groups(elect, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out[["conv_id", "n_turns", "split", "keep"]]
+        .sort_values("conv_id", ignore_index=True)
+    )
+
+
 def q_role_stats_ivm(sf_dir: str) -> pd.DataFrame:
     """Row-level incremental view maintenance, driver-visible: replay
     the events-as-transcripts WAL epoch by epoch and keep per-role
