@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_refresh": R.q_corpus_refresh,
         "bfs_hops": T.q_bfs_hops,
         "cdc_corpus_release": R.q_cdc_corpus_release,
+        "changepoint_cusum": R.q_changepoint_cusum,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1611,6 +1612,25 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # integer CUSUM: S_k = sum(D*n_d - N) is exact and telescopes
+        # to zero, so the argmax changepoint is bit-stable
+        "changepoint_cusum": """
+            with d as (
+              select date_trunc('day', ts) as day, cast(count(*) as bigint) as n
+              from events group by 1),
+            m as (select cast(count(*) as bigint) as dd,
+                         cast(sum(n) as bigint) as nn from d),
+            s as (
+              select day, n,
+                     cast(sum(m.dd * d.n - m.nn) over (
+                         order by day rows unbounded preceding) as bigint) as cusum
+              from d cross join m),
+            mx as (select max(abs(cusum)) as a from s),
+            cp as (select min(day) as cpday from s cross join mx
+                   where abs(s.cusum) = mx.a)
+            select s.day, s.n, s.cusum, s.day = cp.cpday as is_changepoint
+            from s cross join cp order by s.day
         """,
         # capstone: lake -> corpus -> normalize -> dedup -> split, all
         # composed from scratch in SQL over the LWW winners

@@ -4071,3 +4071,40 @@ def q_cms_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 512, top: i
         ["cms_estimate", "user_id"], ascending=[False, True], ignore_index=True
     ).head(top)
     return out.reset_index(drop=True)
+
+
+def q_changepoint_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint detection over the daily event-count series —
+    the drift monitor that tells an ingest operator WHEN a feed's rate
+    regime shifted (deploy, outage, upstream schema change), not just
+    that today differs from yesterday.  The statistic is kept EXACT:
+    with D days and N total events, the deviation series is
+    ``S_k = sum_{d<=k} (D*n_d - N)`` — integer-valued (it telescopes to
+    0 at k=D), so the argmax |S| changepoint is bit-stable cross-engine
+    with no float means involved.
+
+    Distributed shape: per-block (day, count) partials (one additive
+    combiner row per day per block, days-cardinality exchange), driver
+    prefix-sums the tiny daily series — the same partial/fold contract
+    as ``q_daily_revenue_ma``."""
+    ds = _rp(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day", as_index=False)["n"].sum().sort_values("day")
+    n = daily["n"].to_numpy(np.int64)
+    D, N = len(n), int(n.sum())
+    s = np.cumsum(D * n - N)
+    amax = int(np.argmax(np.abs(s)))
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(daily["day"].to_numpy()).astype("datetime64[us]"),
+            "n": n,
+            "cusum": s.astype(np.int64),
+            "is_changepoint": np.arange(D) == amax,
+        }
+    ).reset_index(drop=True)
