@@ -340,8 +340,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(rep))
             return 0 if rep["passed"] else 1
         elif args.cmd == "snapshot":
-            eng.snapshot(as_of_epoch=args.as_of_epoch).write_parquet(args.out)
-            print(json.dumps({"out": args.out}))
+            rep = eng.export_snapshot(args.out, as_of_epoch=args.as_of_epoch)
+            print(json.dumps({"out": args.out, **rep}))
         elif args.cmd == "changes":
             eng.changes(
                 after_epoch=args.after_epoch, through_epoch=args.through_epoch

@@ -1257,6 +1257,67 @@ class CdcEngine:
             x ^= np.int64(v).view(np.uint64)
         return {"rows": int(parts["n"].sum()), "checksum": int(np.int64(x.view(np.int64)))}
 
+    def export_snapshot(
+        self, out_dir: str, *, as_of_epoch: int | None = None
+    ) -> dict:
+        """Exactly-once snapshot EXPORT — the external-sink analog of
+        the lake's own commit protocol: one Parquet file per lake
+        partition written tmp+rename, then an atomic ``_SUCCESS``
+        marker carrying the content checksum.  Re-running against an
+        unchanged lake is a NO-OP (marker checksum matches — nothing is
+        rewritten); after new commits the export rewrites and
+        re-commits.  A crashed export leaves no marker, so consumers
+        never see a partial snapshot and the retry simply overwrites
+        deterministic bytes — the resumable-output contract
+        (per-partition files, never one giant file)."""
+        import json
+
+        cs = self.checksum(as_of_epoch=as_of_epoch)
+        marker = os.path.join(out_dir, "_SUCCESS")
+        try:
+            with open(marker) as f:
+                prev = json.load(f)
+            if prev.get("checksum") == cs["checksum"] and prev.get("rows") == cs["rows"]:
+                return {"skipped": True, **cs}
+        except (OSError, ValueError):
+            pass
+        os.makedirs(out_dir, exist_ok=True)
+        lake_path = self.cfg.path
+        pids = self._live_pids()
+
+        def export_one(batch: pa.Table) -> pa.Table:
+            out_pid, out_rows = [], []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                state = _read_partition_state(lake_path, pid, as_of_epoch)
+                if state is None:
+                    state = pa.table(
+                        {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
+                    )
+                keep = [c for c in state.schema.names if c not in ("op", "epoch", mg.NSRC)]
+                _atomic_write_parquet(
+                    os.path.join(out_dir, f"part-p{pid:04d}.parquet"),
+                    state.select(keep),
+                )
+                out_pid.append(pid)
+                out_rows.append(state.num_rows)
+            return pa.table(
+                {
+                    "pid": pa.array(out_pid, pa.int32()),
+                    "rows": pa.array(out_rows, pa.int64()),
+                }
+            )
+
+        if pids:
+            ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+            ds.repartition(len(pids)).map_batches(
+                export_one, batch_format="pyarrow", batch_size=None
+            ).count()
+        mf.atomic_write_json(
+            marker, {"checksum": cs["checksum"], "rows": cs["rows"], "as_of_epoch": as_of_epoch}
+        )
+        return {"skipped": False, **cs}
+
     def reshard(self, target_path: str, num_partitions: int) -> "CdcEngine":
         """Scale-out (or -in) repartitioning: rewrite the lake at a new
         partition count — the operation a 10^10-event lake needs when

@@ -522,6 +522,46 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_export_snapshot_exactly_once(tmp_path):
+    """Exported snapshot == lake state; re-export of an unchanged lake
+    is a skip; a new commit re-exports; a crashed export (no marker)
+    simply rewrites."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    spec = WalSpec(seed=19, num_conversations=60, num_epochs=2, events_per_epoch=700)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal, max_epochs=1)
+    out = os.path.join(str(tmp_path), "export")
+    r1 = eng.export_snapshot(out)
+    assert not r1["skipped"]
+    files = sorted(_glob.glob(os.path.join(out, "part-p*.parquet")))
+    assert len(files) == len(eng._live_pids())  # one file per partition
+    got = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    snap = eng.snapshot_table()
+    cols = sorted(c for c in snap.schema.names if not c.startswith("_"))
+    got = got.select(cols).take(
+        pc.sort_indices(
+            got.select(cols),
+            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+        )
+    )
+    assert got.equals(snap.select(cols))
+
+    assert eng.export_snapshot(out)["skipped"]  # unchanged lake: no-op
+    eng.apply(wal)
+    r3 = eng.export_snapshot(out)
+    assert not r3["skipped"] and r3["checksum"] != r1["checksum"]
+    # crash: marker gone -> rewrite, same committed content
+    os.remove(os.path.join(out, "_SUCCESS"))
+    r4 = eng.export_snapshot(out)
+    assert not r4["skipped"] and r4["checksum"] == r3["checksum"]
+    marker = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert marker["checksum"] == r4["checksum"]
+
+
 def test_wal_gc(tmp_path):
     """GC deletes only fully-committed epoch dirs below the first gap,
     and replay semantics are unchanged (re-apply is a no-op; a new
