@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": T.q_bfs_hops,
         "cdc_corpus_release": R.q_cdc_corpus_release,
         "changepoint_cusum": R.q_changepoint_cusum,
+        "daily_gapfill_locf": R.q_daily_gapfill_locf,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1612,6 +1613,23 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # day spine + IGNORE NULLS carry-forward == pandas ffill
+        "daily_gapfill_locf": """
+            with d as (
+              select date_trunc('day', o_orderdate) as day,
+                     round(sum(o_totalprice), 2) as rev0
+              from orders group by 1),
+            b as (select min(day) as lo, max(day) as hi from d),
+            spine as (
+              select unnest(generate_series(b.lo, b.hi, interval 1 day)) as day
+              from b),
+            j as (select spine.day, d.rev0 from spine left join d using (day))
+            select day,
+                   last_value(rev0 ignore nulls) over (
+                       order by day rows unbounded preceding) as rev,
+                   rev0 is null as is_filled
+            from j order by day
         """,
         # integer CUSUM: S_k = sum(D*n_d - N) is exact and telescopes
         # to zero, so the argmax changepoint is bit-stable

@@ -4108,3 +4108,41 @@ def q_changepoint_cusum(sf_dir: str) -> pd.DataFrame:
             "is_changepoint": np.arange(D) == amax,
         }
     ).reset_index(drop=True)
+
+
+def q_daily_gapfill_locf(sf_dir: str) -> pd.DataFrame:
+    """Calendar gap-fill + LOCF (last-observation-carried-forward) —
+    the time-series regularization every downstream chart/model needs
+    when a feed has silent days: the daily order-revenue series is
+    re-laid on a complete day spine (min..max order date) and missing
+    days carry the last seen value forward, flagged ``is_filled``.
+
+    Distributed shape: the heavy table collapses to days-cardinality
+    additive partials inside ``map_batches`` (the ``q_daily_revenue_ma``
+    combiner contract); the spine join + forward-fill run on the tiny
+    daily series in the driver (bounded by calendar days, never rows).
+    Revenue stays EXACT for the compare: per-day sums are rounded once
+    to 2dp (the stored-price grid) on both sides before the fill."""
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t["o_orderdate"], unit="day")
+        g = (
+            pa.table({"day": d, "rev": t["o_totalprice"]})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["day", "rev"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day", as_index=False)["rev"].sum()
+    daily["rev"] = daily["rev"].round(2)
+    daily["day"] = pd.to_datetime(daily["day"])
+    spine = pd.DataFrame(
+        {"day": pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")}
+    )
+    out = spine.merge(daily, on="day", how="left")
+    out["is_filled"] = out["rev"].isna()
+    out["rev"] = out["rev"].ffill()
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out[["day", "rev", "is_filled"]].reset_index(drop=True)
