@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_corpus_release": R.q_cdc_corpus_release,
         "changepoint_cusum": R.q_changepoint_cusum,
         "daily_gapfill_locf": R.q_daily_gapfill_locf,
+        "power_users": R.q_power_users,
+        "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
@@ -1613,6 +1615,48 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # relational division via exact distinct counting
+        "power_users": """
+            with n as (select count(distinct event_type) as k from events)
+            select user_id from events
+            group by user_id
+            having count(distinct event_type) = (select k from n)
+            order by user_id
+        """,
+        # confusion matrix over the SQL-mirrored langid prediction rule
+        "langid_confusion": rf"""
+            with t as (
+              select doc_id, lang, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') as toks
+              from documents),
+            c as (
+              select doc_id, lang, text,
+                     len(list_filter(toks, x -> x in ('the','and','of','to','in','is','that','it','for','was'))) as c_en,
+                     len(list_filter(toks, x -> x in ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) as c_de,
+                     len(list_filter(toks, x -> x in ('le','la','les','et','est','une','dans','que','pour','des'))) as c_fr,
+                     len(list_filter(toks, x -> x in ('el','la','los','y','es','una','en','que','por','con'))) as c_es
+              from t),
+            p as (
+              select doc_id, lang,
+                     case when strlen(text) > 2 * greatest(length(text), 1) then 'zh'
+                          when c_en >= c_de and c_en >= c_fr and c_en >= c_es then 'en'
+                          when c_de >= c_fr and c_de >= c_es then 'de'
+                          when c_fr >= c_es then 'fr'
+                          else 'es' end as pred_lang
+              from c),
+            cells as (
+              select lang, pred_lang, cast(count(*) as bigint) as n
+              from p group by 1, 2),
+            tt as (select lang, cast(sum(n) as bigint) as n_true from cells group by 1),
+            pt as (select pred_lang, cast(sum(n) as bigint) as n_pred from cells group by 1)
+            select c.lang, c.pred_lang, c.n, tt.n_true, pt.n_pred,
+                   cast(c.n as double) / cast(tt.n_true as double) as cell_recall,
+                   cast(c.n as double) / cast(pt.n_pred as double) as cell_precision
+            from cells c
+            join tt using (lang)
+            join pt using (pred_lang)
+            order by c.lang, c.pred_lang
         """,
         # day spine + IGNORE NULLS carry-forward == pandas ffill
         "daily_gapfill_locf": """

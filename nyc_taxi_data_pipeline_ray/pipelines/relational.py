@@ -4146,3 +4146,54 @@ def q_daily_gapfill_locf(sf_dir: str) -> pd.DataFrame:
     out["rev"] = out["rev"].ffill()
     out["day"] = out["day"].astype("datetime64[us]")
     return out[["day", "rev", "is_filled"]].reset_index(drop=True)
+
+
+def q_power_users(sf_dir: str) -> pd.DataFrame:
+    """RELATIONAL DIVISION — "users who performed EVERY event type" —
+    the classic all-quantified join (suppliers-who-supply-all-parts)
+    no join/aggregate primitive expresses directly.  Division reduces
+    to exact distinct counting: a user qualifies iff their distinct
+    event-type count equals the global distinct-type count.
+
+    Distributed shape: per-block distinct ``(user, type)`` pairs
+    (combiner — at most users x types rows per block), one user-hash
+    bucket shuffle, per-bucket distinct-count vs the broadcast global
+    type count (computed from the same combiner stream, types-
+    cardinality)."""
+    NB = 32
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        b = pc.cast(
+            pc.bit_wise_and(g["user_id"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    tagged = ds.map_batches(pairs, batch_format="pyarrow")
+    n_types = len(
+        set(
+            t
+            for b in tagged.map_batches(
+                lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+            for t in (b if isinstance(b, pa.Table) else pa.table(b))["event_type"].to_pylist()
+        )
+    )
+
+    def divide(df: pd.DataFrame, n_types=n_types) -> pd.DataFrame:
+        c = df.drop_duplicates(["user_id", "event_type"]).groupby("user_id").size()
+        keep = np.sort(c[c == n_types].index.to_numpy())
+        return pd.DataFrame({"user_id": keep})
+
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(divide, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True).astype({"user_id": "int64"})

@@ -3342,3 +3342,41 @@ def q_bfs_hops(sf_dir: str, *, threshold: float = 0.5, max_hops: int = 3) -> pd.
         {"doc_id": sorted(dist), "hops": [dist[k] for k in sorted(dist)]}
     )
     return out.astype({"doc_id": "int64", "hops": "int64"})
+
+
+def q_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic — the model-eval aggregate every labeled-data pipeline
+    runs (which languages leak into which predictions): cells
+    ``(true lang, predicted lang, count)`` plus per-TRUE-class recall
+    and per-cell precision denominators as exact integers, with the
+    two rates as single IEEE divisions.
+
+    Distributed shape: ``q_langid``'s per-doc predictions stream
+    through a per-batch ``(lang, pred) value_counts`` combiner — at
+    most ``L^2`` partial rows per block regardless of corpus size —
+    and the driver folds the tiny matrix.  The oracle reproduces the
+    same prediction rule in SQL (the ``langid`` oracle) and groups."""
+    preds = q_langid(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"]})
+            .group_by(["lang", "pred_lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    parts = preds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cells = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    true_tot = cells.groupby("lang")["n"].sum()
+    pred_tot = cells.groupby("pred_lang")["n"].sum()
+    cells["n_true"] = cells["lang"].map(true_tot).astype("int64")
+    cells["n_pred"] = cells["pred_lang"].map(pred_tot).astype("int64")
+    cells["cell_recall"] = cells["n"].astype(np.float64) / cells["n_true"].astype(
+        np.float64
+    )
+    cells["cell_precision"] = cells["n"].astype(np.float64) / cells["n_pred"].astype(
+        np.float64
+    )
+    return cells.sort_values(["lang", "pred_lang"], ignore_index=True)
