@@ -208,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--conv-id", required=True)
 
     sp = sub.add_parser(
+        "history",
+        help="forensic key lineage: every live event for a conversation "
+        "with winner flags",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--conv-id", required=True)
+
+    sp = sub.add_parser(
         "index-add", help="index a document batch into the LSH dedup index"
     )
     sp.add_argument("--index", required=True)
@@ -415,6 +423,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "get":
             t = eng.get_conversation(args.conv_id)
             print(json.dumps({"conv_id": args.conv_id, "turns": t.num_rows}))
+            for row in t.to_pylist():
+                print(json.dumps(row, default=str))
+        elif args.cmd == "history":
+            t = eng.key_history(args.conv_id)
+            print(json.dumps({"conv_id": args.conv_id, "events": t.num_rows}))
             for row in t.to_pylist():
                 print(json.dumps(row, default=str))
     finally:

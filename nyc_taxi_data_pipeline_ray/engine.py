@@ -1480,6 +1480,49 @@ class CdcEngine:
             shutil.rmtree(stage_dir, ignore_errors=True)
         return CdcEngine(tgt_cfg)
 
+    def key_history(self, conv_id: str) -> pa.Table:
+        """Forensic key lineage: every event for one conversation still
+        physically present in the lake (base + live delta runs), with
+        its origin ``epoch``, ``op``, and an ``is_winner`` flag per
+        turn under the engine's LWW order — the "why does this turn
+        have this text" audit a CDC operator reaches for before
+        blaming the source.  Partition- and row-group-pruned like
+        :meth:`get_conversation`; history below the compaction
+        watermark has been folded away (only each turn's winner
+        survives a fold), the same horizon every LSM lake has."""
+        pid = int(
+            hash_partition_ids(pa.array([conv_id], pa.string()), self.cfg.num_partitions)[0]
+        )
+        outs = []
+        for path in _partition_run_paths(self.cfg.path, pid):
+            t, _, _ = _read_run_pruned(path, [conv_id])
+            if t is not None and t.num_rows:
+                outs.append(
+                    t.drop_columns(
+                        [c for c in (mg.NSRC, mg.RUN_SEQ) if c in t.schema.names]
+                    )
+                )
+        if not outs:
+            return pa.table(
+                {
+                    f.name: pa.array([], f.type)
+                    for f in list(schemas.TRANSCRIPT_SCHEMA)
+                }
+            ).append_column("is_winner", pa.array([], pa.bool_()))
+        hist = mg.concat_unified(outs)
+        ti = hist["turn_idx"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(hist["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        lsn = hist["lsn"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, ts, ti))
+        last_per_turn = np.zeros(len(order), bool)
+        sorted_ti = ti[order]
+        last_per_turn[-1] = True
+        last_per_turn[:-1] = sorted_ti[1:] != sorted_ti[:-1]
+        winners = np.zeros(len(order), bool)
+        winners[order] = last_per_turn
+        hist = hist.append_column("is_winner", pa.array(winners))
+        return hist.take(pa.array(order))
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 
@@ -1917,6 +1960,22 @@ def _atomic_write_parquet(
 
 
 def _partition_runs(
+    lake_path: str, pid: int, as_of_epoch: int | None = None
+) -> list[pa.Table]:
+    """Reader-vs-compactor race guard: a concurrent ``compact()`` may
+    fold the runs this reader just listed (old base/deltas unlinked
+    after the new generation's marker lands).  The ledger is always
+    consistent, so one re-list + re-read sees the post-compaction
+    layout; state equality is guaranteed because compaction preserves
+    merged content.  One retry suffices — a second loss means a second
+    full compaction cycle inside one read, i.e. misuse."""
+    try:
+        return _partition_runs_once(lake_path, pid, as_of_epoch)
+    except FileNotFoundError:
+        return _partition_runs_once(lake_path, pid, as_of_epoch)
+
+
+def _partition_runs_once(
     lake_path: str, pid: int, as_of_epoch: int | None = None
 ) -> list[pa.Table]:
     """Base + committed deltas, oldest first, as Arrow tables.

@@ -83,6 +83,11 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     got = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert got[0]["turns"] >= 1 and got[1]["conv_id"] == conv
 
+    assert main(["history", "--lake", lake, "--conv-id", conv]) == 0
+    hist = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert hist[0]["events"] >= got[0]["turns"]
+    assert any(r.get("is_winner") for r in hist[1:])
+
 
 def test_cli_follow_with_view(tmp_path, capsys):
     wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")

@@ -522,6 +522,44 @@ def test_get_conversation_point_lookup(tmp_path):
     assert eng.get_conversation("no_such_conv").num_rows == 0
 
 
+def test_key_history_lineage(tmp_path):
+    """key_history returns every physically-live event for a key with
+    correct winner flags: winners reproduce the snapshot's rows, and
+    an updated turn shows its superseded versions as non-winners."""
+    spec = WalSpec(
+        seed=29, num_conversations=40, num_epochs=3, events_per_epoch=800,
+        p_update=0.5, ooo_fraction=0.1,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    # one commit group per epoch: the staged merge collapses history
+    # WITHIN a group, so lineage rows survive only across groups
+    for _ in range(spec.num_epochs):
+        eng.apply(wal, max_epochs=1)
+    snap = eng.snapshot_table()
+    # pick a key that received events in MORE THAN ONE epoch
+    ev = gen.events_table().to_pandas()
+    eps = ev.groupby(["conv_id", "turn_idx"])["epoch"].nunique()
+    conv = eps[eps > 1].index[0][0]
+    hist = eng.key_history(conv)
+    assert hist.num_rows > 0 and "is_winner" in hist.schema.names
+    win = hist.filter(pc.and_(hist["is_winner"], pc.not_equal(hist["op"], "delete")))
+    want = snap.filter(pc.equal(snap["conv_id"], conv))
+    cols = sorted(set(want.schema.names) & set(win.schema.names) - {"is_winner"})
+    win_s = win.select(cols).take(
+        pc.sort_indices(win.select(cols), sort_keys=[("turn_idx", "ascending")])
+    )
+    want_s = want.select(cols).take(
+        pc.sort_indices(want.select(cols), sort_keys=[("turn_idx", "ascending")])
+    )
+    assert win_s.equals(want_s)
+    # at least one turn of this conv carries superseded history
+    n_events = hist.num_rows
+    n_turns = len(set(hist["turn_idx"].to_pylist()))
+    assert n_events > n_turns  # updates present -> losers retained
+    # unknown key -> empty with flag column
+    assert eng.key_history("no-such-conv").num_rows == 0
+
+
 def test_export_snapshot_exactly_once(tmp_path):
     """Exported snapshot == lake state; re-export of an unchanged lake
     is a skip; a new commit re-exports; a crashed export (no marker)
