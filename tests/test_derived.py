@@ -214,3 +214,63 @@ def test_corpus_table_incremental_refresh(tmp_path):
     assert "REWRITTEN" in got["doc"][0].as_py()
     assert after.filter(pc.equal(after["conv_id"], del_conv)).num_rows == 0
     assert ct.refresh()["refreshed"] == 0
+
+
+def test_derived_and_corpus_property_random_shapes(tmp_path_factory):
+    """Property-style: across random op mixes, epoch-at-a-time
+    incremental refreshes of BOTH derived tables (row-level enrichment,
+    group-level corpus) equal their from-scratch transforms."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_data_pipeline_ray.state.derived import (
+        CorpusTable,
+        render_conversations,
+    )
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        p_update=st.floats(min_value=0.0, max_value=0.5),
+        p_delete=st.floats(min_value=0.0, max_value=0.25),
+    )
+    def inner(seed, p_update, p_delete):
+        tmp = str(tmp_path_factory.mktemp(f"dtprop{seed % 100000}"))
+        spec = WalSpec(
+            seed=seed,
+            num_conversations=30,
+            num_epochs=2,
+            events_per_epoch=300,
+            p_update=p_update,
+            p_delete=p_delete,
+            ooo_fraction=0.1,
+        )
+        gen = WalGenerator(spec)
+        wal = os.path.join(tmp, "wal")
+        gen.write(wal)
+        eng = CdcEngine(
+            LakeConfig.open_or_create(os.path.join(tmp, "lake"), num_partitions=4)
+        )
+        dt = DerivedTable(eng, os.path.join(tmp, "derived"), enrich_turns)
+        ct = CorpusTable(eng, os.path.join(tmp, "corpus"))
+        eng.apply(wal, max_epochs=1)
+        dt.refresh()
+        ct.refresh()
+        eng.apply(wal)
+        dt.refresh()
+        ct.refresh()
+        snap = eng.snapshot_table()
+        assert dt.table().equals(
+            enrich_turns(snap)
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            .combine_chunks()
+        )
+        assert ct.table().equals(
+            render_conversations(snap).sort_by([("conv_id", "ascending")]).combine_chunks()
+        )
+
+    inner()
