@@ -1162,6 +1162,17 @@ def q_dedup_clusters(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
 # Scale refinement (documented, not needed at test scale): order grams
 # by ascending global frequency to shrink hot prefix buckets.
 def q_ngram_jaccard(sf_dir: str, *, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    """Session-memoized: the exact near-dup pair list is the shared
+    input of the downstream graph ops (`q_dedup_clusters`,
+    `q_bfs_hops`, `q_edit_distance_dups`) — one session computes it
+    once per (corpus, params) instead of re-running the PPJoin per
+    consumer (deterministic output, copy returned per call)."""
+    cached = _ngram_jaccard_cached(sf_dir, n, threshold)
+    return cached.copy()
+
+
+@functools.lru_cache(maxsize=8)
+def _ngram_jaccard_cached(sf_dir: str, n: int, threshold: float) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def gramsets(t: pa.Table) -> pa.Table:
