@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_cusum": R.q_changepoint_cusum,
         "daily_gapfill_locf": R.q_daily_gapfill_locf,
         "power_users": R.q_power_users,
+        "global_rank": R.q_global_rank,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1615,6 +1616,13 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # exact global row_number under (value, event_id)
+        "global_rank": """
+            select event_id, value,
+                   cast(row_number() over (order by value, event_id) as bigint)
+                     as global_rank
+            from events order by global_rank
         """,
         # relational division via exact distinct counting
         "power_users": """
