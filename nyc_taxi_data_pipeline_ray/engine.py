@@ -365,32 +365,42 @@ class _LakeLease:
     as Delta/Iceberg single-writer commits do).
     """
 
-    def __init__(self, lake_path: str, stale_after_s: float = 3600.0):
+    def __init__(
+        self, lake_path: str, stale_after_s: float = 3600.0, wait_s: float = 0.0
+    ):
         self.path = os.path.join(lake_path, "_lock.json")
         self.stale_after_s = stale_after_s
+        #: >0: poll for up to this long instead of failing fast —
+        #: writer QUEUEING (a follow loop and a cron compaction can
+        #: coexist without the operator sequencing them by hand).
+        self.wait_s = wait_s
 
     def __enter__(self):
         import json
 
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
-        for _ in range(2):
+        deadline = time.time() + self.wait_s
+        while True:
+            payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
                     f.write(payload)
                 return self
             except FileExistsError:
-                if not self._is_stale():
-                    raise LakeLockedError(
-                        f"lake is locked by another writer ({self.path}); "
-                        "concurrent apply/compact is not allowed"
-                    ) from None
-                try:  # steal the stale lock and retry the exclusive create
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
-        raise LakeLockedError(f"could not acquire {self.path}")
+                if self._is_stale():
+                    try:  # steal the stale lock and retry the create
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() < deadline:
+                    time.sleep(0.1)
+                    continue
+                raise LakeLockedError(
+                    f"lake is locked by another writer ({self.path}); "
+                    "concurrent apply/compact is not allowed"
+                ) from None
 
     def _is_stale(self) -> bool:
         import json
@@ -478,7 +488,13 @@ class CdcEngine:
         return out
 
     # ----------------------------------------------------------------- apply
-    def apply(self, wal_dir: str, *, max_epochs: int | None = None) -> ApplyReport:
+    def apply(
+        self,
+        wal_dir: str,
+        *,
+        max_epochs: int | None = None,
+        lease_wait_s: float = 0.0,
+    ) -> ApplyReport:
         """Apply all (or the next ``max_epochs``) unapplied epochs as one
         Dataset pipeline run.  Idempotent: committed partition-epochs are
         skipped inside the apply tasks; a fully committed run is a no-op."""
@@ -487,7 +503,7 @@ class CdcEngine:
             work = work[:max_epochs]
         if not work:
             return ApplyReport(epochs=[])
-        with _LakeLease(self.cfg.path):
+        with _LakeLease(self.cfg.path, wait_s=lease_wait_s):
             return self._apply_locked(work)
 
     def _apply_locked(self, work) -> ApplyReport:

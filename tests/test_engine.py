@@ -475,13 +475,27 @@ def test_writer_lease_blocks_concurrent_apply(tmp_path):
         json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, f)
     with pytest.raises(LakeLockedError):
         eng.apply(wal)
-    # a dead writer's lock is stolen and the apply proceeds
-    with open(lock, "w") as f:
-        json.dump({"pid": 2**22 + 12345, "ts": __import__("time").time()}, f)
-    rep = eng.apply(wal)
+    # writer queueing: with lease_wait_s the apply WAITS for the live
+    # holder instead of failing; release the lock from a timer thread
+    import threading
+    import time as _time
+
+    threading.Timer(0.5, lambda: os.remove(lock)).start()
+    rep = eng.apply(wal, lease_wait_s=10.0)
     assert rep.epochs == [0]
-    assert not os.path.exists(lock)
     _assert_equal_state(eng, gen)
+    # a dead writer's lock is stolen and the apply proceeds (fresh lake)
+    import shutil as _sh
+
+    _sh.rmtree(eng.cfg.path)
+    eng2 = CdcEngine(LakeConfig.open_or_create(eng.cfg.path, num_partitions=4))
+    lock2 = os.path.join(eng2.cfg.path, "_lock.json")
+    with open(lock2, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": _time.time()}, f)
+    rep = eng2.apply(wal)
+    assert rep.epochs == [0]
+    assert not os.path.exists(lock2)
+    _assert_equal_state(eng2, gen)
 
 
 def test_salted_resume_rows_in_reconciles(tmp_path):
