@@ -1329,6 +1329,16 @@ class CdcEngine:
             ds.repartition(len(pids)).map_batches(
                 export_one, batch_format="pyarrow", batch_size=None
             ).count()
+        # drop part files from a previous export with MORE partitions
+        # (e.g. exporting a resharded lake into the same directory) —
+        # stale files must not pollute a glob-reading consumer
+        want = {f"part-p{pid:04d}.parquet" for pid in pids}
+        for name in os.listdir(out_dir):
+            if name.startswith("part-p") and name.endswith(".parquet") and name not in want:
+                try:
+                    os.remove(os.path.join(out_dir, name))
+                except OSError:
+                    pass
         mf.atomic_write_json(
             marker, {"checksum": cs["checksum"], "rows": cs["rows"], "as_of_epoch": as_of_epoch}
         )

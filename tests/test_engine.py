@@ -613,6 +613,21 @@ def test_export_snapshot_exactly_once(tmp_path):
     marker = _json.load(open(os.path.join(out, "_SUCCESS")))
     assert marker["checksum"] == r4["checksum"]
 
+    # exporting a fewer-partition lake into the SAME dir removes stale
+    # part files (no pollution for glob-reading consumers).  Identical
+    # content skips regardless of layout (checksum is layout-invariant)
+    eng2 = eng.reshard(os.path.join(str(tmp_path), "lake2"), 2)
+    assert eng2.export_snapshot(out)["skipped"]
+    os.remove(os.path.join(out, "_SUCCESS"))  # force the rewrite
+    r5 = eng2.export_snapshot(out)
+    assert not r5["skipped"] and r5["checksum"] == r4["checksum"]
+    files2 = sorted(_glob.glob(os.path.join(out, "part-p*.parquet")))
+    assert len(files2) == len(eng2._live_pids()) <= 2
+    got2 = pa.concat_tables(
+        [pq.read_table(f) for f in files2], promote_options="default"
+    )
+    assert got2.num_rows == eng.snapshot_table().num_rows
+
 
 def test_wal_gc(tmp_path):
     """GC deletes only fully-committed epoch dirs below the first gap,
