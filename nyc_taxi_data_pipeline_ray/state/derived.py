@@ -67,12 +67,15 @@ def _empty_state() -> pa.Table:
 
 
 def _key_of(t: pa.Table) -> pa.Array:
-    """Composite key as one binary column (conv_id is \\x00-free by
-    validation, so the join is collision-free)."""
+    """Composite key as one string column, length-prefixed so the
+    encoding is injective for ANY conv_id content (``len:conv:turn`` —
+    the prefix pins where conv ends, so no separator collision)."""
+    conv = pc.cast(t["conv_id"], pa.string())
     k = pc.binary_join_element_wise(
-        pc.cast(t["conv_id"], pa.string()),
+        pc.cast(pc.utf8_length(conv), pa.string()),
+        conv,
         pc.cast(t["turn_idx"], pa.string()),
-        "\x00",
+        ":",
     )
     return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
 
