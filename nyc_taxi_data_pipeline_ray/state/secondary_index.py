@@ -195,7 +195,9 @@ class SecondaryIndex:
                 t, _, _ = _read_run_pruned(path, vals, column="value")
                 if t is not None:
                     outs.append(t)
-            return pa.concat_tables(outs) if outs else empty
+            # promote: partitions refreshed around a schema evolution
+            # can disagree on turn_idx width until both are rewritten
+            return pa.concat_tables(outs, promote_options="default") if outs else empty
 
         ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
         return ds.repartition(len(pids)).map_batches(
