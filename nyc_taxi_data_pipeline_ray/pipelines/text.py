@@ -3109,16 +3109,14 @@ def q_lm_surprisal(sf_dir: str, *, vocab: int = 256) -> rd.Dataset:
         bits_sum = np.zeros(n_docs, np.int64)
         if len(doc_idx):
             cnt_a = np.where(ida >= 0, m["vcnt"][np.maximum(ida, 0)], 0)
-            key = ida * m["H"] + idb
-            pos = np.searchsorted(m["pair_keys"], key)
-            pos_clip = np.minimum(pos, max(len(m["pair_keys"]) - 1, 0))
-            hit = (
-                (len(m["pair_keys"]) > 0)
-                & (ida >= 0)
-                & (idb >= 0)
-                & (m["pair_keys"][pos_clip] == key)
-            )
-            cab = np.where(hit, m["pair_cnt"][pos_clip], 0)
+            if len(m["pair_keys"]):
+                key = ida * m["H"] + idb
+                pos = np.searchsorted(m["pair_keys"], key)
+                pos_clip = np.minimum(pos, len(m["pair_keys"]) - 1)
+                hit = (ida >= 0) & (idb >= 0) & (m["pair_keys"][pos_clip] == key)
+                cab = np.where(hit, m["pair_cnt"][pos_clip], 0)
+            else:  # degenerate corpus: no head-head bigram observed
+                cab = np.zeros(len(ida), np.int64)
             bits = flog2(cnt_a + m["H"]) - flog2(cab + 1)
             np.add.at(bits_sum, doc_idx, bits)
         mean = np.where(n_bi > 0, bits_sum / np.maximum(n_bi, 1), np.nan)
