@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_gapfill_locf": R.q_daily_gapfill_locf,
         "power_users": R.q_power_users,
         "global_rank": R.q_global_rank,
+        "weighted_median": R.q_weighted_median,
+        "value_minmax_scaled": R.q_value_minmax_scaled,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1616,6 +1618,33 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # lower weighted median: smallest value whose doubled running
+        # weight reaches the group total (integer comparisons)
+        "weighted_median": """
+            with j as (
+              select o.o_orderpriority as pr, o.o_totalprice as v,
+                     cast(count(*) as bigint) as w
+              from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+              group by 1, 2),
+            c as (
+              select pr, v, w,
+                     sum(w) over (partition by pr order by v) as cum,
+                     sum(w) over (partition by pr) as tot
+              from j)
+            select pr as o_orderpriority, min(v) as weighted_median
+            from c where 2 * cum >= tot
+            group by pr order by pr
+        """,
+        # one subtraction + one division of exact stored doubles
+        "value_minmax_scaled": """
+            with mm as (
+              select event_type, min(value) as vmin, max(value) as vmax
+              from events group by 1)
+            select e.event_id, e.event_type, e.value,
+                   (e.value - mm.vmin) / (mm.vmax - mm.vmin) as scaled
+            from events e join mm using (event_type)
+            order by e.event_id
         """,
         # exact global row_number under (value, event_id)
         "global_rank": """

@@ -4260,3 +4260,161 @@ def q_global_rank(sf_dir: str, *, n_bins: int = 4096) -> rd.Dataset:
         .groupby("bin")
         .map_groups(rank_bin, batch_format="pandas")
     )
+
+
+def q_weighted_median(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
+    """EXACT weighted median per group — the robust center plain
+    ``quantile_cont`` can't give when rows carry weights (here: median
+    order price per priority class, weighted by line count, so big
+    orders pull harder).  Lower weighted median: the smallest value
+    whose DOUBLED cumulative weight reaches the group total — integer
+    weight comparisons on exactly-ordered values, hash-stable.
+
+    Scale shape (the ``q_value_percentiles`` histogram pattern, joined):
+    the orders x lineitem weight join is ONE orderkey-bucket exchange
+    (``q_nation_revenue``'s tagged union-merge); phase A reduces it to
+    (priority, price-bin, weight) partials — bins-bounded, never
+    row-bounded — and the driver locates each group's median bin;
+    phase B re-runs the join keeping ONLY rows in each group's target
+    bin (occupancy ~ N/bins), whose tiny sorted series the driver
+    scans.  No full-table driver materialization at any point."""
+    NB = 64
+    mm = _footer_min_max(sf_dir, "orders", "o_totalprice")
+    assert mm is not None
+    lo, hi = mm
+    width = (hi - lo) / n_bins or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+
+    def joined(target: dict | None):
+        """(priority, price, w) rows via one orderkey-bucket exchange;
+        with ``target``, only rows in the group's median bin survive."""
+        orders = _rp(
+            sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+        li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+
+        def o_side(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": pc.cast(
+                        pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
+                        pa.int32(),
+                    ),
+                    "key": t["o_orderkey"],
+                    "pr": t["o_orderpriority"],
+                    "price": t["o_totalprice"],
+                    "w": pa.nulls(t.num_rows, pa.int64()),
+                }
+            )
+
+        def l_side(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"key": t["l_orderkey"]})
+                .group_by("key")
+                .aggregate([([], "count_all")])
+                .rename_columns(["key", "w"])
+            )
+            return pa.table(
+                {
+                    "bucket": pc.cast(
+                        pc.bit_wise_and(g["key"], pa.scalar(NB - 1, pa.int64())),
+                        pa.int32(),
+                    ),
+                    "key": g["key"],
+                    "pr": pa.nulls(g.num_rows, pa.string()),
+                    "price": pa.nulls(g.num_rows, pa.float64()),
+                    "w": g["w"],
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            left = df[df["pr"].notna()]
+            right = df[df["pr"].isna()].groupby("key", as_index=False)["w"].sum()
+            m = left[["key", "pr", "price"]].merge(right, on="key")
+            if target is not None:
+                b = bin_of(m["price"].to_numpy())
+                keep = np.array(
+                    [target.get(p) == bb for p, bb in zip(m["pr"], b)]
+                )
+                m = m[keep]
+                return m[["pr", "price", "w"]]
+            m["bin"] = bin_of(m["price"].to_numpy())
+            g = m.groupby(["pr", "bin"], as_index=False)["w"].sum()
+            return g[["pr", "bin", "w"]]
+
+        return (
+            orders.map_batches(o_side, batch_format="pyarrow")
+            .union(li.map_batches(l_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()
+        )
+
+    # phase A: bins-bounded weight histogram per group
+    hist = joined(None).groupby(["pr", "bin"], as_index=False)["w"].sum()
+    target: dict = {}
+    before: dict = {}
+    totals: dict = {}
+    for pr, g in hist.groupby("pr"):
+        g = g.sort_values("bin")
+        w = g["w"].to_numpy(np.int64)
+        tot = int(w.sum())
+        cum2 = 2 * np.cumsum(w)
+        i = int(np.argmax(cum2 >= tot))
+        target[pr] = int(g["bin"].iloc[i])
+        before[pr] = int(np.cumsum(w)[i - 1]) if i else 0
+        totals[pr] = tot
+
+    # phase B: exact scan inside each group's single median bin
+    rows = joined(target)
+    out_g, out_m = [], []
+    for pr in sorted(target):
+        g = rows[rows["pr"] == pr].sort_values(["price"])
+        cum = before[pr] + np.cumsum(g["w"].to_numpy(np.int64))
+        i = int(np.argmax(2 * cum >= totals[pr]))
+        out_g.append(pr)
+        out_m.append(float(g["price"].iloc[i]))
+    return pd.DataFrame({"o_orderpriority": out_g, "weighted_median": out_m})
+
+
+def q_value_minmax_scaled(sf_dir: str) -> rd.Dataset:
+    """Per-group min-max feature scaling — the normalization every
+    model-input pipeline applies: ``(v - min) / (max - min)`` within
+    each event type.  Two passes: a tiny per-group (min, max) combiner
+    (groups x 2 doubles per block), broadcast to a vectorized per-batch
+    scale — no shuffle of the data itself, streaming Dataset out.
+    Each output value is ONE subtraction + ONE division of exact
+    stored doubles (no accumulation), so it is bit-identical in SQL."""
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "value": t["value"]})
+            .group_by("event_type")
+            .aggregate([("value", "min"), ("value", "max")])
+        )
+        return g.rename_columns(["event_type", "vmin", "vmax"])
+
+    parts = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    mm = parts.groupby("event_type").agg(vmin=("vmin", "min"), vmax=("vmax", "max"))
+    lut_min = mm["vmin"].to_dict()
+    lut_max = mm["vmax"].to_dict()
+
+    def scale(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        lo = np.array([lut_min[e] for e in et])
+        hi = np.array([lut_max[e] for e in et])
+        s = (v - lo) / (hi - lo)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "scaled": pa.array(s, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")
