@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": R.q_churned_customers,
         "tokenizer_fertility": T.q_tokenizer_fertility,
         "corpus_refresh": R.q_corpus_refresh,
+        "cdc_point_lookup": R.q_cdc_point_lookup,
+        "cdc_reshard": R.q_cdc_reshard,
         "bfs_hops": T.q_bfs_hops,
         "cdc_corpus_release": R.q_cdc_corpus_release,
         "changepoint_cusum": R.q_changepoint_cusum,
@@ -1730,6 +1732,45 @@ def oracle_sql() -> dict[str, str]:
                    where abs(s.cusum) = mx.a)
             select s.day, s.n, s.cusum, s.day = cp.cpday as is_changepoint
             from s cross join cp order by s.day
+        """,
+        # pruned point lookups == full-scan winners for the probe ids
+        "cdc_point_lookup": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events)),
+            probe as (
+              select user_id
+              from (select distinct user_id from events order by 1 limit 20))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as int) as turn_idx,
+                   r.event_type as text, r.ts, r.event_id as lsn
+            from r join t using (event_type)
+            where rn = 1 and r.user_id in (select user_id from probe)
+            order by conv_id, turn_idx
+        """,
+        # resharded-lake snapshot == the full-replay LWW winners
+        "cdc_reshard": """
+            with r as (
+              select *, row_number() over (
+                partition by user_id, event_type
+                order by ts desc, event_id desc) as rn
+              from events),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as int) as turn_idx,
+                   r.event_type as text, r.ts, r.event_id as lsn
+            from r join t using (event_type)
+            where rn = 1
+            order by conv_id, turn_idx
         """,
         # capstone: lake -> corpus -> normalize -> dedup -> split, all
         # composed from scratch in SQL over the LWW winners

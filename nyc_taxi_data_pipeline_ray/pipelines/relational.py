@@ -2567,6 +2567,61 @@ def q_conversation_text(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def q_cdc_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Pruned point lookups, driver-visible: replay the
+    events-as-transcripts WAL, compact (so lookups exercise the
+    key-sorted base's row-group statistics AND the Bloom sidecar), then
+    serve the 20 smallest conv_ids through
+    :meth:`CdcEngine.get_conversations` — partition-pruned, row-group-
+    pruned, bloom-screened.  The oracle filters the SQL LWW winners to
+    the same id set, certifying that the entire pruned read path
+    returns exactly the full-scan answer."""
+    from nyc_taxi_data_pipeline_ray.pipelines.relational import (
+        _events_as_transcript_wal,
+    )
+
+    root = "/tmp/nyc_ray_q_point_lookup"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir)
+    eng.compact(force=True)
+    import pyarrow.parquet as _pq
+
+    ev = _pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ids = ["u" + str(u) for u in sorted(set(ev["user_id"].to_pylist()))[:20]]
+    t = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.get_conversations(ids + ["u-missing"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ],
+        promote_options="default",
+    )
+    out = t.select(["conv_id", "turn_idx", "text", "ts", "lsn"]).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+def q_cdc_reshard(sf_dir: str) -> pd.DataFrame:
+    """Scale-out resharding, driver-visible: replay half the WAL, reshard
+    4 -> 7 partitions, apply the REMAINING epoch to the resharded lake,
+    and return its snapshot — which the oracle (the full-replay LWW
+    winners) certifies byte-for-byte.  The in-query assertion witnesses
+    layout-independent convergence via the XOR checksum against the
+    un-resharded source."""
+    import os as _os
+
+    root = "/tmp/nyc_ray_q_reshard"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root)
+    eng.apply(wal_dir, max_epochs=1)
+    eng2 = eng.reshard(_os.path.join(root, "lake7"), 7)
+    eng.apply(wal_dir)
+    eng2.apply(wal_dir)
+    assert eng2.checksum() == eng.checksum()
+    snap = eng2.snapshot_table()
+    out = snap.select(["conv_id", "turn_idx", "text", "ts", "lsn"]).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def q_corpus_refresh(sf_dir: str) -> pd.DataFrame:
     """Incremental corpus refresh, driver-visible: replay the
     events-as-transcripts WAL epoch by epoch and keep the
