@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": R.q_global_rank,
         "weighted_median": R.q_weighted_median,
         "value_minmax_scaled": R.q_value_minmax_scaled,
+        "lexical_diversity": T.q_lexical_diversity,
+        "user_max_gap": R.q_user_max_gap,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1620,6 +1622,32 @@ def oracle_sql() -> dict[str, str]:
                    upper(text) as text_upper,
                    lsn
             from w order by conv_id, turn_idx
+        """,
+        # type-token ratio from exact per-doc ints
+        "lexical_diversity": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x != '') as toks
+              from documents)
+            select doc_id,
+                   cast(len(toks) as bigint) as n_tokens,
+                   cast(len(list_distinct(toks)) as bigint) as n_types,
+                   case when len(toks) > 0
+                        then cast(len(list_distinct(toks)) as double)
+                             / cast(len(toks) as double) end as ttr
+            from t order by doc_id
+        """,
+        # longest silence between consecutive events, exact microseconds
+        "user_max_gap": """
+            with d as (
+              select user_id,
+                     cast(date_diff('microsecond',
+                          lag(ts) over (partition by user_id order by ts),
+                          ts) as double) as gap
+              from events)
+            select user_id, max(gap) as max_gap_us
+            from d group by user_id order by user_id
         """,
         # lower weighted median: smallest value whose doubled running
         # weight reaches the group total (integer comparisons)

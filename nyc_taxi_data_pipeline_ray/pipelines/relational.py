@@ -4473,3 +4473,44 @@ def q_value_minmax_scaled(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def q_user_max_gap(sf_dir: str) -> pd.DataFrame:
+    """Maximum inactivity gap per user — the churn-risk feature
+    (longest silence between consecutive events), exact in integer
+    microseconds.  One custkey-style user-hash bucket shuffle
+    co-locates each user's events; the bucket task sorts once and
+    diffs consecutive timestamps vectorized for EVERY user in the
+    bucket (the ``q_customer_running_total`` plan).  Users with a
+    single event report NULL (no gap exists)."""
+    NB = 32
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("bucket", b)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], ignore_index=True)
+        g = df.groupby("user_id", sort=False)
+        # exact integer microseconds (total_seconds() would round at
+        # 1e11-us magnitudes), then float for the NULL-able output
+        d = g["ts"].transform(lambda s: s.astype("int64")).diff()
+        d[df["user_id"].ne(df["user_id"].shift())] = np.nan
+        out = (
+            pd.DataFrame({"user_id": df["user_id"], "gap": d})
+            .groupby("user_id", as_index=False)["gap"]
+            .max()
+        )
+        out["max_gap_us"] = out["gap"]  # float64 with NaN for 1-event users
+        return out[["user_id", "max_gap_us"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True)

@@ -3389,3 +3389,43 @@ def q_langid_confusion(sf_dir: str) -> pd.DataFrame:
         np.float64
     )
     return cells.sort_values(["lang", "pred_lang"], ignore_index=True)
+
+
+def q_lexical_diversity(sf_dir: str) -> rd.Dataset:
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (low TTR = repetitive boilerplate, the cheap complement to
+    the Gopher repetition stats): distinct tokens / total tokens, both
+    exact ints per doc, the ratio one IEEE division.  Pure per-batch
+    kernel work (the `_tokens` split + one np.unique per doc segment),
+    no shuffle, streaming Dataset out."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = _tokens(pc.utf8_lower(t["text"]))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        flat_arr = toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))[keep]
+        flat = flat[keep]
+        n_tok = np.bincount(doc_of, minlength=t.num_rows).astype(np.int64)
+        # distinct per doc: sort (doc, token), count group boundaries
+        if len(flat):
+            order = np.lexsort((flat, doc_of))
+            sd, sf = doc_of[order], flat[order]
+            new = np.concatenate([[True], (sd[1:] != sd[:-1]) | (sf[1:] != sf[:-1])])
+            n_types = np.bincount(sd[new], minlength=t.num_rows).astype(np.int64)
+        else:
+            n_types = np.zeros(t.num_rows, np.int64)
+        ttr = np.where(n_tok > 0, n_types / np.maximum(n_tok, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
