@@ -2,12 +2,16 @@
 
 Image/audio/video are opaque ``binary`` columns with typed metadata
 columns; decode / feature-extract / resize / frame-sample run as
-actor-pool ``map_batches`` stages.  The decode libraries (PIL, ffmpeg,
-torchaudio...) are NOT in this container, so the byte->pixels step is
-STUBBED: ``DecodeMedia`` tries the real import and otherwise uses a
-deterministic fake decoder (payload-hash-seeded), keeping all the
-Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — real and tested.
+actor-pool ``map_batches`` stages.
+
+The decode step is REAL for the formats the standard library can
+handle: **PPM (P6) images** are parsed and nearest-neighbor-resized in
+numpy, **WAV (PCM16) audio** is decoded with ``wave`` and
+frame-sampled for per-second RMS energy — actual bytes -> pixels ->
+features, not a simulation.  Container formats that require external
+codecs (JPEG/PNG/MP3/MP4: PIL / ffmpeg are not in this container) fall
+back to a deterministic payload-hash feature stub, clearly separated;
+``require_real=True`` makes an unsupported payload an error instead.
 
 Scale note: binary payloads dominate block size; batches are sized in
 rows here but the stage accepts ``batch_size`` so callers keep
@@ -16,6 +20,9 @@ large binary rows -> small batches).
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -36,16 +43,92 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ------------------------------------------------------------------ encoders
+def _encode_ppm(rng: np.random.Generator, w: int, h: int) -> bytes:
+    """Real P6 PPM: ASCII header + raw RGB24 (deterministic pixels)."""
+    pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pix.tobytes()
+
+
+def _encode_wav(rng: np.random.Generator, sr: int, dur_ms: int) -> bytes:
+    """Real RIFF/WAV, mono PCM16: a seeded tone + noise."""
+    n = max(int(sr * dur_ms / 1000), 1)
+    t = np.arange(n) / sr
+    f = float(rng.integers(100, 2000))
+    sig = 0.6 * np.sin(2 * np.pi * f * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------------ decoders
+def decode_ppm(b: bytes) -> np.ndarray:
+    """P6 PPM -> (h, w, 3) uint8, pure numpy."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = []
+    pos = 2
+    while len(parts) < 3:  # w, h, maxval (comments not generated here)
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _ = parts
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV -> (sample_rate, int16 samples), stdlib only."""
+    with wave.open(io.BytesIO(b), "rb") as wf:
+        sr = wf.getframerate()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
+    return sr, pcm
+
+
+def nn_resize(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index maps."""
+    h, w = img.shape[:2]
+    ri = (np.arange(th) * h // th).clip(0, h - 1)
+    ci = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
 def synthetic_media_table(n: int = 200, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded random bytes)."""
+    """Deterministic media rows with REAL encoded payloads: P6 images
+    and PCM16 WAVs whose metadata matches the encoded content, plus a
+    small share of 'codec-needed' payloads exercising the stub path."""
     rng = np.random.default_rng(seed)
-    kinds = np.where(rng.random(n) < 0.6, "image", "audio")
-    payload = [rng.integers(0, 256, int(rng.integers(64, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
+    r = rng.random(n)
+    kinds = np.where(r < 0.55, "image", np.where(r < 0.9, "audio", "image"))
+    needs_codec = r >= 0.9  # stands in for JPEG/PNG rows
+    payload: list[bytes] = []
+    width = np.zeros(n, np.int32)
+    height = np.zeros(n, np.int32)
+    sr_arr = np.zeros(n, np.int32)
+    dur = np.zeros(n, np.int32)
+    for i in range(n):
+        if kinds[i] == "image":
+            w = int(rng.integers(8, 64))
+            h = int(rng.integers(8, 64))
+            width[i], height[i] = w, h
+            if needs_codec[i]:  # opaque "compressed" bytes (no codec here)
+                payload.append(b"\xff\xd8" + rng.bytes(int(rng.integers(64, 512))))
+            else:
+                payload.append(_encode_ppm(rng, w, h))
+        else:
+            sr = int(rng.choice([8000, 16000]))
+            d = int(rng.integers(100, 1500))
+            sr_arr[i], dur[i] = sr, d
+            payload.append(_encode_wav(rng, sr, d))
     is_img = kinds == "image"
-    width = np.where(is_img, rng.integers(32, 1920, n), 0).astype(np.int32)
-    height = np.where(is_img, rng.integers(32, 1080, n), 0).astype(np.int32)
-    sr = np.where(~is_img, rng.choice([8000, 16000, 44100], n), 0).astype(np.int32)
-    dur = np.where(~is_img, rng.integers(100, 60_000, n), 0).astype(np.int32)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -53,51 +136,92 @@ def synthetic_media_table(n: int = 200, seed: int = 42) -> pa.Table:
             "payload": pa.array(payload, pa.binary()),
             "width": pa.array(np.where(is_img, width, None), pa.int32()),
             "height": pa.array(np.where(is_img, height, None), pa.int32()),
-            "sample_rate": pa.array(np.where(~is_img, sr, None), pa.int32()),
+            "sample_rate": pa.array(np.where(~is_img, sr_arr, None), pa.int32()),
             "duration_ms": pa.array(np.where(~is_img, dur, None), pa.int32()),
         }
     )
 
 
 class DecodeMedia:
-    """Actor-pool decode stage.  Real decoders load once in __init__
-    (the model-load-per-actor pattern); absent libs -> deterministic
-    fake decode so the pipeline shape stays testable."""
+    """Actor-pool decode stage (setup once per actor in ``__init__``,
+    per-batch work in ``__call__``).
 
-    def __init__(self, *, require_real: bool = False):
-        self.real = False
-        try:  # pragma: no cover - PIL not in this container
-            from PIL import Image  # noqa: F401
+    REAL paths: P6 PPM -> numpy pixels -> aspect-preserving NN resize
+    to ``max_dim`` -> 16-bin luminance histogram (L1-normalized);
+    WAV -> PCM16 samples -> per-second RMS frames -> 16-dim normalized
+    energy profile.  Unknown formats (JPEG et al. — codecs absent from
+    this container) use a deterministic payload-histogram stub, or
+    raise with ``require_real=True``."""
 
-            self.real = True
-        except ImportError:
-            if require_real:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg, not present "
-                    "in this environment; run with require_real=False for the "
-                    "deterministic stub decoder"
-                )
+    def __init__(self, *, require_real: bool = False, max_dim: int = 224):
+        self.require_real = require_real
+        self.max_dim = max_dim
+
+    def _image_features(self, b: bytes) -> np.ndarray:
+        img = decode_ppm(b)
+        h, w = img.shape[:2]
+        scale = min(1.0, self.max_dim / max(h, w))
+        th, tw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+        img = nn_resize(img, tw, th)
+        # real luminance (Rec.601 integer approx), 16-bin histogram
+        lum = (
+            299 * img[..., 0].astype(np.int64)
+            + 587 * img[..., 1].astype(np.int64)
+            + 114 * img[..., 2].astype(np.int64)
+        ) // 1000
+        hist = np.bincount((lum >> 4).ravel(), minlength=16).astype(np.float64)
+        return hist / max(hist.sum(), 1)
+
+    def _audio_features(self, b: bytes) -> np.ndarray:
+        sr, pcm = decode_wav(b)
+        if len(pcm) == 0:
+            return np.zeros(16)
+        # frame-sample: per-second windows, RMS energy each
+        n_frames = min(max(int(np.ceil(len(pcm) / sr)), 1), 16)
+        feats = np.zeros(16)
+        for i in range(n_frames):
+            seg = pcm[i * sr : (i + 1) * sr].astype(np.float64)
+            if len(seg):
+                feats[i] = np.sqrt((seg**2).mean())
+        s = feats.sum()
+        return feats / s if s > 0 else feats
+
+    def _stub_features(self, b: bytes) -> np.ndarray:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+        return hist / max(hist.sum(), 1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
-        # deterministic "decode": feature vector from payload bytes
         feats = np.zeros((len(payloads), 16), np.float64)
         sizes = np.zeros(len(payloads), np.int64)
+        real = np.zeros(len(payloads), bool)
         for i, b in enumerate(payloads):
-            arr = np.frombuffer(b, dtype=np.uint8)
-            sizes[i] = len(arr)
-            # 16 byte-histogram buckets, L1-normalized: a stand-in embedding
-            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-            feats[i] = hist / max(hist.sum(), 1)
+            sizes[i] = len(b)
+            if b.startswith(b"P6"):
+                feats[i] = self._image_features(b)
+                real[i] = True
+            elif b.startswith(b"RIFF"):
+                feats[i] = self._audio_features(b)
+                real[i] = True
+            elif self.require_real:
+                raise NotImplementedError(
+                    "payload needs an external codec (JPEG/PNG/MP3...) not "
+                    "present in this environment; run with require_real=False "
+                    "for the deterministic stub features"
+                )
+            else:
+                feats[i] = self._stub_features(b)
         out = t.drop_columns(["payload"])
         out = out.append_column("payload_bytes", pa.array(sizes))
+        out = out.append_column("real_decode", pa.array(real))
         out = out.append_column("features", pa.array(list(feats)))
         return out
 
 
 def resize_spec(t: pa.Table, *, max_dim: int = 224) -> pa.Table:
     """Resize planning stage (vectorized): target dims preserving aspect
-    ratio, capped at max_dim — the transform a real decoder would apply."""
+    ratio, capped at max_dim — the plan ``DecodeMedia`` executes."""
     w = t["width"].to_numpy(zero_copy_only=False).astype(np.float64)
     h = t["height"].to_numpy(zero_copy_only=False).astype(np.float64)
     scale = np.minimum(1.0, max_dim / np.maximum(np.maximum(w, h), 1))
