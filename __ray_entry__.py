@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_minmax_scaled": R.q_value_minmax_scaled,
         "lexical_diversity": T.q_lexical_diversity,
         "user_max_gap": R.q_user_max_gap,
+        "user_entropy": R.q_user_entropy,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1637,6 +1638,22 @@ def oracle_sql() -> dict[str, str]:
                         then cast(len(list_distinct(toks)) as double)
                              / cast(len(toks) as double) end as ttr
             from t order by doc_id
+        """,
+        # integer-quantized Shannon surprisal per user (char_surprisal
+        # scheme: floor-log2 of exact counts via length(bin(x))-1)
+        "user_entropy": """
+            with g as (
+              select user_id, event_type, cast(count(*) as bigint) as c
+              from events group by 1, 2),
+            t as (
+              select user_id, cast(sum(c) as bigint) as tot from g group by 1)
+            select g.user_id,
+                   cast(sum(g.c) as bigint) as n_events,
+                   cast(sum(g.c * ((length(bin(t.tot)) - 1)
+                                 - (length(bin(g.c)) - 1))) as bigint)
+                     as surprisal_bits
+            from g join t using (user_id)
+            group by g.user_id order by g.user_id
         """,
         # longest silence between consecutive events, exact microseconds
         "user_max_gap": """

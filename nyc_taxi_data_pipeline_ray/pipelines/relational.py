@@ -4514,3 +4514,53 @@ def q_user_max_gap(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id", ignore_index=True)
+
+
+def q_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-diversity score per user — integer-quantized Shannon
+    surprisal of each user's event-type mix (1-type bots score 0;
+    uniform explorers score high), the engagement feature cohort
+    models consume.  Same exactness scheme as ``q_char_surprisal``:
+    per-type bits are ``floor(log2(n_user)) - floor(log2(c_type))``
+    summed with integer weights — no libm, order-free, hash-stable.
+
+    Distributed shape: per-block distinct ``(user, type, count)``
+    combiner (users x types rows per block), one user-hash bucket
+    exchange, per-bucket vectorized fold."""
+    NB = 32
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+        b = pc.cast(
+            pc.bit_wise_and(g["user_id"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        tot = g.groupby("user_id")["c"].transform("sum").to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+
+        def flog2(x):
+            return np.frexp(x.astype(np.float64))[1].astype(np.int64) - 1
+
+        bits = c * (flog2(tot) - flog2(c))
+        out = pd.DataFrame({"user_id": g["user_id"], "n": c, "bits": bits})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_events=("n", "sum"), surprisal_bits=("bits", "sum")
+        )
+        return agg
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True)
