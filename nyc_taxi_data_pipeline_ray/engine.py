@@ -1549,6 +1549,114 @@ class CdcEngine:
         hist = hist.append_column("is_winner", pa.array(winners))
         return hist.take(pa.array(order))
 
+    def checksum_partitions(self) -> dict[int, dict]:
+        """Per-partition content digests — the Merkle level below
+        :meth:`checksum`: two same-layout lakes (a replica pair, or
+        source and `reshard` target at equal partition counts) compare
+        P small digests and drill into ONLY the partitions that
+        disagree, instead of shipping rows.  One Ray task per
+        partition, same row encoding as the global checksum (which
+        equals the XOR of these)."""
+        cols = [f.name for f in schemas.TRANSCRIPT_SCHEMA]
+        lake_path = self.cfg.path
+        pids = self._live_pids()
+        if not pids:
+            return {}
+
+        def one(batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            out_pid, out_x, out_n = [], [], []
+            for pid in batch["pid"].to_pylist():
+                state = _read_partition_state(lake_path, int(pid))
+                x = np.uint64(0)
+                n = 0
+                if state is not None and state.num_rows:
+                    n = state.num_rows
+                    pieces = []
+                    for c in cols:
+                        col = state[c] if c in state.schema.names else pa.nulls(n, pa.string())
+                        if pa.types.is_timestamp(col.type):
+                            col = pc.cast(pc.cast(col, pa.int64()), pa.string())
+                        elif not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+                            col = pc.cast(col, pa.string())
+                        pieces.append(pc.fill_null(col, ""))
+                    enc = pieces[0]
+                    for p in pieces[1:]:
+                        enc = pc.binary_join_element_wise(enc, p, "|")
+                    for s in enc.to_pylist():
+                        x ^= np.frombuffer(
+                            hashlib.md5(s.encode()).digest()[8:], dtype=np.uint64
+                        )[0]
+                out_pid.append(int(pid))
+                out_x.append(np.int64(x.view(np.int64)))
+                out_n.append(n)
+            return pa.table(
+                {
+                    "pid": pa.array(out_pid, pa.int32()),
+                    "x": pa.array(out_x, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        ds = rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int32())}))
+        df = (
+            ds.repartition(len(pids))
+            .map_batches(one, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        return {
+            int(r.pid): {"checksum": int(r.x), "rows": int(r.n)}
+            for r in df.itertuples()
+        }
+
+    def antientropy_diff(self, other: "CdcEngine") -> pa.Table:
+        """Merkle-style anti-entropy between two SAME-LAYOUT lakes:
+        compare per-partition digests, then compute before/after key
+        diffs ONLY for the partitions that disagree (partition-local,
+        one Ray task each; agreeing partitions ship one int).  Returns
+        the :data:`DIFF_SCHEMA` table of keys whose LWW winner differs
+        (``before`` = this lake, ``after`` = other) — the repair
+        worklist replication (``export_changes_as_wal``) or a targeted
+        backfill then closes.  The divergence-detection primitive every
+        multi-region lake pair needs."""
+        if self.cfg.num_partitions != other.cfg.num_partitions:
+            raise ValueError(
+                "anti-entropy diff needs equal partition layouts; reshard "
+                f"first ({self.cfg.num_partitions} != {other.cfg.num_partitions})"
+            )
+        mine = self.checksum_partitions()
+        theirs = other.checksum_partitions()
+        stale = sorted(
+            pid
+            for pid in set(mine) | set(theirs)
+            if mine.get(pid) != theirs.get(pid)
+        )
+        if not stale:
+            return _empty_diff()
+        a_path, b_path = self.cfg.path, other.cfg.path
+
+        def diff_one(batch: pa.Table) -> pa.Table:
+            outs = [
+                _diff_states(
+                    _read_partition_state(a_path, int(pid)),
+                    _read_partition_state(b_path, int(pid)),
+                )
+                for pid in batch["pid"].to_pylist()
+            ]
+            outs = [o for o in outs if o.num_rows]
+            return pa.concat_tables(outs) if outs else _empty_diff()
+
+        ds = rd.from_arrow(pa.table({"pid": pa.array(stale, pa.int32())}))
+        batches = [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in ds.repartition(len(stale))
+            .map_batches(diff_one, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow")
+        ]
+        t = pa.concat_tables(batches or [_empty_diff()], promote_options="default")
+        return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
     def get_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's current turns, in order.
 

@@ -1099,3 +1099,60 @@ def test_incremental_replication_converges(tmp_path):
     exp = oracle.replay(gen.events_table())
     cols = sorted(exp.schema.names)
     assert eng_b.snapshot_table().select(cols).equals(exp.select(cols))
+
+
+def test_antientropy_diff_between_replicas(tmp_path):
+    """Merkle-style anti-entropy: per-partition digests agree on
+    converged replicas; after the target misses an epoch, the diff
+    names exactly the diverged keys — computed only over mismatched
+    partitions — and replication repairs it back to digest equality."""
+    from nyc_taxi_data_pipeline_ray.engine import _diff_states  # noqa: F401
+
+    spec = WalSpec(
+        seed=83, num_conversations=60, num_epochs=2, events_per_epoch=900,
+        p_update=0.4, p_delete=0.1,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    for _ in range(spec.num_epochs):  # one commit group per epoch
+        eng.apply(wal, max_epochs=1)
+
+    # replica: full convergence via replication
+    twal = os.path.join(str(tmp_path), "twal")
+    tlake = os.path.join(str(tmp_path), "tlake")
+    eng.export_changes_as_wal(twal, after_epoch=-1)
+    eng2 = CdcEngine(LakeConfig.open_or_create(tlake, num_partitions=4))
+    eng2.apply(twal)
+    assert eng.checksum_partitions() == eng2.checksum_partitions()
+    assert eng.antientropy_diff(eng2).num_rows == 0
+
+    # diverge: a stale replica holding only epoch 0
+    s_wal = os.path.join(str(tmp_path), "swal")
+    s_lake = os.path.join(str(tmp_path), "slake")
+    eng.export_changes_as_wal(s_wal, after_epoch=-1, through_epoch=0)
+    eng3 = CdcEngine(LakeConfig.open_or_create(s_lake, num_partitions=4))
+    eng3.apply(s_wal)
+    d = eng.antientropy_diff(eng3)
+    assert d.num_rows > 0
+    # the diverged keys are exactly the keys whose winner changed
+    # between epoch 0 and now on the source
+    exp = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.table(b)
+            for b in eng.diff(from_epoch=0).iter_batches(batch_format="pyarrow")
+        ],
+        promote_options="default",
+    )
+    got_keys = set(zip(d["conv_id"].to_pylist(), d["turn_idx"].to_pylist()))
+    exp_keys = set(zip(exp["conv_id"].to_pylist(), exp["turn_idx"].to_pylist()))
+    assert got_keys == exp_keys
+
+    # repair: ship the missing window into the replica's feed (epoch
+    # numbers accumulate per feed dir), digests re-converge
+    eng.export_changes_as_wal(s_wal, after_epoch=0)
+    eng3.apply(s_wal)
+    assert eng.antientropy_diff(eng3).num_rows == 0
+
+    # layout mismatch is refused
+    eng7 = eng.reshard(os.path.join(str(tmp_path), "lake7"), 7)
+    with pytest.raises(ValueError):
+        eng.antientropy_diff(eng7)
