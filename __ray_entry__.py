@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": T.q_lexical_diversity,
         "user_max_gap": R.q_user_max_gap,
         "user_entropy": R.q_user_entropy,
+        "rank_sum_test": R.q_rank_sum_test,
+        "revenue_gini": R.q_revenue_gini,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1638,6 +1640,46 @@ def oracle_sql() -> dict[str, str]:
                         then cast(len(list_distinct(toks)) as double)
                              / cast(len(toks) as double) end as ttr
             from t order by doc_id
+        """,
+        # Mann-Whitney U with deterministic (value, event_id) tie-break:
+        # ranks are exact distinct ints, U is exact
+        "rank_sum_test": """
+            with r as (
+              select event_id, value,
+                     case when isodow(ts) >= 6 then 'weekend'
+                          else 'weekday' end as grp,
+                     row_number() over (order by value, event_id) as rnk
+              from events),
+            u as (
+              select cast(sum(rnk) - (count(*) * (count(*) + 1)) // 2
+                          as bigint) as u1
+              from r where grp = 'weekday')
+            select grp, cast(count(*) as bigint) as n,
+                   cast(sum(rnk) as bigint) as rsum,
+                   (select u1 from u) as u_weekday
+            from r group by grp order by grp
+        """,
+        # exact-integer Gini: cents totals, distinct ranks, one division
+        "revenue_gini": """
+            with t as (
+              select o_custkey,
+                     cast(sum(cast(round(o_totalprice * 100, 0) as bigint))
+                          as bigint) as cents
+              from orders group by 1),
+            r as (
+              select o_custkey, cents,
+                     row_number() over (order by cents, o_custkey) as rnk
+              from t),
+            a as (
+              select cast(count(*) as bigint) as n,
+                     cast(sum(cents) as bigint) as s,
+                     cast(sum(rnk * cents) as bigint) as rs
+              from r)
+            select n as n_customers, s as total_cents,
+                   rs as rank_weighted_cents,
+                   cast(2 * rs - (n + 1) * s as double)
+                     / cast(n * s as double) as gini
+            from a
         """,
         # integer-quantized Shannon surprisal per user (char_surprisal
         # scheme: floor-log2 of exact counts via length(bin(x))-1)

@@ -4564,3 +4564,187 @@ def q_user_entropy(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id", ignore_index=True)
+
+
+def q_rank_sum_test(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney rank-sum statistic between weekend and weekday
+    event values — the nonparametric two-sample location test
+    (complements the chi-square independence test in the monitoring
+    family).  Ranks are EXACT distinct integers under the
+    ``(value, event_id)`` total order (deterministic tie-break, so U is
+    an exact int both engines agree on); the rank machinery is
+    ``q_global_rank``'s range partitioning — bin histogram, driver
+    offsets, one bin exchange — with per-bin partial rank-sums per
+    group folded at the driver.  Outputs n per group, rank sums, and
+    the U statistic."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+    mm = _footer_min_max(sf_dir, "events", "value")
+    assert mm is not None
+    lo, hi = mm
+    n_bins = 4096
+    width = (hi - lo) / n_bins or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "grp": pa.array(np.where(dow >= 5, "weekend", "weekday")),
+                "bin": pa.array(bin_of(v), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        counts = np.bincount(t["bin"].to_numpy(zero_copy_only=False), minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    parts = tagged.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(n_bins, np.int64)
+    agg = parts.groupby("bin")["n"].sum()
+    hist[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+
+    def ranksum_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ignore_index=True)
+        base = int(offsets[int(df["bin"].iloc[0])])
+        df["rank"] = base + np.arange(1, len(df) + 1)
+        g = df.groupby("grp", as_index=False).agg(n=("rank", "size"), rsum=("rank", "sum"))
+        return g
+
+    partials = (
+        tagged.groupby("bin")
+        .map_groups(ranksum_bin, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = partials.groupby("grp", as_index=False)[["n", "rsum"]].sum()
+    agg = agg.sort_values("grp", ignore_index=True)
+    n_by = dict(zip(agg["grp"], agg["n"]))
+    r_by = dict(zip(agg["grp"], agg["rsum"]))
+    n1 = int(n_by.get("weekday", 0))
+    r1 = int(r_by.get("weekday", 0))
+    u1 = r1 - n1 * (n1 + 1) // 2
+    agg["u_weekday"] = np.int64(u1)
+    return agg[["grp", "n", "rsum", "u_weekday"]].astype(
+        {"n": "int64", "rsum": "int64"}
+    )
+
+
+def q_revenue_gini(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality metric behind "top 1% of customers drive X%" analyses —
+    computed EXACTLY: revenues become integer cents (the 2-dp price
+    grid is exact in cents), ranks come from ``q_global_rank``'s range
+    partitioning, and ``G = (2*sum(rank*cents) - (n+1)*sum(cents)) /
+    (n*sum(cents))`` is evaluated on exact int sums with one final
+    IEEE division — no float accumulation anywhere.
+
+    Plan: per-customer cent totals via a custkey-bucket combine (one
+    exchange), materialized ONCE in the object store (distributed, not
+    driver); then the rank machinery over the totals — min/max
+    aggregate, bin histogram partials, driver offsets, one bin
+    exchange emitting per-bin exact partial sums of rank*cents."""
+    NB = 32
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), ndigits=0),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "cents"])
+        )
+        b = pc.cast(
+            pc.bit_wise_and(g["o_custkey"], pa.scalar(NB - 1, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    totals = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+
+    import ray.data.aggregate as agg_mod
+
+    mm = totals.aggregate(agg_mod.Min("cents"), agg_mod.Max("cents"))
+    lo, hi = float(mm["min(cents)"]), float(mm["max(cents)"])
+    width = (hi - lo) / n_bins or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = bin_of(t["cents"].to_numpy(zero_copy_only=False))
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    parts = totals.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(n_bins, np.int64)
+    h = parts.groupby("bin")["n"].sum()
+    hist[h.index.to_numpy()] = h.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bin_of(t["cents"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": t["cents"],
+                "gbin": pa.array(b, pa.int64()),
+            }
+        )
+
+    def gini_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
+        df = df.sort_values(["cents", "o_custkey"], ignore_index=True)
+        base = int(offsets[int(df["gbin"].iloc[0])])
+        rank = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [len(df)],
+                "s": [int(c.sum())],
+                "rs": [int((rank * c).sum())],
+            }
+        )
+
+    partials = (
+        totals.map_batches(tag, batch_format="pyarrow")
+        .groupby("gbin")
+        .map_groups(gini_bin, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(partials["n"].sum())
+    s_tot = int(partials["s"].sum())
+    rs = int(partials["rs"].sum())
+    # double-cast numerator and denominator separately, matching the
+    # SQL cast(...) / cast(...) exactly even past 2^53
+    gini = float(2 * rs - (n + 1) * s_tot) / float(n * s_tot)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([s_tot], dtype="int64"),
+            "rank_weighted_cents": pd.Series([rs], dtype="int64"),
+            "gini": pd.Series([gini], dtype="float64"),
+        }
+    )
