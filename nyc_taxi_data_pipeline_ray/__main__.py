@@ -165,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True)
 
     sp = sub.add_parser(
+        "antientropy",
+        help="Merkle-style replica comparison: per-partition digests, "
+        "key diff only for mismatched partitions",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--other", required=True, help="replica lake directory")
+    sp.add_argument("--out", default=None, help="write the key diff as Parquet")
+
+    sp = sub.add_parser(
         "wal-gc",
         help="delete WAL epoch dirs the lake has fully committed",
     )
@@ -394,6 +403,25 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     json.dumps({"out": args.out} | sidx.lookup_stats(args.value))
                 )
+        elif args.cmd == "antientropy":
+            other = CdcEngine(LakeConfig.load(args.other))
+            d = eng.antientropy_diff(other)
+            if args.out:
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                _os.makedirs(args.out, exist_ok=True)
+                _pq.write_table(d, _os.path.join(args.out, "diff.parquet"))
+            print(
+                json.dumps(
+                    {
+                        "diverged_keys": d.num_rows,
+                        "in_sync": d.num_rows == 0,
+                        **({"out": args.out} if args.out else {}),
+                    }
+                )
+            )
         elif args.cmd == "wal-gc":
             print(json.dumps(eng.wal_gc(args.wal)))
         elif args.cmd == "reshard":

@@ -51,6 +51,12 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     tgt = str(tmp_path / "lake9")
     assert main(["reshard", "--lake", lake, "--target", tgt, "--partitions", "9"]) == 0
 
+    rep_lake = str(tmp_path / "replica")
+    rep_wal = str(tmp_path / "replica_wal")
+    assert main(["replicate", "--lake", lake, "--out-wal", rep_wal]) == 0
+    assert main(["apply", "--wal", rep_wal, "--lake", rep_lake, "--partitions", "4"]) == 0
+    assert main(["antientropy", "--lake", lake, "--other", rep_lake]) == 0
+
     dtab = str(tmp_path / "derived")
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
