@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": R.q_user_entropy,
         "rank_sum_test": R.q_rank_sum_test,
         "revenue_gini": R.q_revenue_gini,
+        "spearman_drift": R.q_spearman_drift,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1658,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(rnk) as bigint) as rsum,
                    (select u1 from u) as u_weekday
             from r group by grp order by grp
+        """,
+        # Spearman rho on exact distinct ranks (deterministic ties)
+        "spearman_drift": """
+            with r as (
+              select o_orderkey,
+                     row_number() over (order by o_orderdate, o_orderkey) as ra,
+                     row_number() over (order by o_totalprice, o_orderkey) as rb
+              from orders),
+            a as (
+              select cast(count(*) as bigint) as n,
+                     cast(sum((ra - rb) * (ra - rb)) as bigint) as d2
+              from r)
+            select n as n_orders, d2 as sum_d2,
+                   1.0 - cast(6 * d2 as double)
+                         / cast(n * (n * n - 1) as double) as spearman_rho
+            from a
         """,
         # exact-integer Gini: cents totals, distinct ranks, one division
         "revenue_gini": """

@@ -4748,3 +4748,132 @@ def q_revenue_gini(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
             "gini": pd.Series([gini], dtype="float64"),
         }
     )
+
+
+def q_spearman_drift(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between order DATE and order PRICE —
+    the monotonic-drift detector ("is revenue per order trending up?")
+    that Pearson misses when the trend is nonlinear.  Both variables
+    get EXACT distinct integer ranks under deterministic tie-breaks
+    ((date, key) and (price, key)), so rho reduces to the classic
+    ``1 - 6*sum(d^2) / (n(n^2-1))`` on exact integer sums — one final
+    double division, hash-stable.
+
+    Distributed shape: one custkey... rather ORDERKEY-bucket exchange
+    co-locates each order's two ranks; ranks themselves come from two
+    passes of the ``q_global_rank`` range-partition machinery (bin
+    histograms + driver offsets, no payload all-to-all); per-bucket
+    partial ``sum(d^2)`` ints fold at the driver."""
+    n_bins = 4096
+    NB = 32
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def ranks_for(colname: str, key_arrow: str):
+        """(orderkey -> global rank) as a Dataset of (key, rank)."""
+        if colname == "date":
+            conv = lambda t: pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+        else:
+            conv = lambda t: t["o_totalprice"].to_numpy(zero_copy_only=False)
+
+        # global min/max via a tiny aggregate pass
+        def mm_part(t: pa.Table) -> pa.Table:
+            v = conv(t)
+            return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+        mm = ds.map_batches(mm_part, batch_format="pyarrow").to_pandas()
+        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+        width = (hi - lo) / n_bins or 1.0
+
+        def bin_of(v):
+            return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+
+        def hist_part(t: pa.Table) -> pa.Table:
+            counts = np.bincount(bin_of(conv(t)), minlength=n_bins)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+            )
+
+        parts = ds.map_batches(hist_part, batch_format="pyarrow").to_pandas()
+        hist = np.zeros(n_bins, np.int64)
+        h = parts.groupby("bin")["n"].sum()
+        hist[h.index.to_numpy()] = h.to_numpy()
+        offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+
+        def tag(t: pa.Table) -> pa.Table:
+            v = conv(t)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "v": pa.array(v, pa.float64()),
+                    "bin": pa.array(bin_of(v), pa.int64()),
+                }
+            )
+
+        def rank_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
+            df = df.sort_values(["v", "o_orderkey"], ignore_index=True)
+            base = int(offsets[int(df["bin"].iloc[0])])
+            df["rank"] = base + np.arange(1, len(df) + 1, dtype=np.int64)
+            return df[["o_orderkey", "rank"]]
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bin")
+            .map_groups(rank_bin, batch_format="pandas")
+        )
+
+    ra = ranks_for("date", "o_orderdate")
+    rb = ranks_for("price", "o_totalprice")
+
+    def a_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
+                    pa.int32(),
+                ),
+                "o_orderkey": t["o_orderkey"],
+                "ra": t["rank"],
+                "rb": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def b_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
+                    pa.int32(),
+                ),
+                "o_orderkey": t["o_orderkey"],
+                "ra": pa.nulls(t.num_rows, pa.int64()),
+                "rb": t["rank"],
+            }
+        )
+
+    def d2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["ra"].notna()][["o_orderkey", "ra"]]
+        b = df[df["rb"].notna()][["o_orderkey", "rb"]]
+        m = a.merge(b, on="o_orderkey")
+        d = m["ra"].astype(np.int64) - m["rb"].astype(np.int64)
+        return pd.DataFrame({"n": [len(m)], "d2": [int((d * d).sum())]})
+
+    parts = (
+        ra.map_batches(a_side, batch_format="pyarrow")
+        .union(rb.map_batches(b_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(d2_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    d2 = int(parts["d2"].sum())
+    rho = 1.0 - float(6 * d2) / float(n * (n * n - 1))
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n], dtype="int64"),
+            "sum_d2": pd.Series([d2], dtype="int64"),
+            "spearman_rho": pd.Series([rho], dtype="float64"),
+        }
+    )
