@@ -1156,3 +1156,28 @@ def test_antientropy_diff_between_replicas(tmp_path):
     eng7 = eng.reshard(os.path.join(str(tmp_path), "lake7"), 7)
     with pytest.raises(ValueError):
         eng.antientropy_diff(eng7)
+
+
+def test_reshard_with_evolved_schema(tmp_path):
+    """Reshard a lake whose WAL evolved mid-stream (added `model`
+    column, widened turn_idx): the moved bases carry the evolved
+    schema and the remaining epochs still converge on the new
+    layout."""
+    spec = WalSpec(
+        seed=97,
+        num_conversations=60,
+        num_epochs=3,
+        events_per_epoch=700,
+        evolve_at_epoch=1,
+        p_update=0.3,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal, max_epochs=2)  # evolution included
+    eng2 = eng.reshard(os.path.join(str(tmp_path), "lake5"), 5)
+    assert eng2.checksum() == eng.checksum()
+    snap2 = eng2.snapshot_table()
+    assert "model" in snap2.schema.names
+    eng.apply(wal)
+    eng2.apply(wal)
+    assert eng2.checksum() == eng.checksum()
+    _assert_equal_state(eng2, gen)
