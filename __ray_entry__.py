@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_sum_test": R.q_rank_sum_test,
         "revenue_gini": R.q_revenue_gini,
         "spearman_drift": R.q_spearman_drift,
+        "dedup_impact": T.q_dedup_impact,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1659,6 +1660,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(rnk) as bigint) as rsum,
                    (select u1 from u) as u_weekday
             from r group by grp order by grp
+        """,
+        # one-row dedup release report from exact int counts
+        "dedup_impact": r"""
+            with n as (
+              select doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\s+', ' ', 'g')) as nd,
+                     cast(array_length(regexp_split_to_array(trim(text), '\s+'))
+                          as bigint) as n_tokens
+              from documents),
+            w as (
+              select doc_id, n_tokens,
+                     doc_id != min(doc_id) over (partition by nd) as is_dup
+              from n)
+            select cast(count(*) as bigint) as n_docs,
+                   cast(sum(case when is_dup then 1 else 0 end) as bigint)
+                     as n_dup_docs,
+                   cast(sum(n_tokens) as bigint) as tokens_total,
+                   cast(sum(case when is_dup then n_tokens else 0 end) as bigint)
+                     as tokens_dropped,
+                   cast(sum(case when is_dup then 1 else 0 end) as double)
+                     / cast(count(*) as double) as pct_docs_dropped,
+                   cast(sum(case when is_dup then n_tokens else 0 end) as double)
+                     / cast(sum(n_tokens) as double) as pct_tokens_dropped
+            from w
         """,
         # Spearman rho on exact distinct ranks (deterministic ties)
         "spearman_drift": """

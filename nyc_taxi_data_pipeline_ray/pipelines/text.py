@@ -3429,3 +3429,73 @@ def q_lexical_diversity(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_dedup_impact(sf_dir: str) -> pd.DataFrame:
+    """Dedup impact report — the release-notes aggregate every corpus
+    drop ships ("dedup removed X% of documents, Y% of tokens"): exact
+    dedup on normalized text (smallest-doc_id winner, the
+    ``corpus_prep`` election) summarized to one row of exact integer
+    counts, with the two percentages as single divisions.
+
+    Distributed shape: per-batch (digest, doc_id, n_tokens) rows
+    (24-byte digests, not documents), ONE digest-bucket shuffle
+    co-locates each text's duplicate set, per-bucket single-row count
+    partials fold at the driver — bucket-count rows, never corpus
+    rows."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = _normalize_col(t["text"])
+        toks = pc.list_value_length(_tokens(t["text"]))
+        digest = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()
+        ]
+        d = pa.array(digest, pa.string())
+        # bucket on the first 2 hex chars of the digest (256 buckets)
+        b = np.array([int(x[:2], 16) for x in digest], np.int32)
+        return pa.table(
+            {
+                "digest": d,
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["digest", "doc_id"], ignore_index=True)
+        dup = df["digest"].duplicated()
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "n_dup_docs": [int(dup.sum())],
+                "tokens_total": [int(df["n_tokens"].sum())],
+                "tokens_dropped": [int(df.loc[dup, "n_tokens"].sum())],
+            }
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    n_docs = int(parts["n_docs"].sum())
+    n_dup = int(parts["n_dup_docs"].sum())
+    tok = int(parts["tokens_total"].sum())
+    tok_drop = int(parts["tokens_dropped"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_dup_docs": pd.Series([n_dup], dtype="int64"),
+            "tokens_total": pd.Series([tok], dtype="int64"),
+            "tokens_dropped": pd.Series([tok_drop], dtype="int64"),
+            "pct_docs_dropped": pd.Series(
+                [float(n_dup) / float(n_docs)], dtype="float64"
+            ),
+            "pct_tokens_dropped": pd.Series(
+                [float(tok_drop) / float(tok)], dtype="float64"
+            ),
+        }
+    )
