@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": R.q_revenue_gini,
         "spearman_drift": R.q_spearman_drift,
         "dedup_impact": T.q_dedup_impact,
+        "benford_digits": R.q_benford_digits,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1660,6 +1661,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(rnk) as bigint) as rsum,
                    (select u1 from u) as u_weekday
             from r group by grp order by grp
+        """,
+        # first digit from the decimal string of exact integer cents
+        "benford_digits": """
+            with c as (
+              select left(cast(cast(round(o_totalprice * 100, 0) as bigint)
+                               as varchar), 1) as digit
+              from orders),
+            g as (select digit, cast(count(*) as bigint) as n from c group by 1),
+            t as (select cast(sum(n) as bigint) as tot from g)
+            select g.digit, g.n,
+                   cast(g.n as double) / cast(t.tot as double) as share
+            from g cross join t order by g.digit
         """,
         # one-row dedup release report from exact int counts
         "dedup_impact": r"""

@@ -4877,3 +4877,41 @@ def q_spearman_drift(sf_dir: str) -> pd.DataFrame:
             "spearman_rho": pd.Series([rho], dtype="float64"),
         }
     )
+
+
+def q_benford_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit analysis of order totals — the fraud /
+    data-fabrication screen from forensic accounting (natural
+    multiplicative data follows log-ish first-digit frequencies;
+    fabricated numbers don't).  Exactness: the first digit is taken
+    from the DECIMAL STRING of exact integer cents (no log10, no float
+    thresholds), counts are additive ints, and the observed share is
+    one division per digit.
+
+    Distributed shape: 9-bucket count partials per block (digits x 1
+    int), driver fold — the cheapest combiner in the repo."""
+    ds = _rp(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), ndigits=0),
+            pa.int64(),
+        )
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        g = (
+            pa.table({"digit": first})
+            .group_by("digit")
+            .aggregate([([], "count_all")])
+            .rename_columns(["digit", "n"])
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("digit", as_index=False)["n"].sum()
+    total = int(agg["n"].sum())
+    agg["share"] = agg["n"].astype(np.float64) / np.float64(total)
+    return (
+        agg.sort_values("digit", ignore_index=True)
+        .astype({"n": "int64"})
+        [["digit", "n", "share"]]
+    )
