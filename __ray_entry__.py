@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_drift": R.q_spearman_drift,
         "dedup_impact": T.q_dedup_impact,
         "benford_digits": R.q_benford_digits,
+        "seasonal_revenue": R.q_seasonal_revenue,
         "langid_confusion": T.q_langid_confusion,
         # order-independent lake content checksum (anti-entropy)
         "cdc_checksum": R.q_cdc_checksum,
@@ -1661,6 +1662,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(rnk) as bigint) as rsum,
                    (select u1 from u) as u_weekday
             from r group by grp order by grp
+        """,
+        # date-spine dim join: weekend flag uses DuckDB dayofweek
+        # (Sun=0..Sat=6), matching the spine's convention
+        "seasonal_revenue": """
+            select cast(year(o_orderdate) as bigint) as year,
+                   cast(quarter(o_orderdate) as bigint) as quarter,
+                   dayofweek(o_orderdate) in (0, 6) as is_weekend,
+                   cast(count(distinct date_trunc('day', o_orderdate)) as bigint)
+                     as n_days,
+                   round(sum(o_totalprice), 2) as revenue
+            from orders
+            group by 1, 2, 3 order by 1, 2, 3
         """,
         # first digit from the decimal string of exact integer cents
         "benford_digits": """

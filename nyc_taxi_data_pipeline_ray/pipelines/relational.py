@@ -4915,3 +4915,51 @@ def q_benford_digits(sf_dir: str) -> pd.DataFrame:
         .astype({"n": "int64"})
         [["digit", "n", "share"]]
     )
+
+
+def q_seasonal_revenue(sf_dir: str) -> pd.DataFrame:
+    """Seasonality mart via the GENERATED date-spine dimension (the
+    dbt `dim_date` join every calendar-aware mart does,
+    ``dim_date.sql:6-82``): revenue by (year, quarter, weekend flag),
+    where quarter and weekend come from the spine's attributes, not
+    recomputed ad hoc — the spine is built once over the fact's date
+    range and joined to the DAYS-cardinality revenue combine (the
+    fact table itself never joins anything).
+
+    The oracle recomputes the same attributes with SQL date functions
+    (the `date_spine` oracle already certifies they agree), so this
+    certifies the dim JOIN end-to-end."""
+    from nyc_taxi_data_pipeline_ray.sources.dims import date_spine
+
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t["o_orderdate"], unit="day")
+        g = (
+            pa.table({"day": d, "rev": t["o_totalprice"]})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["day", "rev"])
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("day", as_index=False)["rev"]
+        .sum()
+    )
+    daily["day"] = pd.to_datetime(daily["day"])
+    # date_spine's end bound is exclusive (np.arange semantics)
+    spine = date_spine(
+        str(daily["day"].min().date()),
+        str((daily["day"].max() + pd.Timedelta(days=1)).date()),
+    ).to_pandas()[["date_day", "year", "quarter", "is_weekend"]]
+    m = daily.merge(spine, left_on="day", right_on="date_day", how="inner")
+    out = m.groupby(["year", "quarter", "is_weekend"], as_index=False).agg(
+        n_days=("day", "size"), revenue=("rev", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return (
+        out.sort_values(["year", "quarter", "is_weekend"], ignore_index=True)
+        .astype({"year": "int64", "quarter": "int64", "n_days": "int64"})
+    )
