@@ -1370,7 +1370,7 @@ def q_repeat_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.Dat
     return out.sort_values("o_custkey", ignore_index=True)
 
 
-def q_churned_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.DataFrame:
+def q_churned_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> rd.Dataset:
     """Set difference (EXCEPT): customers who ordered in ``y1`` but not
     in ``y2`` — the churn cohort, completing the set-op family next to
     INTERSECT (``q_repeat_customers``, whose physical plan this
@@ -1404,13 +1404,11 @@ def q_churned_customers(sf_dir: str, *, y1: int = 1995, y2: int = 1996) -> pd.Da
         keep = years[(years["min"] == y1) & (years["max"] == y1)].index.to_numpy()
         return pd.DataFrame({"o_custkey": np.sort(keep)})
 
-    out = (
+    return (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(only_y1, batch_format="pandas")
-        .to_pandas()
     )
-    return out.sort_values("o_custkey", ignore_index=True)
 
 
 # --------------------------------------------------------------------------
@@ -4203,7 +4201,7 @@ def q_daily_gapfill_locf(sf_dir: str) -> pd.DataFrame:
     return out[["day", "rev", "is_filled"]].reset_index(drop=True)
 
 
-def q_power_users(sf_dir: str) -> pd.DataFrame:
+def q_power_users(sf_dir: str) -> rd.Dataset:
     """RELATIONAL DIVISION — "users who performed EVERY event type" —
     the classic all-quantified join (suppliers-who-supply-all-parts)
     no join/aggregate primitive expresses directly.  Division reduces
@@ -4246,12 +4244,7 @@ def q_power_users(sf_dir: str) -> pd.DataFrame:
         keep = np.sort(c[c == n_types].index.to_numpy())
         return pd.DataFrame({"user_id": keep})
 
-    out = (
-        tagged.groupby("bucket")
-        .map_groups(divide, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values("user_id", ignore_index=True).astype({"user_id": "int64"})
+    return tagged.groupby("bucket").map_groups(divide, batch_format="pandas")
 
 
 def q_global_rank(sf_dir: str, *, n_bins: int = 4096) -> rd.Dataset:
@@ -4475,7 +4468,7 @@ def q_value_minmax_scaled(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(scale, batch_format="pyarrow")
 
 
-def q_user_max_gap(sf_dir: str) -> pd.DataFrame:
+def q_user_max_gap(sf_dir: str) -> rd.Dataset:
     """Maximum inactivity gap per user — the churn-risk feature
     (longest silence between consecutive events), exact in integer
     microseconds.  One custkey-style user-hash bucket shuffle
@@ -4507,16 +4500,14 @@ def q_user_max_gap(sf_dir: str) -> pd.DataFrame:
         out["max_gap_us"] = out["gap"]  # float64 with NaN for 1-event users
         return out[["user_id", "max_gap_us"]]
 
-    out = (
+    return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(gaps, batch_format="pandas")
-        .to_pandas()
     )
-    return out.sort_values("user_id", ignore_index=True)
 
 
-def q_user_entropy(sf_dir: str) -> pd.DataFrame:
+def q_user_entropy(sf_dir: str) -> rd.Dataset:
     """Behavioral-diversity score per user — integer-quantized Shannon
     surprisal of each user's event-type mix (1-type bots score 0;
     uniform explorers score high), the engagement feature cohort
@@ -4557,13 +4548,11 @@ def q_user_entropy(sf_dir: str) -> pd.DataFrame:
         )
         return agg
 
-    out = (
+    return (
         ds.map_batches(pre, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
-        .to_pandas()
     )
-    return out.sort_values("user_id", ignore_index=True)
 
 
 def q_rank_sum_test(sf_dir: str) -> pd.DataFrame:
