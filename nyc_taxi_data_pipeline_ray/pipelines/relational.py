@@ -4757,7 +4757,7 @@ def q_spearman_drift(sf_dir: str) -> pd.DataFrame:
     NB = 32
     ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
 
-    def ranks_for(colname: str, key_arrow: str):
+    def ranks_for(colname: str):
         """(orderkey -> global rank) as a Dataset of (key, rank)."""
         if colname == "date":
             conv = lambda t: pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
@@ -4813,8 +4813,8 @@ def q_spearman_drift(sf_dir: str) -> pd.DataFrame:
             .map_groups(rank_bin, batch_format="pandas")
         )
 
-    ra = ranks_for("date", "o_orderdate")
-    rb = ranks_for("price", "o_totalprice")
+    ra = ranks_for("date")
+    rb = ranks_for("price")
 
     def a_side(t: pa.Table) -> pa.Table:
         return pa.table(
