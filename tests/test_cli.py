@@ -56,6 +56,8 @@ def test_cli_feeds_and_view(tmp_path, capsys):
     assert main(["replicate", "--lake", lake, "--out-wal", rep_wal]) == 0
     assert main(["apply", "--wal", rep_wal, "--lake", rep_lake, "--partitions", "4"]) == 0
     assert main(["antientropy", "--lake", lake, "--other", rep_lake]) == 0
+    assert main(["wal-gc", "--lake", rep_lake, "--wal", rep_wal]) == 0
+    assert main(["lag", "--wal", rep_wal, "--lake", rep_lake]) == 0
 
     dtab = str(tmp_path / "derived")
     assert main(["derived-refresh", "--lake", lake, "--table", dtab]) == 0
