@@ -317,3 +317,63 @@ def test_consumers_on_resharded_lake(tmp_path):
     # a further epoch applied to the resharded lake refreshes
     # incrementally (reused > 0 when the epoch misses some partitions)
     assert mv.refresh()["refreshed"] == 0  # noop right after
+
+
+def test_consumers_after_backfill_and_purge(tmp_path):
+    """Corrections and retention travel through the CDC path, so every
+    incremental consumer converges after a backfill (redact texts) and
+    a TTL purge — each refresh is incremental (ledger-driven), and the
+    final states equal from-scratch transforms of the post-op lake."""
+    import pyarrow.compute as _pc
+
+    from nyc_taxi_data_pipeline_ray.state.derived import (
+        CorpusTable,
+        render_conversations,
+    )
+    from nyc_taxi_data_pipeline_ray.state.secondary_index import SecondaryIndex
+
+    wal, eng, dt = _build(str(tmp_path))
+    ct = CorpusTable(eng, os.path.join(str(tmp_path), "corpus"))
+    idx = SecondaryIndex(eng, os.path.join(str(tmp_path), "toolidx"), "tool")
+    eng.apply(wal)
+    dt.refresh(); ct.refresh(); idx.refresh()
+
+    # backfill: redact every user turn's text
+    def redact(t):
+        hit = t.filter(_pc.equal(t["role"], "user"))
+        return hit.set_column(
+            hit.schema.get_field_index("text"),
+            "text",
+            pa.array(["[REDACTED]"] * hit.num_rows, pa.string()),
+        )
+
+    max_ts = _pc.max(eng.snapshot_table()["ts"]).as_py()
+    import datetime as _dt
+
+    eng.backfill(wal, redact, ts=max_ts + _dt.timedelta(seconds=1))
+    r = dt.refresh()
+    assert r["refreshed"] >= 1
+    snap = eng.snapshot_table()
+    from nyc_taxi_data_pipeline_ray.state.derived import enrich_turns as _et
+
+    assert dt.table().equals(
+        _et(snap).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).combine_chunks()
+    )
+    user_rows = dt.table().filter(pc.equal(dt.table()["role"], "user"))
+    assert set(user_rows["text_upper"].to_pylist()) == {"[REDACTED]"}
+
+    # purge: tombstone everything older than the median ts
+    cutoff = sorted(snap["ts"].to_pylist())[snap.num_rows // 2]
+    eng.purge(wal, older_than=cutoff)
+    dt.refresh(); ct.refresh(); idx.refresh()
+    snap2 = eng.snapshot_table()
+    assert snap2.num_rows < snap.num_rows
+    assert dt.table().num_rows == snap2.num_rows
+    assert ct.table().equals(
+        render_conversations(snap2).sort_by([("conv_id", "ascending")]).combine_chunks()
+    )
+    tools = sorted({t for t in snap2["tool"].to_pylist() if t})
+    if tools:
+        st = idx.lookup_stats(tools)
+        want = snap2.filter(pc.is_in(snap2["tool"], value_set=pa.array(tools))).num_rows
+        assert st["hits"] == want
