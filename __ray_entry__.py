@@ -2623,14 +2623,21 @@ def oracle_sql() -> dict[str, str]:
                      t.turn_idx, 'user' as role, r.event_type as text,
                      cast(null as varchar) as tool, r.ts, r.event_id as lsn
               from r join t using (event_type) where rn = 1)
+            -- each field length-prefixed (len:value) before the '|' join:
+            -- the injective canonical encoding the engine uses
+            , e as (
+              select list_transform(
+                       [coalesce(conv_id, ''), cast(turn_idx as varchar),
+                        coalesce(role, ''), coalesce(text, ''),
+                        coalesce(tool, ''), cast(epoch_us(ts) as varchar),
+                        cast(lsn as varchar)],
+                       v -> cast(length(v) as varchar) || ':' || v) as fs
+              from w)
             , x as (
               select cast(count(*) as bigint) as n_rows,
-                     cast(bit_xor(md5_number_lower(concat_ws('|',
-                         coalesce(conv_id, ''), cast(turn_idx as varchar),
-                         coalesce(role, ''), coalesce(text, ''),
-                         coalesce(tool, ''), cast(epoch_us(ts) as varchar),
-                         cast(lsn as varchar)))) as hugeint) as cs
-              from w)
+                     cast(bit_xor(md5_number_lower(
+                         list_aggregate(fs, 'string_agg', '|'))) as hugeint) as cs
+              from e)
             select n_rows,
                    cast(case when cs >= 9223372036854775808
                              then cs - 18446744073709551616

@@ -211,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out-wal", required=True)
     sp.add_argument("--after-epoch", type=int, default=-1)
     sp.add_argument("--through-epoch", type=int, default=None)
+    sp.add_argument(
+        "--target-lake",
+        default=None,
+        help="consuming lake: number the exported epoch past ITS committed "
+        "ledger (required for correctness after wal-gc of the feed dir)",
+    )
 
     sp = sub.add_parser("get", help="point lookup: print one conversation's turns")
     sp.add_argument("--lake", required=True)
@@ -386,10 +392,16 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(DerivedTable(eng, args.table, enrich_turns).refresh()))
         elif args.cmd == "replicate":
+            tgt = (
+                CdcEngine(LakeConfig.load(args.target_lake))
+                if args.target_lake
+                else None
+            )
             ep = eng.export_changes_as_wal(
                 args.out_wal,
                 after_epoch=args.after_epoch,
                 through_epoch=args.through_epoch,
+                target=tgt,
             )
             print(json.dumps({"out_wal": args.out_wal, "epoch": ep}))
         elif args.cmd in ("sidx-refresh", "sidx-lookup"):

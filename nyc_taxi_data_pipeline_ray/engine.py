@@ -1139,6 +1139,8 @@ class CdcEngine:
         *,
         after_epoch: int = -1,
         through_epoch: int | None = None,
+        target: "CdcEngine | None" = None,
+        epoch: int | None = None,
     ) -> int | None:
         """Cross-lake replication bridge: export the change feed as ONE
         WAL epoch another :class:`CdcEngine` can ``apply``.  Delta runs
@@ -1149,9 +1151,33 @@ class CdcEngine:
         there exactly as it did here.  Pair with :meth:`checksum` on
         both sides to verify convergence without moving rows again.
         Incremental: run per consumer watermark window; rows stream
-        straight from the feed Dataset into the target's WAL files."""
+        straight from the feed Dataset into the target's WAL files.
+
+        Epoch numbering: the exported epoch must be new TO THE TARGET —
+        a number the target's committed ledger already contains would
+        make its ``apply`` silently skip the data (possible after
+        ``wal_gc`` of the feed dir, or when two sources replicate into
+        one target).  Pass ``target`` (the consuming engine) so the
+        number is derived from the TARGET's committed ledger plus the
+        feed-dir contents, or supply a monotone ``epoch`` yourself
+        (e.g. a replication watermark).  Without either, the fallback
+        uses the feed dir plus this SOURCE's ledger — correct only for
+        the single-source, un-gc'd-feed topology."""
         feed = self.changes(after_epoch=after_epoch, through_epoch=through_epoch)
-        epoch = self._next_wal_epoch(out_wal_dir)
+        if epoch is None:
+            if target is not None:
+                present = [-1]
+                if os.path.isdir(out_wal_dir):
+                    for name in os.listdir(out_wal_dir):
+                        m = _EPOCH_DIR_RE.match(name)
+                        if m:
+                            present.append(int(m.group(1)))
+                committed = target._global_committed()
+                if committed:
+                    present.append(max(committed))
+                epoch = max(present) + 1
+            else:
+                epoch = self._next_wal_epoch(out_wal_dir)
 
         def stamp(t: pa.Table) -> pa.Table:
             drop = [c for c in ("change_group", "epoch") if c in t.schema.names]
@@ -1221,18 +1247,20 @@ class CdcEngine:
         compared by exchanging ONE 64-bit digest instead of rows.
 
         XOR of per-row 64-bit md5 digests over a canonical row encoding
-        ('|'-joined values, nulls as '', timestamps as epoch
-        microseconds).  XOR is a commutative monoid, so each partition
-        folds its own rows locally and the driver folds ~P partials —
-        no row ever moves, and the result is independent of partition
-        count, merge order, and compaction state.  Mirrors the SQL
-        ``bit_xor(md5_number_lower(concat_ws('|', ...)))`` exactly (the
-        per-row md5 is a Python loop — no Arrow md5 kernel — like the
-        fingerprint op; at 10^10 rows swap in a vectorized 128-bit
-        hash on both sides).
+        (each field length-prefixed as ``<charlen>:<value>``, fields
+        '|'-joined, nulls as '', timestamps as epoch microseconds; the
+        length prefix makes the encoding injective across column
+        boundaries — ('a|b','c') and ('a','b|c') encode differently,
+        the same guarantee ``state/derived._key_of`` uses).  XOR is a
+        commutative monoid, so each partition folds its own rows
+        locally and the driver folds ~P partials — no row ever moves,
+        and the result is independent of partition count, merge order,
+        and compaction state.  Mirrors the SQL
+        ``bit_xor(md5_number_lower(concat_ws('|', length(v) || ':' ||
+        v, ...)))`` exactly (the per-row md5 is a Python loop — no
+        Arrow md5 kernel — like the fingerprint op; at 10^10 rows swap
+        in a vectorized 128-bit hash on both sides).
         """
-        import hashlib
-
         cols = columns or [f.name for f in schemas.TRANSCRIPT_SCHEMA]
         snap = self.snapshot(columns=cols, as_of_epoch=as_of_epoch)
 
@@ -1242,24 +1270,7 @@ class CdcEngine:
                 return pa.table(
                     {"x": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
                 )
-            pieces = []
-            for c in cols:
-                col = t[c]
-                if pa.types.is_timestamp(col.type):
-                    col = pc.cast(pc.cast(col, pa.int64()), pa.string())
-                elif not pa.types.is_string(col.type) and not pa.types.is_large_string(
-                    col.type
-                ):
-                    col = pc.cast(col, pa.string())
-                pieces.append(pc.fill_null(col, ""))
-            enc = pieces[0]
-            for p in pieces[1:]:
-                enc = pc.binary_join_element_wise(enc, p, "|")
-            x = np.uint64(0)
-            for s in enc.to_pylist():
-                x ^= np.frombuffer(
-                    hashlib.md5(s.encode()).digest()[8:], dtype=np.uint64
-                )[0]
+            x = _fold_md5_xor(_canon_rows(t, cols))
             return pa.table(
                 {
                     "x": pa.array([np.int64(x.view(np.int64))], pa.int64()),
@@ -1282,12 +1293,22 @@ class CdcEngine:
         marker carrying the content checksum.  Re-running against an
         unchanged lake is a NO-OP (marker checksum matches — nothing is
         rewritten); after new commits the export rewrites and
-        re-commits.  A crashed export leaves no marker, so consumers
-        never see a partial snapshot and the retry simply overwrites
+        re-commits.  A crashed export leaves no marker (any previous
+        marker is REMOVED before part files are touched, so a torn
+        rewrite can never hide behind a stale ``_SUCCESS``), consumers
+        never see a partial snapshot, and the retry simply overwrites
         deterministic bytes — the resumable-output contract
-        (per-partition files, never one giant file)."""
+        (per-partition files, never one giant file).  The lake's
+        single-writer lease is held for the duration, so the marker
+        checksum is computed over exactly the partition states the part
+        files were exported from (no apply/compact can interleave
+        between the checksum pass and the per-partition reads)."""
         import json
 
+        with _LakeLease(self.cfg.path):
+            return self._export_snapshot_locked(out_dir, as_of_epoch, json)
+
+    def _export_snapshot_locked(self, out_dir: str, as_of_epoch, json) -> dict:
         cs = self.checksum(as_of_epoch=as_of_epoch)
         marker = os.path.join(out_dir, "_SUCCESS")
         try:
@@ -1298,6 +1319,13 @@ class CdcEngine:
         except (OSError, ValueError):
             pass
         os.makedirs(out_dir, exist_ok=True)
+        # invalidate FIRST: from here until the new marker lands, readers
+        # must treat the directory as uncommitted (crash-mid-rewrite would
+        # otherwise leave the old marker over a mix of old and new parts)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
         lake_path = self.cfg.path
         pids = self._live_pids()
 
@@ -1379,6 +1407,11 @@ class CdcEngine:
         partition-layout invariant by construction."""
         if os.path.exists(os.path.join(target_path, "_lake.json")):
             raise ValueError(f"target lake already exists: {target_path}")
+        # _lake.json is written LAST (below), so its absence over a non-empty
+        # directory identifies a crashed previous reshard: wipe the leftovers
+        # so the retry rebuilds from scratch instead of mixing generations.
+        if os.path.isdir(target_path) and os.listdir(target_path):
+            shutil.rmtree(target_path)
         src = self.cfg
         tgt_cfg = LakeConfig(
             path=target_path,
@@ -1397,7 +1430,6 @@ class CdcEngine:
             lake_path = src.path
             stage_dir = os.path.join(target_path, "_reshard")
             os.makedirs(stage_dir, exist_ok=True)
-            tgt_cfg.save()
             row_group_rows = tgt_cfg.base_row_group_rows
 
             def split_one(batch: pa.Table) -> pa.Table:
@@ -1504,6 +1536,10 @@ class CdcEngine:
                         os.path.join(src_epochs, name), os.path.join(tgt_epochs, name)
                     )
             shutil.rmtree(stage_dir, ignore_errors=True)
+            # completion marker LAST: an interrupted reshard leaves no
+            # _lake.json, so it can't pass for a healthy lake and the retry's
+            # crashed-attempt sweep (above) cleans it up automatically.
+            tgt_cfg.save()
         return CdcEngine(tgt_cfg)
 
     def key_history(self, conv_id: str) -> pa.Table:
@@ -1519,15 +1555,24 @@ class CdcEngine:
         pid = int(
             hash_partition_ids(pa.array([conv_id], pa.string()), self.cfg.num_partitions)[0]
         )
-        outs = []
-        for path in _partition_run_paths(self.cfg.path, pid):
-            t, _, _ = _read_run_pruned(path, [conv_id])
-            if t is not None and t.num_rows:
-                outs.append(
-                    t.drop_columns(
-                        [c for c in (mg.NSRC, mg.RUN_SEQ) if c in t.schema.names]
+
+        def _collect() -> list[pa.Table]:
+            outs = []
+            for path in _partition_run_paths(self.cfg.path, pid):
+                t, _, _ = _read_run_pruned(path, [conv_id])
+                if t is not None and t.num_rows:
+                    outs.append(
+                        t.drop_columns(
+                            [c for c in (mg.NSRC, mg.RUN_SEQ) if c in t.schema.names]
+                        )
                     )
-                )
+            return outs
+
+        # one retry on the reader-vs-compactor unlink race (cf. _partition_runs)
+        try:
+            outs = _collect()
+        except FileNotFoundError:
+            outs = _collect()
         if not outs:
             return pa.table(
                 {
@@ -1564,8 +1609,6 @@ class CdcEngine:
             return {}
 
         def one(batch: pa.Table) -> pa.Table:
-            import hashlib
-
             out_pid, out_x, out_n = [], [], []
             for pid in batch["pid"].to_pylist():
                 state = _read_partition_state(lake_path, int(pid))
@@ -1573,21 +1616,7 @@ class CdcEngine:
                 n = 0
                 if state is not None and state.num_rows:
                     n = state.num_rows
-                    pieces = []
-                    for c in cols:
-                        col = state[c] if c in state.schema.names else pa.nulls(n, pa.string())
-                        if pa.types.is_timestamp(col.type):
-                            col = pc.cast(pc.cast(col, pa.int64()), pa.string())
-                        elif not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
-                            col = pc.cast(col, pa.string())
-                        pieces.append(pc.fill_null(col, ""))
-                    enc = pieces[0]
-                    for p in pieces[1:]:
-                        enc = pc.binary_join_element_wise(enc, p, "|")
-                    for s in enc.to_pylist():
-                        x ^= np.frombuffer(
-                            hashlib.md5(s.encode()).digest()[8:], dtype=np.uint64
-                        )[0]
+                    x = _fold_md5_xor(_canon_rows(state, cols))
                 out_pid.append(int(pid))
                 out_x.append(np.int64(x.view(np.int64)))
                 out_n.append(n)
@@ -2237,6 +2266,48 @@ def _diff_states(a: pa.Table | None, b: pa.Table | None) -> pa.Table:
     )
 
 
+def _canon_rows(t: pa.Table, cols: list[str]):
+    """Canonical INJECTIVE row encoding shared by :meth:`CdcEngine.checksum`
+    and :meth:`CdcEngine.checksum_partitions`: each field rendered as
+    ``<charlen>:<value>`` (nulls as ``0:``, timestamps as epoch
+    microseconds), fields joined with '|'.  The length prefix makes the
+    encoding injective across column boundaries — without it
+    ``('a|b','c')`` and ``('a','b|c')`` collide, so two divergent
+    replicas could checksum equal (same construction as
+    ``state/derived._key_of`` and the SQL oracle's
+    ``length(v) || ':' || v``)."""
+    n = t.num_rows
+    pieces = []
+    for c in cols:
+        col = t[c] if c in t.schema.names else pa.nulls(n, pa.string())
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(pc.cast(col, pa.int64()), pa.string())
+        elif not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "")
+        col = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(col), pa.string()), col, ":"
+        )
+        pieces.append(col)
+    enc = pieces[0]
+    for p in pieces[1:]:
+        enc = pc.binary_join_element_wise(enc, p, "|")
+    return enc
+
+
+def _fold_md5_xor(enc) -> np.uint64:
+    """XOR-fold little-endian uint64 of md5(row)[8:16] over encoded rows
+    (== DuckDB ``bit_xor(md5_number_lower(...))``)."""
+    import hashlib
+
+    x = np.uint64(0)
+    for s in enc.to_pylist():
+        x ^= np.frombuffer(hashlib.md5(s.encode()).digest()[8:], dtype=np.uint64)[0]
+    return x
+
+
 def _read_partition_state(
     lake_path: str, pid: int, as_of_epoch: int | None = None
 ) -> pa.Table | None:
@@ -2359,7 +2430,20 @@ def _read_keys_pruned(
     groups that can contain them.  Filtering each run by ``conv_id``
     before the merge preserves LWW exactly: every run's rows for a key
     either all pass or all fail the filter, and tombstones for the
-    requested keys are retained until the merge drops them."""
+    requested keys are retained until the merge drops them.
+
+    Same reader-vs-compactor race guard as :func:`_partition_runs`: a
+    concurrent ``compact()`` may unlink a just-listed base/delta; one
+    re-list + re-read sees the post-compaction layout."""
+    try:
+        return _read_keys_pruned_once(lake_path, pid, keys)
+    except FileNotFoundError:
+        return _read_keys_pruned_once(lake_path, pid, keys)
+
+
+def _read_keys_pruned_once(
+    lake_path: str, pid: int, keys: list[str]
+) -> tuple[pa.Table | None, int, int]:
     runs: list[pa.Table] = []
     read = total = 0
     for path in _partition_run_paths(lake_path, pid):

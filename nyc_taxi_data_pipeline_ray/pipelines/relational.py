@@ -4032,11 +4032,13 @@ def q_cdc_replicate(sf_dir: str) -> pd.DataFrame:
 
     wal_b = os.path.join(root, "wal_b")
     shutil.rmtree(wal_b, ignore_errors=True)
-    epoch = eng_a.export_changes_as_wal(wal_b)
-    assert epoch is not None
     eng_b = CdcEngine(
         LakeConfig.open_or_create(os.path.join(root, "lake_b"), num_partitions=8)
     )
+    # epoch numbered against the TARGET's committed ledger (engine.py
+    # export_changes_as_wal docstring): safe under feed wal-gc / multi-source
+    epoch = eng_a.export_changes_as_wal(wal_b, target=eng_b)
+    assert epoch is not None
     rep = eng_b.apply(wal_b)
     assert rep.rejects == 0, rep
     cs_a, cs_b = eng_a.checksum(), eng_b.checksum()

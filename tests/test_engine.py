@@ -1181,3 +1181,154 @@ def test_reshard_with_evolved_schema(tmp_path):
     eng2.apply(wal)
     assert eng2.checksum() == eng.checksum()
     _assert_equal_state(eng2, gen)
+
+
+def test_checksum_encoding_injective_across_columns():
+    """The canonical checksum row encoding is length-prefixed, so values
+    that straddle column boundaries cannot collide: ('a|b','c') and
+    ('a','b|c') must produce different digests (ADVICE: un-escaped
+    '|'-joins let divergent replicas checksum equal)."""
+    from nyc_taxi_data_pipeline_ray.engine import _canon_rows, _fold_md5_xor
+
+    a = pa.table({"x": ["a|b"], "y": ["c"]})
+    b = pa.table({"x": ["a"], "y": ["b|c"]})
+    ea, eb = _canon_rows(a, ["x", "y"]), _canon_rows(b, ["x", "y"])
+    assert ea.to_pylist() != eb.to_pylist()
+    assert _fold_md5_xor(ea) != _fold_md5_xor(eb)
+    # and the ':' in the prefix itself can't be confused with data
+    c = pa.table({"x": ["1:"], "y": [""]})
+    d = pa.table({"x": ["1"], "y": [":"]})
+    assert _canon_rows(c, ["x", "y"]).to_pylist() != _canon_rows(d, ["x", "y"]).to_pylist()
+
+
+def test_replication_epoch_numbered_past_target_after_feed_gc(tmp_path):
+    """Epoch-number reuse regression (ADVICE engine.py:1154): export
+    window 1, target applies + wal-gc's its feed, then export window 2.
+    With the epoch derived from the SOURCE's ledger both windows get the
+    same number and the target silently skips window 2; deriving it from
+    the TARGET's committed ledger keeps replication converging."""
+    spec = WalSpec(seed=53, num_conversations=40, num_epochs=2, events_per_epoch=400)
+    gen, wal, eng_a = _build(str(tmp_path), spec)
+    # source fully applied BEFORE either export, one commit group per
+    # epoch so the change feed can be windowed at epoch granularity
+    eng_a.apply(wal, max_epochs=1)
+    eng_a.apply(wal)
+    feed = os.path.join(str(tmp_path), "feed")
+    eng_b = CdcEngine(
+        LakeConfig.open_or_create(os.path.join(str(tmp_path), "lakeb"), num_partitions=4)
+    )
+    e1 = eng_a.export_changes_as_wal(feed, through_epoch=0, target=eng_b)
+    assert e1 is not None
+    assert eng_b.apply(feed).epochs == [e1]
+    eng_b.wal_gc(feed)  # supported flow: the applied feed epoch is reclaimed
+
+    e2 = eng_a.export_changes_as_wal(feed, after_epoch=0, target=eng_b)
+    assert e2 is not None and e2 > e1  # new TO THE TARGET despite the empty feed dir
+    assert eng_b.apply(feed).epochs == [e2]
+    assert eng_a.checksum() == eng_b.checksum()
+    # explicit caller-supplied epoch (replication watermark) also works
+    e3 = eng_a.export_changes_as_wal(feed, after_epoch=-1, epoch=e2 + 7)
+    assert e3 == e2 + 7
+
+
+def test_reshard_crash_is_detectable_and_retryable(tmp_path, monkeypatch):
+    """Completion-marker ordering (ADVICE engine.py:1462): a reshard that
+    crashes mid-way must NOT leave a target that looks like a healthy
+    lake, and the retry must succeed instead of failing on 'already
+    exists'."""
+    import nyc_taxi_data_pipeline_ray.engine as E
+
+    spec = WalSpec(seed=59, num_conversations=40, num_epochs=2, events_per_epoch=400)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    tgt = os.path.join(str(tmp_path), "tgt")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during _epochs copy")
+
+    monkeypatch.setattr(E.shutil, "copyfile", boom)
+    with pytest.raises(RuntimeError):
+        eng.reshard(tgt, 2)
+    # half-built target: data may exist but the completion marker must not
+    assert os.path.isdir(tgt)
+    assert not os.path.exists(os.path.join(tgt, "_lake.json"))
+    monkeypatch.undo()
+
+    eng2 = eng.reshard(tgt, 2)  # retry sweeps the crashed attempt and rebuilds
+    assert os.path.exists(os.path.join(tgt, "_lake.json"))
+    assert eng2.checksum() == eng.checksum()
+    _assert_equal_state(eng2, gen)
+
+
+def test_export_snapshot_invalidates_marker_before_rewrite(tmp_path, monkeypatch):
+    """Exactly-once export (ADVICE engine.py:1292): once a rewrite
+    starts, the OLD _SUCCESS marker must already be gone — a crash
+    mid-rewrite may never leave a valid marker over torn part files.
+    Also: the export takes the single-writer lease, so no apply can
+    interleave between the checksum pass and the partition reads."""
+    from nyc_taxi_data_pipeline_ray.engine import LakeLockedError, _LakeLease
+
+    spec = WalSpec(seed=61, num_conversations=40, num_epochs=2, events_per_epoch=400)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal, max_epochs=1)
+    out = os.path.join(str(tmp_path), "export")
+    assert not eng.export_snapshot(out)["skipped"]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    eng.apply(wal)  # change the lake so the next export rewrites
+
+    real_live = eng._live_pids
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        # call 1 is checksum()'s snapshot; call 2 is the export's own
+        # partition listing — AFTER the marker invalidation, BEFORE any
+        # part file is (re)written
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash before part writes")
+        return real_live()
+
+    monkeypatch.setattr(eng, "_live_pids", boom)
+    with pytest.raises(RuntimeError):
+        eng.export_snapshot(out)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))  # invalidated first
+    monkeypatch.undo()
+
+    r = eng.export_snapshot(out)
+    assert not r["skipped"]
+    assert r["checksum"] == eng.checksum()["checksum"]
+
+    # the export respects the lake's single-writer lease
+    with _LakeLease(eng.cfg.path):
+        with pytest.raises(LakeLockedError):
+            eng.export_snapshot(out)
+
+
+def test_pruned_point_lookups_retry_compactor_race(tmp_path, monkeypatch):
+    """Reader-vs-compactor guard for the PRUNED read path (ADVICE
+    engine.py:2355): one FileNotFoundError (compactor unlinked a listed
+    base) triggers a re-list + re-read instead of raising."""
+    import nyc_taxi_data_pipeline_ray.engine as E
+
+    spec = WalSpec(seed=67, num_conversations=40, num_epochs=2, events_per_epoch=400)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    key = eng.snapshot_table()["conv_id"][0].as_py()
+
+    real = E._read_run_pruned
+    calls = {"fail": 0}
+
+    def flaky(path, keys, column="conv_id"):
+        if calls["fail"] == 0:
+            calls["fail"] += 1
+            raise FileNotFoundError(path)
+        return real(path, keys, column)
+
+    monkeypatch.setattr(E, "_read_run_pruned", flaky)
+    t = eng.get_conversation(key)
+    assert calls["fail"] == 1 and t.num_rows > 0
+
+    calls["fail"] = 0
+    h = eng.key_history(key)
+    assert calls["fail"] == 1 and h.num_rows > 0
