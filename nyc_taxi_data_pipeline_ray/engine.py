@@ -160,6 +160,16 @@ def _stage_plan(
     return winners[forder], pid[forder], salt[forder], sizes[forder], bad_idx
 
 
+def _named(fn, name: str):
+    """map_groups requires a __name__; give a callable-class instance one
+    without losing its per-call state."""
+    def wrapped(group):
+        return fn(group)
+
+    wrapped.__name__ = name
+    return wrapped
+
+
 def _unit_name(u: dict) -> str:
     return f"e{u['epoch']:06d}-f{u['file_idx']:04d}-r{u['rg_lo']:05d}"
 
@@ -208,26 +218,42 @@ class _StageUnits:
         self.salt_shards = salt_shards
 
     def __call__(self, units: pa.Table) -> pa.Table:
+        """Returns the unit's row-group index EXPLODED to one metadata
+        row per (unit, pid, salt) slice — reject units marked pid = -1.
+        The slice index therefore lives in the object store as ordinary
+        Dataset rows and flows to Stage A2/B through a ``groupby``
+        exchange; the driver never holds the O(units x partitions)
+        consolidated map (at 10^10 events / 4096 partitions that map is
+        ~10 GB of driver heap)."""
         _ensure_worker_thread_limit()
         import json
 
-        out = {"unit": [], "rows": [], "row_groups": [], "index_json": []}
+        out_pid, out_salt, out_unit, out_rgs = [], [], [], []
         for u in units.to_pylist():  # tiny descriptor rows, not a data loop
             pf = pq.ParquetFile(u["path"])
             t = pf.read_row_groups(list(range(u["rg_lo"], u["rg_hi"] + 1)))
             if self.target_schema is not None:
                 t = mg.conform(t, self.target_schema)
-            index, nrg = self._write_fragments(t, u)
-            out["unit"].append(_unit_name(u))
-            out["rows"].append(t.num_rows)
-            out["row_groups"].append(nrg)
-            out["index_json"].append(json.dumps(index))
+            index, _ = self._write_fragments(t, u)
+            name = _unit_name(u)
+            for key, rgs in index.items():
+                if key == "rej":
+                    out_pid.append(-1)
+                    out_salt.append(0)
+                    out_unit.append(name)
+                    out_rgs.append("rej")
+                else:
+                    p, s = key.split(":")
+                    out_pid.append(int(p))
+                    out_salt.append(int(s))
+                    out_unit.append(name)
+                    out_rgs.append(json.dumps(rgs))
         return pa.table(
             {
-                "unit": pa.array(out["unit"], pa.string()),
-                "rows": pa.array(out["rows"], pa.int64()),
-                "row_groups": pa.array(out["row_groups"], pa.int64()),
-                "index_json": pa.array(out["index_json"], pa.string()),
+                "pid": pa.array(out_pid, pa.int32()),
+                "salt": pa.array(out_salt, pa.int32()),
+                "unit": pa.array(out_unit, pa.string()),
+                "rgs_json": pa.array(out_rgs, pa.string()),
             }
         )
 
@@ -277,11 +303,84 @@ class _StageUnits:
             index["rej"] = [len(bad_idx)]
         # index written last = the unit's atomic commit marker (sidecar is
         # for inspection/debugging; the authoritative copy travels in-band
-        # through the Stage-A task output to the driver)
+        # through the Stage-A task output into the A1.5 groupby, which
+        # consolidates it into per-pid index files — never onto the driver)
         _atomic_write_json_small(
             os.path.join(self.staging_dir, f"unit-{name}.idx.json"), index
         )
         return index, nrg
+
+
+def _slice_index_path(staging_dir: str, pid: int, salt: int | None = None) -> str:
+    if salt is None:
+        return os.path.join(staging_dir, f"slices-p{pid:04d}.json")
+    return os.path.join(staging_dir, f"slices-p{pid:04d}-s{salt:02d}.json")
+
+
+def _rej_index_path(staging_dir: str) -> str:
+    return os.path.join(staging_dir, "rej-units.json")
+
+
+class _ConsolidateSliceIndex:
+    """Stage A1.5 group task: fold Stage A's exploded slice-metadata rows
+    into per-partition JSON index files inside the staging dir — the
+    distributed replacement for the old driver-resident slice map (which
+    was O(units x partitions): ~10 GB of driver heap at the 10^10-event /
+    4096-partition target).
+
+    Runs as ``groupby("pid").map_groups``: the sort exchange may pack
+    several pids into one task (sampled boundaries collapse on duplicate
+    keys), which is harmless here — each group only writes a tiny JSON
+    file.  The HEAVY per-partition work (A2 pre-merge, Stage B merge)
+    then fans out with exact one-task-per-partition parallelism, each
+    task reading only its own index file."""
+
+    def __init__(self, staging_dir: str, salt_shards: int):
+        self.staging_dir = staging_dir
+        self.salt_shards = salt_shards
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import json
+
+        pid = int(group["pid"][0].as_py())
+        if pid < 0:  # dead-letter units, routed to partition 0 at merge time
+            units = sorted(set(group["unit"].to_pylist()))
+            _atomic_write_json_small(_rej_index_path(self.staging_dir), units)
+            return pa.table(
+                {"pid": pa.array([pid], pa.int32()), "entries": pa.array([len(units)], pa.int64())}
+            )
+        entries = sorted(
+            (int(s), u, json.loads(rj))
+            for s, u, rj in zip(
+                group["salt"].to_pylist(),
+                group["unit"].to_pylist(),
+                group["rgs_json"].to_pylist(),
+            )
+        )
+        if self.salt_shards > 1:
+            for salt in sorted({s for s, _, _ in entries}):
+                _atomic_write_json_small(
+                    _slice_index_path(self.staging_dir, pid, salt),
+                    [[u, rgs] for s, u, rgs in entries if s == salt],
+                )
+        else:
+            _atomic_write_json_small(
+                _slice_index_path(self.staging_dir, pid),
+                [[u, rgs] for _, u, rgs in entries],
+            )
+        return pa.table(
+            {"pid": pa.array([pid], pa.int32()), "entries": pa.array([len(entries)], pa.int64())}
+        )
+
+
+def _load_slice_index(path: str) -> list:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return []  # partition untouched by this group
 
 
 def _read_slices(staging_dir: str, slices: list[tuple[str, list[int]]]) -> pa.Table | None:
@@ -313,12 +412,15 @@ class _PreMergeSalts:
         self.staging_dir = staging_dir
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
+        """Per (pid, salt) descriptor row: read the pair's slice list from
+        its A1.5 index file (never shipped through the driver) and
+        pre-combine."""
         _ensure_worker_thread_limit()
-        import json
 
         out = {"pid": [], "salt": [], "rows": []}
         for p in pairs.to_pylist():
-            slices = json.loads(p["slices_json"])
+            pid, salt = int(p["pid"]), int(p["salt"])
+            slices = _load_slice_index(_slice_index_path(self.staging_dir, pid, salt))
             n = 0
             good = _read_slices(self.staging_dir, slices)
             if good is not None and good.num_rows:
@@ -328,10 +430,10 @@ class _PreMergeSalts:
                     sub = mg.resolve_lww(mg.with_run_seq(sub, 0), drop_tombstones=False)
                     parts.append(sub.drop_columns([mg.RUN_SEQ]))
                 good = mg.concat_unified(parts)
-                _atomic_write_parquet(_pre_path(self.staging_dir, p["pid"], p["salt"]), good)
+                _atomic_write_parquet(_pre_path(self.staging_dir, pid, salt), good)
                 n = good.num_rows
-            out["pid"].append(p["pid"])
-            out["salt"].append(p["salt"])
+            out["pid"].append(pid)
+            out["salt"].append(salt)
             out["rows"].append(n)
         return pa.table(out)
 
@@ -545,7 +647,17 @@ class CdcEngine:
             self.cfg.num_partitions,
             self.cfg.salt_shards,
         )
-        stage_rows = (
+        # Stage A's output is the exploded slice index — one metadata row
+        # per (unit, pid, salt), reject units as pid = -1.  Stage A1.5
+        # (chained onto the same execution) folds those rows into per-pid
+        # index FILES via a groupby exchange, so the driver never holds
+        # the consolidated O(units x partitions) map (~10 GB of Python
+        # objects at the 10^10-event / 4096-partition target).  The sort
+        # exchange may pack several pids into one A1.5 task (sampled
+        # boundaries collapse on duplicate keys) — harmless, each group
+        # just writes a tiny JSON; the heavy A2/B merges below keep exact
+        # one-task-per-partition fan-out by reading those files.
+        slice_rows = (
             rd.from_arrow(units)
             .repartition(units.num_rows)
             .map_batches(
@@ -554,40 +666,48 @@ class CdcEngine:
                 batch_size=None,
                 num_cpus=self.cfg.task_cpus,
             )
-            .take_all()
+            .materialize()
         )
         tt = _t("stage-A", tt)
+        # coalesce the tiny metadata rows before the exchange: the sort's
+        # cost is per-block task overhead, not data volume — ~128 MB of
+        # metadata per block keeps the exchange a handful of tasks at any
+        # scale (3e8 rows / ~10 GB at the 4096-partition target -> ~80
+        # blocks; a few KB at test scale -> 1 block)
+        n_meta_blocks = max(
+            1,
+            min(self.cfg.num_partitions, (slice_rows.size_bytes() or 0) // (128 << 20) + 1),
+        )
+        (
+            slice_rows.repartition(n_meta_blocks)
+            .groupby("pid")
+            .map_groups(
+                _named(
+                    _ConsolidateSliceIndex(staging_dir, self.cfg.salt_shards),
+                    "consolidate_slice_index",
+                ),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        tt = _t("stage-A1.5", tt)
 
-        # consolidate the per-unit row-group indexes (returned in-band by
-        # the Stage-A tasks): "pid:salt" -> [(unit, [row-group ordinals])]
-        import json
-
-        slice_map: dict[str, list[tuple[str, list[int]]]] = {}
-        rej_units: list[str] = []
-        for r in stage_rows:
-            idx = json.loads(r["index_json"])
-            for key, rgs in idx.items():
-                if key == "rej":
-                    rej_units.append(r["unit"])
-                else:
-                    slice_map.setdefault(key, []).append((r["unit"], rgs))
-
-        # Each A2/B task row carries ONLY its own pid's slice list (not the
-        # global slice_map): at 10^10 events x 4096 partitions the full map
-        # is O(units x partitions) and must not be pickled into every task.
         # ---- Stage A2 (skew): parallel pre-merge of each (pid, salt) slice
         if self.cfg.salt_shards > 1:
-            pair_pid, pair_salt, pair_slices = [], [], []
-            for p in range(self.cfg.num_partitions):
-                for s in range(self.cfg.salt_shards):
-                    pair_pid.append(p)
-                    pair_salt.append(s)
-                    pair_slices.append(json.dumps(slice_map.get(f"{p}:{s}", [])))
             pairs = pa.table(
                 {
-                    "pid": pa.array(pair_pid, pa.int32()),
-                    "salt": pa.array(pair_salt, pa.int32()),
-                    "slices_json": pa.array(pair_slices, pa.string()),
+                    "pid": pa.array(
+                        [
+                            p
+                            for p in range(self.cfg.num_partitions)
+                            for _ in range(self.cfg.salt_shards)
+                        ],
+                        pa.int32(),
+                    ),
+                    "salt": pa.array(
+                        list(range(self.cfg.salt_shards)) * self.cfg.num_partitions,
+                        pa.int32(),
+                    ),
                 }
             )
             (
@@ -603,7 +723,8 @@ class CdcEngine:
             )
             tt = _t("stage-A2", tt)
 
-        # ---- Stage B: per-partition LWW merge + commit
+        # ---- Stage B: per-partition LWW merge + commit (one task per
+        # partition; each task loads its own A1.5 slice-index file)
         merge = _MergePartitions(
             self.cfg.path,
             staging_dir,
@@ -612,26 +733,7 @@ class CdcEngine:
             self.cfg.max_delta_runs,
             self.cfg.salt_shards,
         )
-        rej_json = json.dumps(sorted(rej_units))
-        pids = pa.table(
-            {
-                "pid": pa.array(range(self.cfg.num_partitions), pa.int32()),
-                "slices_json": pa.array(
-                    [
-                        json.dumps(slice_map.get(f"{p}:0", []))
-                        if self.cfg.salt_shards == 1
-                        else "[]"  # salted: Stage B reads the pre-merged files
-                        for p in range(self.cfg.num_partitions)
-                    ],
-                    pa.string(),
-                ),
-                # dead-letter rows route to partition 0 only
-                "rej_json": pa.array(
-                    [rej_json if p == 0 else "[]" for p in range(self.cfg.num_partitions)],
-                    pa.string(),
-                ),
-            }
-        )
+        pids = pa.table({"pid": pa.array(range(self.cfg.num_partitions), pa.int32())})
         reports = (
             rd.from_arrow(pids)
             .repartition(self.cfg.num_partitions)
@@ -1923,15 +2025,20 @@ class _MergePartitions:
         self.salt_shards = salt_shards
 
     def __call__(self, pids: pa.Table) -> pa.Table:
+        """Per partition descriptor row: slice list and dead-letter unit
+        list come from the A1.5 index files in the staging dir (never
+        shipped through the driver).  Rejects route to partition 0."""
         _ensure_worker_thread_limit()
-        import json
 
-        rows = [
-            self._merge_one(
-                int(p["pid"]), json.loads(p["slices_json"]), json.loads(p["rej_json"])
+        rows = []
+        for p in pids.to_pylist():
+            pid = int(p["pid"])
+            slices = (
+                [] if self.salt_shards > 1  # B reads the pre-merged files
+                else [tuple(e) for e in _load_slice_index(_slice_index_path(self.staging_dir, pid))]
             )
-            for p in pids.to_pylist()
-        ]
+            rejs = _load_slice_index(_rej_index_path(self.staging_dir)) if pid == 0 else []
+            rows.append(self._merge_one(pid, slices, rejs))
         return pa.concat_tables(rows)
 
     def _read_staged(
