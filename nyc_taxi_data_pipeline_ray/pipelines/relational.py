@@ -1005,8 +1005,17 @@ def _np_lerp(a: float, b: float, t: float) -> float:
 def _footer_min_max(sf_dir: str, table: str, column: str) -> tuple[float, float] | None:
     """Global (min, max) of a column from parquet ROW-GROUP STATISTICS —
     a driver-side footer read, zero data scanned.  None if any row
-    group lacks stats (caller falls back to a scan)."""
+    group lacks stats (caller falls back to a scan).  Timestamp stats
+    are coerced to epoch MICROSECONDS (the same value
+    ``pc.cast(col, int64())`` yields for a ``timestamp[us]`` column)."""
+    import datetime
+
     import pyarrow.parquet as pq
+
+    def as_float(x) -> float:
+        if isinstance(x, (datetime.datetime, datetime.date)):
+            return float(pd.Timestamp(x).value // 1000)
+        return float(x)
 
     f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
     ci = f.schema_arrow.names.index(column)
@@ -1015,9 +1024,9 @@ def _footer_min_max(sf_dir: str, table: str, column: str) -> tuple[float, float]
         st = f.metadata.row_group(rg).column(ci).statistics
         if st is None or not st.has_min_max:
             return None
-        mins.append(st.min)
-        maxs.append(st.max)
-    return float(min(mins)), float(max(maxs))
+        mins.append(as_float(st.min))
+        maxs.append(as_float(st.max))
+    return min(mins), max(maxs)
 
 
 def q_value_percentiles(
@@ -4249,6 +4258,247 @@ def q_power_users(sf_dir: str) -> rd.Dataset:
     return tagged.groupby("bucket").map_groups(divide, batch_format="pandas")
 
 
+_RANK_SUB = 64  # refinement fan-out per hot bin (value axis and id axis)
+
+
+class _RankPlan:
+    """Range-partition plan for EXACT global ranking under the total
+    order ``(value, id)`` — ``q_global_rank``'s machinery factored out
+    for its reusers (``rank_sum_test``, ``revenue_gini``,
+    ``spearman_drift``), with HOT-BIN SUB-SPLITTING so a skewed or
+    near-constant column can no longer collapse the whole dataset into
+    one task:
+
+    - pass 1 (one combiner scan): per-bin count plus (vmin, vmax, imin,
+      imax); bins are fixed-width over a caller-supplied [lo, hi]
+      (parquet footer stats — no scan).
+    - driver: bins with count <= cap stay ONE task each (the fast path:
+      no second pass, identical to the old plan).
+    - pass 2 (hot-bin rows only, run only when hot bins exist): a
+      (vsub, esub) refinement grid per hot bin.  Value sub-bins split
+      skewed-but-spread bins; a sub-bin held by ONE distinct value
+      (vmin == vmax) — the degenerate case a value split can never
+      help — is instead partitioned into ~cap-sized RANGES of the
+      unique tie-break id, which is exact because rows of equal value
+      rank in id order.  A still-hot sub-bin with vmin < vmax stays one
+      task (requires > cap rows inside 1/(n_bins*64) of the value
+      range; recorded in ``unsplit_hot``).
+    - task ids are dense in global (value, id) order, so an exclusive
+      scan of task counts gives each task its exact base rank offset.
+
+    The exchange then moves every row ONCE on its task id; equal values
+    always share a task prefix, so ties never straddle an offset
+    boundary.  All driver state is O(n_bins * 64) numpy — broadcast
+    into the tag/rank closures, never per-row Python."""
+
+    def __init__(self, ds, conv, idconv, *, lo, hi, n_bins=4096, cap=1 << 18,
+                 pass1_df=None):
+        self.lo, self.n_bins, self.cap = float(lo), int(n_bins), int(cap)
+        self.width = (float(hi) - float(lo)) / n_bins or 1.0
+        if pass1_df is None:
+            pass1_df = self._pass1(ds, conv, idconv)
+        stats = (
+            pass1_df.groupby("bin")
+            .agg(n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"),
+                 imin=("imin", "min"), imax=("imax", "max"))
+        )
+        hist = np.zeros(n_bins, np.int64)
+        hist[stats.index.to_numpy()] = stats["n"].to_numpy()
+        self.hot = hist > self.cap
+        self.vlo = np.zeros(n_bins)
+        self.vinv = np.zeros(n_bins)
+        self.elo = np.zeros(n_bins)
+        self.einv = np.zeros(n_bins)
+        if self.hot.any():
+            hb = stats.loc[self.hot[stats.index.to_numpy()]]
+            idx = hb.index.to_numpy()
+            self.vlo[idx] = hb["vmin"].to_numpy()
+            span = hb["vmax"].to_numpy() - hb["vmin"].to_numpy()
+            self.vinv[idx] = np.where(span > 0, _RANK_SUB / np.where(span > 0, span, 1.0), 0.0)
+            self.elo[idx] = hb["imin"].to_numpy()
+            espan = hb["imax"].to_numpy() - hb["imin"].to_numpy()
+            self.einv[idx] = _RANK_SUB / np.where(espan > 0, espan, 1.0)
+            sub = self._pass2(ds, conv, idconv)
+        else:
+            sub = None
+        self._build_tasks(hist, sub)
+
+    # ---- distributed passes -------------------------------------------
+    def _bin_of(self, v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - self.lo) / self.width).astype(np.int64), 0, self.n_bins - 1)
+
+    def _vsub_of(self, b: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - self.vlo[b]) * self.vinv[b]).astype(np.int64), 0, _RANK_SUB - 1)
+
+    def _esub_of(self, b: np.ndarray, i: np.ndarray) -> np.ndarray:
+        return np.clip(((i - self.elo[b]) * self.einv[b]).astype(np.int64), 0, _RANK_SUB - 1)
+
+    def _pass1_block(self, v: np.ndarray, i: np.ndarray) -> pa.Table:
+        """One block's per-bin (count, vmin, vmax, imin, imax) partials."""
+        n_bins = self.n_bins
+        b = self._bin_of(v)
+        i = i.astype(np.float64)
+        n = np.bincount(b, minlength=n_bins)
+        vmin = np.full(n_bins, np.inf)
+        vmax = np.full(n_bins, -np.inf)
+        imin = np.full(n_bins, np.inf)
+        imax = np.full(n_bins, -np.inf)
+        np.minimum.at(vmin, b, v)
+        np.maximum.at(vmax, b, v)
+        np.minimum.at(imin, b, i)
+        np.maximum.at(imax, b, i)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(n[nz], pa.int64()),
+                "vmin": pa.array(vmin[nz]),
+                "vmax": pa.array(vmax[nz]),
+                "imin": pa.array(imin[nz]),
+                "imax": pa.array(imax[nz]),
+            }
+        )
+
+    def _pass1(self, ds, conv, idconv) -> pd.DataFrame:
+        def part(t: pa.Table) -> pa.Table:
+            return self._pass1_block(conv(t), idconv(t))
+
+        return ds.map_batches(part, batch_format="pyarrow").to_pandas()
+
+    def _pass2(self, ds, conv, idconv) -> pd.DataFrame:
+        hot, bin_of, vsub_of, esub_of = self.hot, self._bin_of, self._vsub_of, self._esub_of
+
+        def part(t: pa.Table) -> pa.Table:
+            v = conv(t)
+            b = bin_of(v)
+            m = hot[b]
+            empty = pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+            if not m.any():
+                return empty
+            v, b = v[m], b[m]
+            i = idconv(t).astype(np.float64)[m]
+            key = (b * _RANK_SUB + vsub_of(b, v)) * _RANK_SUB + esub_of(b, i)
+            uk, inv = np.unique(key, return_inverse=True)
+            n = np.bincount(inv)
+            vmin = np.full(len(uk), np.inf)
+            vmax = np.full(len(uk), -np.inf)
+            np.minimum.at(vmin, inv, v)
+            np.maximum.at(vmax, inv, v)
+            return pa.table(
+                {
+                    "key": pa.array(uk, pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                    "vmin": pa.array(vmin),
+                    "vmax": pa.array(vmax),
+                }
+            )
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        return parts.groupby("key").agg(
+            n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+        )
+
+    # ---- driver-side task construction --------------------------------
+    def _build_tasks(self, hist: np.ndarray, sub: pd.DataFrame | None) -> None:
+        n_bins, cap = self.n_bins, self.cap
+        entry_base = np.zeros(n_bins, np.int64)
+        e_task = []       # task id per (bin, vsub) entry (no esplit)
+        e_erow = []       # row into e2d per entry, -1 if not esplit
+        e2d_rows: list[np.ndarray] = []
+        counts: list[int] = []  # rows per task, in global (value, id) order
+        self.unsplit_hot: list[tuple[int, int, int]] = []  # (bin, vsub, n)
+        sub_n = sub["n"] if sub is not None else None
+        sub_vmin = sub["vmin"] if sub is not None else None
+        sub_vmax = sub["vmax"] if sub is not None else None
+        for b in range(n_bins):
+            entry_base[b] = len(e_task)
+            if not self.hot[b]:
+                if hist[b] > 0:
+                    e_task.append(len(counts))
+                    counts.append(int(hist[b]))
+                else:
+                    e_task.append(-1)
+                e_erow.append(-1)
+                continue
+            for vs in range(_RANK_SUB):
+                kbase = (b * _RANK_SUB + vs) * _RANK_SUB
+                keys = [kbase + es for es in range(_RANK_SUB)]
+                ns = (
+                    sub_n.reindex(keys, fill_value=0).to_numpy(np.int64)
+                    if sub_n is not None
+                    else np.zeros(_RANK_SUB, np.int64)
+                )
+                total = int(ns.sum())
+                if total == 0:
+                    e_task.append(-1)
+                    e_erow.append(-1)
+                    continue
+                vmin = float(sub_vmin.reindex(keys).min())
+                vmax = float(sub_vmax.reindex(keys).max())
+                if total <= cap or vmin < vmax:
+                    if total > cap:
+                        self.unsplit_hot.append((b, vs, total))
+                    e_task.append(len(counts))
+                    e_erow.append(-1)
+                    counts.append(total)
+                    continue
+                # single distinct value: exact id-range (esub) chunking
+                e_task.append(-1)
+                e_erow.append(len(e2d_rows))
+                row = np.empty(_RANK_SUB, np.int64)
+                acc = 0
+                task = len(counts)
+                counts.append(0)
+                for es in range(_RANK_SUB):
+                    if acc > 0 and acc + int(ns[es]) > cap:
+                        task = len(counts)
+                        counts.append(0)
+                        acc = 0
+                    row[es] = task
+                    counts[task] += int(ns[es])
+                    acc += int(ns[es])
+                e2d_rows.append(row)
+        self.entry_base = entry_base
+        self.e_task = np.asarray(e_task, np.int64)
+        self.e_erow = np.asarray(e_erow, np.int64)
+        self.e2d = (
+            np.stack(e2d_rows) if e2d_rows else np.zeros((0, _RANK_SUB), np.int64)
+        )
+        c = np.asarray(counts, np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(c)[:-1]]) if len(c) else c
+
+    # ---- per-row task assignment (vectorized, used in the tag stage) ---
+    def assign(self, v: np.ndarray, i: np.ndarray) -> np.ndarray:
+        b = self._bin_of(v)
+        e = self.entry_base[b] + np.where(self.hot[b], self._vsub_of(b, v), 0)
+        task = self.e_task[e]
+        er = self.e_erow[e]
+        m = er >= 0
+        if m.any():
+            es = self._esub_of(b[m], i[m].astype(np.float64))
+            task = task.copy()
+            task[m] = self.e2d[er[m], es]
+        return task
+
+    def add_ranks(
+        self, df: pd.DataFrame, value_col: str, id_col: str, rank_col: str = "global_rank"
+    ) -> pd.DataFrame:
+        """Inside a per-task ``map_groups`` fn: sort the task's rows by
+        the total order and add exact global ranks from the task's base
+        offset."""
+        df = df.sort_values([value_col, id_col], ignore_index=True)
+        base = int(self.offsets[int(df["task"].iloc[0])])
+        df[rank_col] = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+
 def q_global_rank(sf_dir: str, *, n_bins: int = 4096) -> rd.Dataset:
     """EXACT global ranking — the distributed-sort (terasort) pattern
     made hash-certifiable: every event gets its global ``row_number``
@@ -4258,57 +4508,44 @@ def q_global_rank(sf_dir: str, *, n_bins: int = 4096) -> rd.Dataset:
     pass 1: per-block histogram over fixed value bins (footer min/max
     -> bin edges; bins x 1 int per block leaves the workers), driver
     exclusive-scans the tiny histogram into per-bin rank offsets;
-    pass 2: rows exchange ONCE on their bin id (range partitioning —
-    equal values share a bin, so ties never straddle a boundary), each
-    bin task sorts its slice by (value, event_id) and adds its
-    broadcast offset.  Work per task tracks bin occupancy; a skewed
-    value distribution needs finer/equi-depth edges (the
-    ``q_value_percentiles`` histogram), documented not needed here.
-    This is O1's "global order by" at 10^10 rows, where ``ds.sort``'s
-    payload all-to-all would bottleneck on the object store."""
+    pass 2: rows exchange ONCE on their task id (range partitioning —
+    equal values share a task prefix, so ties never straddle a
+    boundary), each task sorts its slice by (value, event_id) and adds
+    its broadcast offset.  Skew is handled by :class:`_RankPlan`'s
+    hot-bin sub-splitting (value refinement, id-range chunking for
+    single-valued runs), so a near-constant column no longer collapses
+    into one task.  This is O1's "global order by" at 10^10 rows,
+    where ``ds.sort``'s payload all-to-all would bottleneck on the
+    object store."""
     ds = _rp(sf_dir, "events", ["event_id", "value"])
     mm = _footer_min_max(sf_dir, "events", "value")
     assert mm is not None
-    lo, hi = mm
-    width = (hi - lo) / n_bins or 1.0
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        b = bin_of(t["value"].to_numpy(zero_copy_only=False))
-        counts = np.bincount(b, minlength=n_bins)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
-        )
-
-    parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
-    hist = np.zeros(n_bins, np.int64)
-    agg = parts.groupby("bin")["n"].sum()
-    hist[agg.index.to_numpy()] = agg.to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+    plan = _RankPlan(
+        ds,
+        lambda t: t["value"].to_numpy(zero_copy_only=False),
+        lambda t: t["event_id"].to_numpy(zero_copy_only=False),
+        lo=mm[0], hi=mm[1], n_bins=n_bins,
+    )
 
     def tag(t: pa.Table) -> pa.Table:
-        b = bin_of(t["value"].to_numpy(zero_copy_only=False))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        i = t["event_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "value": t["value"],
-                "bin": pa.array(b, pa.int64()),
+                "task": pa.array(plan.assign(v, i), pa.int64()),
             }
         )
 
-    def rank_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
-        df = df.sort_values(["value", "event_id"], ignore_index=True)
-        base = int(offsets[int(df["bin"].iloc[0])])
-        df["global_rank"] = base + np.arange(1, len(df) + 1)
+    def rank_task(df: pd.DataFrame) -> pd.DataFrame:
+        df = plan.add_ranks(df, "value", "event_id")
         return df[["event_id", "value", "global_rank"]]
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bin")
-        .map_groups(rank_bin, batch_format="pandas")
+        .groupby("task")
+        .map_groups(rank_task, batch_format="pandas")
     )
 
 
@@ -4571,50 +4808,36 @@ def q_rank_sum_test(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_id", "ts", "value"])
     mm = _footer_min_max(sf_dir, "events", "value")
     assert mm is not None
-    lo, hi = mm
-    n_bins = 4096
-    width = (hi - lo) / n_bins or 1.0
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+    plan = _RankPlan(
+        ds,
+        lambda t: t["value"].to_numpy(zero_copy_only=False),
+        lambda t: t["event_id"].to_numpy(zero_copy_only=False),
+        lo=mm[0], hi=mm[1],
+    )
 
     def tag(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
+        i = t["event_id"].to_numpy(zero_copy_only=False)
         dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "value": t["value"],
                 "grp": pa.array(np.where(dow >= 5, "weekend", "weekday")),
-                "bin": pa.array(bin_of(v), pa.int64()),
+                "task": pa.array(plan.assign(v, i), pa.int64()),
             }
         )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        counts = np.bincount(t["bin"].to_numpy(zero_copy_only=False), minlength=n_bins)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+    def ranksum_task(df: pd.DataFrame) -> pd.DataFrame:
+        df = plan.add_ranks(df, "value", "event_id", rank_col="rank")
+        return df.groupby("grp", as_index=False).agg(
+            n=("rank", "size"), rsum=("rank", "sum")
         )
 
-    parts = tagged.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
-    hist = np.zeros(n_bins, np.int64)
-    agg = parts.groupby("bin")["n"].sum()
-    hist[agg.index.to_numpy()] = agg.to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
-
-    def ranksum_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
-        df = df.sort_values(["value", "event_id"], ignore_index=True)
-        base = int(offsets[int(df["bin"].iloc[0])])
-        df["rank"] = base + np.arange(1, len(df) + 1)
-        g = df.groupby("grp", as_index=False).agg(n=("rank", "size"), rsum=("rank", "sum"))
-        return g
-
     partials = (
-        tagged.groupby("bin")
-        .map_groups(ranksum_bin, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("task")
+        .map_groups(ranksum_task, batch_format="pandas")
         .to_pandas()
     )
     agg = partials.groupby("grp", as_index=False)[["n", "rsum"]].sum()
@@ -4676,40 +4899,27 @@ def q_revenue_gini(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
     import ray.data.aggregate as agg_mod
 
     mm = totals.aggregate(agg_mod.Min("cents"), agg_mod.Max("cents"))
-    lo, hi = float(mm["min(cents)"]), float(mm["max(cents)"])
-    width = (hi - lo) / n_bins or 1.0
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        b = bin_of(t["cents"].to_numpy(zero_copy_only=False))
-        counts = np.bincount(b, minlength=n_bins)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
-        )
-
-    parts = totals.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
-    hist = np.zeros(n_bins, np.int64)
-    h = parts.groupby("bin")["n"].sum()
-    hist[h.index.to_numpy()] = h.to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+    plan = _RankPlan(
+        totals,
+        lambda t: t["cents"].to_numpy(zero_copy_only=False).astype(np.float64),
+        lambda t: t["o_custkey"].to_numpy(zero_copy_only=False),
+        lo=float(mm["min(cents)"]), hi=float(mm["max(cents)"]), n_bins=n_bins,
+    )
 
     def tag(t: pa.Table) -> pa.Table:
-        b = bin_of(t["cents"].to_numpy(zero_copy_only=False))
+        v = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "o_custkey": t["o_custkey"],
                 "cents": t["cents"],
-                "gbin": pa.array(b, pa.int64()),
+                "task": pa.array(plan.assign(v, i), pa.int64()),
             }
         )
 
-    def gini_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
-        df = df.sort_values(["cents", "o_custkey"], ignore_index=True)
-        base = int(offsets[int(df["gbin"].iloc[0])])
-        rank = base + np.arange(1, len(df) + 1, dtype=np.int64)
+    def gini_task(df: pd.DataFrame) -> pd.DataFrame:
+        df = plan.add_ranks(df, "cents", "o_custkey", rank_col="rank")
+        rank = df["rank"].to_numpy(np.int64)
         c = df["cents"].to_numpy(np.int64)
         return pd.DataFrame(
             {
@@ -4721,8 +4931,8 @@ def q_revenue_gini(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
 
     partials = (
         totals.map_batches(tag, batch_format="pyarrow")
-        .groupby("gbin")
-        .map_groups(gini_bin, batch_format="pandas")
+        .groupby("task")
+        .map_groups(gini_task, batch_format="pandas")
         .to_pandas()
     )
     n = int(partials["n"].sum())
@@ -4750,110 +4960,110 @@ def q_spearman_drift(sf_dir: str) -> pd.DataFrame:
     ``1 - 6*sum(d^2) / (n(n^2-1))`` on exact integer sums — one final
     double division, hash-stable.
 
-    Distributed shape: one custkey... rather ORDERKEY-bucket exchange
-    co-locates each order's two ranks; ranks themselves come from two
-    passes of the ``q_global_rank`` range-partition machinery (bin
-    histograms + driver offsets, no payload all-to-all); per-bucket
-    partial ``sum(d^2)`` ints fold at the driver."""
-    n_bins = 4096
+    Distributed shape (fused this round — was six full scans): ZERO
+    min/max scans (parquet footer stats for both columns), ONE fused
+    combiner scan emitting BOTH axes' per-bin histograms, ONE fused tag
+    scan emitting both tagged row streams, one (axis, task) rank
+    exchange, and one orderkey-bucket exchange folding per-bucket
+    ``sum(d^2)`` ints at the driver.  Ranks use :class:`_RankPlan`
+    (hot-bin sub-splitting included)."""
     NB = 32
     ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
 
-    def ranks_for(colname: str):
-        """(orderkey -> global rank) as a Dataset of (key, rank)."""
-        if colname == "date":
-            conv = lambda t: pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
-                zero_copy_only=False
-            ).astype(np.float64)
-        else:
-            conv = lambda t: t["o_totalprice"].to_numpy(zero_copy_only=False)
-
-        # global min/max via a tiny aggregate pass
-        def mm_part(t: pa.Table) -> pa.Table:
-            v = conv(t)
-            return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
-
-        mm = ds.map_batches(mm_part, batch_format="pyarrow").to_pandas()
-        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
-        width = (hi - lo) / n_bins or 1.0
-
-        def bin_of(v):
-            return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-
-        def hist_part(t: pa.Table) -> pa.Table:
-            counts = np.bincount(bin_of(conv(t)), minlength=n_bins)
-            nz = np.flatnonzero(counts)
-            return pa.table(
-                {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
-            )
-
-        parts = ds.map_batches(hist_part, batch_format="pyarrow").to_pandas()
-        hist = np.zeros(n_bins, np.int64)
-        h = parts.groupby("bin")["n"].sum()
-        hist[h.index.to_numpy()] = h.to_numpy()
-        offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
-
-        def tag(t: pa.Table) -> pa.Table:
-            v = conv(t)
-            return pa.table(
-                {
-                    "o_orderkey": t["o_orderkey"],
-                    "v": pa.array(v, pa.float64()),
-                    "bin": pa.array(bin_of(v), pa.int64()),
-                }
-            )
-
-        def rank_bin(df: pd.DataFrame, offsets=offsets) -> pd.DataFrame:
-            df = df.sort_values(["v", "o_orderkey"], ignore_index=True)
-            base = int(offsets[int(df["bin"].iloc[0])])
-            df["rank"] = base + np.arange(1, len(df) + 1, dtype=np.int64)
-            return df[["o_orderkey", "rank"]]
-
+    def conv_d(t: pa.Table) -> np.ndarray:
         return (
-            ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("bin")
-            .map_groups(rank_bin, batch_format="pandas")
+            pc.cast(t["o_orderdate"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
         )
 
-    ra = ranks_for("date")
-    rb = ranks_for("price")
+    def conv_p(t: pa.Table) -> np.ndarray:
+        return t["o_totalprice"].to_numpy(zero_copy_only=False)
 
-    def a_side(t: pa.Table) -> pa.Table:
+    def conv_i(t: pa.Table) -> np.ndarray:
+        return t["o_orderkey"].to_numpy(zero_copy_only=False)
+
+    mm_d = _footer_min_max(sf_dir, "orders", "o_orderdate")
+    mm_p = _footer_min_max(sf_dir, "orders", "o_totalprice")
+    assert mm_d is not None and mm_p is not None
+    # ONE pass-1 scan for both axes: each plan's combiner runs on the
+    # same block visit; axis 0 = date, axis 1 = price
+    plans: list[_RankPlan] = []
+    shells = [
+        _RankPlan.__new__(_RankPlan),
+        _RankPlan.__new__(_RankPlan),
+    ]
+    for ax, (lo, hi) in enumerate([mm_d, mm_p]):
+        shells[ax].lo, shells[ax].n_bins, shells[ax].cap = float(lo), 4096, 1 << 18
+        shells[ax].width = (float(hi) - float(lo)) / 4096 or 1.0
+
+    def pass1_both(t: pa.Table) -> pa.Table:
+        outs = []
+        for ax, conv in ((0, conv_d), (1, conv_p)):
+            part = shells[ax]._pass1_block(conv(t), conv_i(t))
+            outs.append(part.append_column(
+                "axis", pa.array(np.full(part.num_rows, ax, np.int8))
+            ))
+        return pa.concat_tables(outs)
+
+    p1 = ds.map_batches(pass1_both, batch_format="pyarrow").to_pandas()
+    for ax, conv, (lo, hi) in ((0, conv_d, mm_d), (1, conv_p, mm_p)):
+        plans.append(
+            _RankPlan(
+                ds, conv, conv_i, lo=lo, hi=hi,
+                pass1_df=p1[p1["axis"] == ax],
+            )
+        )
+
+    def tag_both(t: pa.Table) -> pa.Table:
+        i = conv_i(t)
+        vd, vp = conv_d(t), conv_p(t)
+        n = t.num_rows
         return pa.table(
             {
-                "bucket": pc.cast(
-                    pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
-                    pa.int32(),
+                "axis": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
                 ),
-                "o_orderkey": t["o_orderkey"],
-                "ra": t["rank"],
-                "rb": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderkey": pa.concat_arrays(
+                    [t["o_orderkey"].combine_chunks(), t["o_orderkey"].combine_chunks()]
+                ),
+                "v": pa.array(np.concatenate([vd, vp]), pa.float64()),
+                "task": pa.array(
+                    np.concatenate([plans[0].assign(vd, i), plans[1].assign(vp, i)]),
+                    pa.int64(),
+                ),
             }
         )
 
-    def b_side(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": pc.cast(
-                    pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
-                    pa.int32(),
-                ),
-                "o_orderkey": t["o_orderkey"],
-                "ra": pa.nulls(t.num_rows, pa.int64()),
-                "rb": t["rank"],
-            }
+    def rank_task(df: pd.DataFrame) -> pd.DataFrame:
+        ax = int(df["axis"].iloc[0])
+        df = plans[ax].add_ranks(df, "v", "o_orderkey", rank_col="rank")
+        return df[["axis", "o_orderkey", "rank"]]
+
+    ranks = (
+        ds.map_batches(tag_both, batch_format="pyarrow")
+        .groupby(["axis", "task"])
+        .map_groups(rank_task, batch_format="pandas")
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(t["o_orderkey"], pa.scalar(NB - 1, pa.int64())),
+                pa.int32(),
+            ),
         )
 
     def d2_partial(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["ra"].notna()][["o_orderkey", "ra"]]
-        b = df[df["rb"].notna()][["o_orderkey", "rb"]]
-        m = a.merge(b, on="o_orderkey")
-        d = m["ra"].astype(np.int64) - m["rb"].astype(np.int64)
+        a = df[df["axis"] == 0][["o_orderkey", "rank"]]
+        b = df[df["axis"] == 1][["o_orderkey", "rank"]]
+        m = a.merge(b, on="o_orderkey", suffixes=("_a", "_b"))
+        d = m["rank_a"].to_numpy(np.int64) - m["rank_b"].to_numpy(np.int64)
         return pd.DataFrame({"n": [len(m)], "d2": [int((d * d).sum())]})
 
     parts = (
-        ra.map_batches(a_side, batch_format="pyarrow")
-        .union(rb.map_batches(b_side, batch_format="pyarrow"))
+        ranks.map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(d2_partial, batch_format="pandas")
         .to_pandas()

@@ -2860,6 +2860,13 @@ def q_containment(
     b).  Exact verify then runs distributed per candidate pair
     (:func:`_distributed_pair_jaccard`, containment metric) with the
     same IEEE double threshold compare as the oracle.
+
+    ``probe_below`` bounds the PROBE (contained-candidate) side to
+    doc_ids below the cutoff — an explicit benchmark-scope parameter
+    that mirrors the oracle SQL's ``a.doc_id < 50`` filter, so the Ray
+    result and the DuckDB oracle answer the same question.  Pass
+    ``probe_below=None`` for the full all-docs probe; the container
+    side is always unrestricted either way.
     """
     import ray
 

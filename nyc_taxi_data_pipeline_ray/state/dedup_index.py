@@ -25,9 +25,9 @@ Scale notes: update is a single bounded shuffle of the NEW docs' band
 rows (num_buckets files); probe is partition-pruned to the probe set's
 buckets and each bucket task's work is its fine-group pair expansion —
 the same bounded-bucket containment as the batch pipeline.  Segments
-accumulate per epoch; a compaction (concat per bucket across segments)
-is the obvious LSM step when file counts grow — omitted here, the read
-path already merges segments.
+accumulate per epoch; :meth:`DedupIndex.compact` folds them (concat per
+bucket across segments) when file counts grow, and the read path merges
+live segments either way.
 """
 
 from __future__ import annotations
