@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all 16 IVF cells = exhaustive scan) — full brute-force oracle
         "ann_lsh_exhaustive": lambda sf: A.q_ann_lsh(sf, n_planes=0, n_tables=1),
         "ann_ivf_exhaustive": lambda sf: A.q_ann_ivf(sf, nprobe=16),
+        # PERSISTED IVF index (state/ann_index.py): O(new docs) add,
+        # partition-pruned probe; exhaustive-probe == brute force witness
+        "ann_index_probe": A.q_ann_index_probe,     # rows-only (approximate)
+        "ann_index_exhaustive": A.q_ann_index_exhaustive,
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
         # exact k-NN graph (block-pair sweep + k-sized partial merge)
@@ -313,7 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_source_num", "bloom_semi_join",
         # rank machinery reworked this round — certify the new code
         "global_rank", "weighted_median", "rank_sum_test",
-        "revenue_gini", "spearman_drift", "quantile_digest",
+        "revenue_gini", "spearman_drift",
+        # new this round: persisted-IVF-index exactness witness
+        "ann_index_exhaustive",
     ]
     head = {k: _all[k] for k in _round4_window}
     return head | {k: v for k, v in _all.items() if k not in head}
@@ -464,6 +470,19 @@ def oracle_sql() -> dict[str, str]:
             from x group by 1, 2 order by label, dim
         """,
         "ann_bruteforce": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # exhaustive probe of the persisted IVF index visits every indexed
+        # vector once, so brute force IS its oracle (ann.py
+        # q_ann_index_exhaustive docstring)
+        "ann_index_exhaustive": """
             with q as (select vec_id as qid, cast(embedding as double[]) as qe
                        from embeddings where vec_id < 5),
             s as (select qid, vec_id,

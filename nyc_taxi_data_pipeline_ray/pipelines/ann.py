@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -744,3 +745,83 @@ def q_ann_pq(
     return df.sort_values(
         ["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True
     )
+
+
+# --------------------------------------------------------------------------
+def _build_ivf_index(sf_dir: str, root: str, *, ncells: int, sample_rows: int):
+    """Fresh persisted IVF index over the embeddings table, built
+    INCREMENTALLY in two segments (even / odd vec_id halves) to exercise
+    the O(new vectors) add path the index exists for."""
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+
+    shutil.rmtree(root, ignore_errors=True)
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    cent = _kmeans_lite(_normalize_rows(sample_mat), ncells)
+    idx = IvfIndex(root, centroids=cent)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(t["vec_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64()),
+            )
+            return t.filter(keep)
+
+        return f
+
+    idx.add(ds.map_batches(half(0), batch_format="pyarrow"), segment_id=0)
+    idx.add(ds.map_batches(half(1), batch_format="pyarrow"), segment_id=1)
+    return idx
+
+
+def q_ann_index_probe(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """PERSISTED-INDEX approximate top-k (rows-only production config):
+    unlike ``q_ann_ivf`` — which rescans the full corpus per query
+    batch — the probe reads ONLY the ``nprobe`` nearest cells' parquet
+    files from the :class:`state.ann_index.IvfIndex` built incrementally
+    beforehand (two ``add`` segments).  The partition pruning is
+    asserted in-query: strictly fewer cell files read than exist.
+    Recall vs brute force is pinned in tests; the exhaustive-probe
+    exactness witness is ``q_ann_index_exhaustive``."""
+    idx = _build_ivf_index(
+        sf_dir, "/tmp/nyc_ray_q_ann_index", ncells=ncells, sample_rows=sample_rows
+    )
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=nprobe)
+    assert stats["files_read"] < stats["files_total"], stats  # pruning is real
+    return df
+
+
+def q_ann_index_exhaustive(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Exactness witness for the persisted IVF index: probing ALL cells
+    visits every indexed vector exactly once, so the result equals
+    brute-force top-k bit for bit (same 4-dp rounding and tie order) —
+    the full ``ann_bruteforce`` SQL oracle certifies the index's read
+    path end to end (segment layout, cell routing, merge)."""
+    idx = _build_ivf_index(
+        sf_dir, "/tmp/nyc_ray_q_ann_index_ex", ncells=ncells, sample_rows=sample_rows
+    )
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    assert stats["cells_probed"] == stats["cells_total"], stats
+    return df

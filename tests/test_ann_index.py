@@ -1,0 +1,134 @@
+"""Persisted IVF embedding index (state/ann_index.py): incremental add,
+idempotent replay, partition-pruned probe, compaction invariance."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_lite, _normalize_rows
+from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vectors(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    return np.arange(n, dtype=np.int64), mat
+
+
+def _ds(ids, mat):
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.astype(np.float32) for r in mat]),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def _brute(ids, mat, qids, qmat, k=5):
+    m = _normalize_rows(mat.astype(np.float64))
+    q = _normalize_rows(qmat.astype(np.float64))
+    rows = []
+    for qi, qid in enumerate(qids):
+        cand = np.nonzero(ids != qid)[0]
+        s = m[cand] @ q[qi]
+        order = cand[np.lexsort((ids[cand], -np.round(s, 4)))][:k]
+        for j in order:
+            rows.append((qid, ids[j], round(float(m[j] @ q[qi]), 4)))
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "sim"]).sort_values(
+        ["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True
+    )
+
+
+def _build(tmp_path, ids, mat, ncells=8, segments=2):
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), ncells)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf"), centroids=cent)
+    for s in range(segments):
+        m = ids % segments == s
+        idx.add(_ds(ids[m], mat[m]), segment_id=s)
+    return idx
+
+
+def test_exhaustive_probe_equals_brute_force(tmp_path):
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    qids, qmat = ids[:4], mat[:4]
+    got, stats = idx.probe(qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=idx.ncells)
+    assert stats["cells_probed"] == stats["cells_total"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), _brute(ids, mat, qids, qmat), check_dtype=False
+    )
+
+
+def test_incremental_add_equals_one_shot(tmp_path):
+    """Two-segment build == single-segment build: segmentation is
+    invisible to the read path."""
+    ids, mat = _vectors(seed=9)
+    idx2 = _build(tmp_path, ids, mat, segments=2)
+    cent = idx2.centroids
+    idx1 = IvfIndex(os.path.join(str(tmp_path), "oneshot"), centroids=cent)
+    idx1.add(_ds(ids, mat), segment_id=0)
+    q = _normalize_rows(mat[:3].astype(np.float64))
+    a, _ = idx2.probe(ids[:3], q, k=5, nprobe=idx2.ncells)
+    b, _ = idx1.probe(ids[:3], q, k=5, nprobe=idx1.ncells)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_add_is_idempotent_and_incremental(tmp_path):
+    """Replaying a committed segment is a no-op; a new segment's files
+    contain ONLY the new vectors (the O(new docs) property)."""
+    ids, mat = _vectors(seed=11)
+    idx = _build(tmp_path, ids, mat, segments=2)
+    assert idx.add(_ds(ids[:10], mat[:10]), segment_id=1)["skipped"]
+
+    import pyarrow.parquet as pq
+
+    new_ids = np.arange(1000, 1050, dtype=np.int64)
+    rep = idx.add(_ds(new_ids, mat[:50]), segment_id=2)
+    assert rep == {"segment": 2, "skipped": False, "vectors": 50}
+    seg = os.path.join(idx.path, "seg-000002")
+    stored = pa.concat_tables(
+        [pq.read_table(os.path.join(seg, f)) for f in os.listdir(seg)]
+    )
+    assert set(stored["vec_id"].to_pylist()) == set(new_ids.tolist())
+
+
+def test_probe_is_partition_pruned(tmp_path):
+    """nprobe < ncells reads strictly fewer cell files than exist, and
+    never more than nprobe cells' worth per query set."""
+    ids, mat = _vectors(n=400, seed=13)
+    idx = _build(tmp_path, ids, mat)
+    q = _normalize_rows(mat[:2].astype(np.float64))
+    got, stats = idx.probe(ids[:2], q, k=5, nprobe=2)
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["cells_probed"] <= 2 * 2
+    assert len(got) > 0
+    # recall vs brute force is high even at nprobe=2 (pinned loosely)
+    exact = _brute(ids, mat, ids[:2], mat[:2])
+    inter = set(map(tuple, got[["qid", "vec_id"]].to_numpy())) & set(
+        map(tuple, exact[["qid", "vec_id"]].to_numpy())
+    )
+    assert len(inter) >= len(exact) // 2
+
+
+def test_compact_preserves_probe_results(tmp_path):
+    ids, mat = _vectors(seed=17)
+    idx = _build(tmp_path, ids, mat, segments=2)
+    q = _normalize_rows(mat[:3].astype(np.float64))
+    before, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    rep = idx.compact()
+    assert not rep["skipped"] and rep["generation"] == 1
+    after, stats = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    # folded segment dirs are gone; further adds + probes still work
+    assert not os.path.isdir(os.path.join(idx.path, "seg-000000"))
+    idx.add(_ds(np.array([900], np.int64), mat[:1]), segment_id=2)
+    again, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    assert len(again) == len(after)
