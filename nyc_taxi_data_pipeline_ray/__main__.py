@@ -22,6 +22,8 @@ operations are one command each:
     python -m nyc_taxi_data_pipeline_ray index-add --index /tmp/idx --docs docs.parquet --segment 0
     python -m nyc_taxi_data_pipeline_ray index-probe --index /tmp/idx --docs new.parquet --out pairs.parquet
     python -m nyc_taxi_data_pipeline_ray index-compact --index /tmp/idx
+    python -m nyc_taxi_data_pipeline_ray ann-add --index /tmp/ivf --vectors emb.parquet --segment 0
+    python -m nyc_taxi_data_pipeline_ray ann-probe --index /tmp/ivf --queries q.parquet --out topk.parquet
 
 Each command owns its Ray session (guarded init, shutdown on exit).
 """
@@ -30,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -250,6 +253,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--index", required=True)
 
+    sp = sub.add_parser(
+        "ann-add", help="index an embedding batch into the persisted IVF index"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
+    sp.add_argument("--segment", type=int, required=True)
+    sp.add_argument(
+        "--ncells", type=int, default=16,
+        help="coarse-quantizer cells (used only when creating a new index; "
+        "centroids are trained on the batch and frozen into meta.json)",
+    )
+
+    sp = sub.add_parser(
+        "ann-probe", help="top-k cosine neighbours from the persisted IVF index"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--queries", required=True, help="parquet with (vec_id, embedding)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+
+    sp = sub.add_parser(
+        "ann-compact", help="fold IVF-index segments into a new base"
+    )
+    sp.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -285,6 +314,49 @@ def main(argv: list[str] | None = None) -> int:
                 pairs = idx.probe(docs, threshold=args.threshold)
                 pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "pairs": len(pairs)}))
+            else:
+                print(json.dumps(idx.compact()))
+            return 0
+
+        if args.cmd.startswith("ann-"):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            import ray.data as rd
+
+            from nyc_taxi_data_pipeline_ray.state.ann_index import (
+                IvfIndex,
+                _normalize_rows,
+            )
+
+            if args.cmd == "ann-add" and not os.path.exists(
+                os.path.join(args.index, "meta.json")
+            ):
+                from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_lite
+
+                sample = pq.read_table(
+                    args.vectors, columns=["embedding"]
+                )["embedding"].to_numpy(zero_copy_only=False)[:2000]
+                cent = _kmeans_lite(
+                    _normalize_rows(np.stack(sample).astype(np.float64)), args.ncells
+                )
+                idx = IvfIndex(args.index, centroids=cent)
+            else:
+                idx = IvfIndex(args.index)
+            if args.cmd == "ann-add":
+                vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
+                print(json.dumps(idx.add(vecs, segment_id=args.segment)))
+            elif args.cmd == "ann-probe":
+                qt = pq.read_table(args.queries, columns=["vec_id", "embedding"])
+                qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+                qmat = _normalize_rows(
+                    np.stack(qt["embedding"].to_numpy(zero_copy_only=False)).astype(
+                        np.float64
+                    )
+                )
+                df, stats = idx.probe(qids, qmat, k=args.k, nprobe=args.nprobe)
+                pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+                print(json.dumps({"out": args.out, "rows": len(df), **stats}))
             else:
                 print(json.dumps(idx.compact()))
             return 0

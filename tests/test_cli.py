@@ -123,3 +123,49 @@ def test_cli_follow_with_view(tmp_path, capsys):
     eng = CdcEngine(LakeConfig.load(lake))
     rep = MaterializedView(eng, view).refresh()
     assert rep["refreshed"] == 0 and rep["reused"] == 4
+
+
+def test_cli_ann_index_lifecycle(tmp_path):
+    """ann-add / ann-probe / ann-compact against the persisted IVF index:
+    the CLI loop a training-data ingest job would script."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(120, 8)).astype(np.float32)
+    ids = np.arange(120, dtype=np.int64)
+
+    def write(path, lo, hi):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[lo:hi]),
+                    "embedding": pa.array([r for r in mat[lo:hi]]),
+                }
+            ),
+            path,
+        )
+
+    v0 = str(tmp_path / "v0.parquet")
+    v1 = str(tmp_path / "v1.parquet")
+    q = str(tmp_path / "q.parquet")
+    write(v0, 0, 60)
+    write(v1, 60, 120)
+    write(q, 0, 3)
+    idx = str(tmp_path / "ivf")
+    out = str(tmp_path / "topk.parquet")
+
+    assert main(["ann-add", "--index", idx, "--vectors", v0, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-add", "--index", idx, "--vectors", v1, "--segment", "1"]) == 0
+    assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out,
+                 "--k", "3", "--nprobe", "4"]) == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 9  # 3 queries x k=3 (exhaustive nprobe == ncells)
+    assert main(["ann-compact", "--index", idx]) == 0
+    assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out,
+                 "--k", "3", "--nprobe", "4"]) == 0
+    assert pq.read_table(out).equals(t)  # compaction preserves results
