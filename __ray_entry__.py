@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_checksum": R.q_cdc_checksum,
         # cross-lake replication: feed export -> apply -> checksum match
         "cdc_replicate": R.q_cdc_replicate,
+        # per-epoch fold of the partition-epoch manifest lineage counters
+        "cdc_lineage": R.q_cdc_lineage,
     }
     # The driver certifies the FIRST 50 registry entries each round.  Rotate
     # never-yet-certified entries (no row in CORRECTNESS_r01..r03) into that
@@ -2678,5 +2680,29 @@ def oracle_sql() -> dict[str, str]:
                    'user' as role, r.event_type as text,
                    cast(null as varchar) as tool, r.ts, r.event_id as lsn
             from r join t using (event_type) where rn = 1
+        """,
+        "cdc_lineage": """
+            with h as (select max(event_id) // 2 as half from events),
+            base as (
+              select e.event_id,
+                     cast(case when e.event_id <= h.half then 0 else 1 end
+                          as int) as epoch,
+                     (e.event_id % 97 = 0) as poisoned,
+                     e.user_id, e.event_type
+              from events e cross join h),
+            w as (
+              select epoch, count(*) as upserts
+              from (select distinct epoch, user_id, event_type
+                    from base where not poisoned)
+              group by epoch)
+            select b.epoch,
+                   count(*) as rows_in,
+                   count(*) filter (where not b.poisoned) as valid,
+                   count(*) filter (where b.poisoned) as rejects,
+                   any_value(w.upserts) as upserts,
+                   cast(0 as bigint) as deletes
+            from base b join w on w.epoch = b.epoch
+            group by b.epoch
+            order by b.epoch
         """,
     }

@@ -4018,6 +4018,52 @@ def q_cdc_checksum(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_cdc_lineage(sf_dir: str) -> pd.DataFrame:
+    """Per-partition lineage counters, driver-visible WITH a full SQL
+    oracle — the north-star's "per-partition lineage counters" surfaced
+    as a reconciliation table: the poisoned events-as-transcripts WAL
+    replays epoch by epoch, then every committed partition-epoch
+    manifest's counters are folded per EPOCH (the monoid merge of
+    ``state/manifest.py:154`` restricted to one epoch's manifests) and
+    must equal the SQL recomputation from the raw events: ``rows_in`` =
+    all WAL rows, ``valid``/``rejects`` = the validation-gate split,
+    ``upserts`` = LWW winner count per (conv_id, turn_idx) within the
+    epoch.  ``rows_in``/``valid`` stay exact despite the pre-shuffle
+    combiner because staged winners carry ``_nsrc`` source-row counts
+    (engine.py ``n_valid_src``).  Exactly-once manifests make this a
+    replay-stable reconciliation the reference's Redis counters cannot
+    pass (increments double-count under replay,
+    ``streaming/spark/fraud_detector.py:54-118``)."""
+    from nyc_taxi_data_pipeline_ray.state import manifest as mf
+
+    root = "/tmp/nyc_ray_q_lineage"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root, poison_mod=97)
+    eng.apply(wal_dir, max_epochs=1)
+    eng.apply(wal_dir)
+    per_epoch: dict[int, dict[str, int]] = {}
+    for pid in range(eng.cfg.num_partitions):
+        for m in mf.read_manifests(eng.cfg.path, pid):
+            assert len(m["epochs"]) == 1, m  # epoch-at-a-time replay
+            c = m.get("counters", {})
+            r = per_epoch.setdefault(
+                int(m["epochs"][0]),
+                {"rows_in": 0, "valid": 0, "rejects": 0, "upserts": 0, "deletes": 0},
+            )
+            for k in r:
+                r[k] += int(c.get(k, 0))
+    epochs = sorted(per_epoch)
+    return pd.DataFrame(
+        {
+            "epoch": pd.Series(epochs, dtype="int32"),
+            "rows_in": pd.Series([per_epoch[e]["rows_in"] for e in epochs], dtype="int64"),
+            "valid": pd.Series([per_epoch[e]["valid"] for e in epochs], dtype="int64"),
+            "rejects": pd.Series([per_epoch[e]["rejects"] for e in epochs], dtype="int64"),
+            "upserts": pd.Series([per_epoch[e]["upserts"] for e in epochs], dtype="int64"),
+            "deletes": pd.Series([per_epoch[e]["deletes"] for e in epochs], dtype="int64"),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 def q_cdc_replicate(sf_dir: str) -> pd.DataFrame:
     """Cross-lake replication witness, driver-visible: replay the
