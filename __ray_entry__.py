@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replicate": R.q_cdc_replicate,
         # per-epoch fold of the partition-epoch manifest lineage counters
         "cdc_lineage": R.q_cdc_lineage,
+        # event-time watermark + late-arrival accounting per epoch
+        "cdc_watermarks": R.q_cdc_watermarks,
     }
     # The driver certifies the FIRST 50 registry entries each round.  Rotate
     # never-yet-certified entries (no row in CORRECTNESS_r01..r03) into that
@@ -2704,5 +2706,27 @@ def oracle_sql() -> dict[str, str]:
             from base b join w on w.epoch = b.epoch
             group by b.epoch
             order by b.epoch
+        """,
+        "cdc_watermarks": """
+            with base as (
+              select e.user_id, e.event_type, e.event_id,
+                     epoch_us(e.ts) as ts_us,
+                     cast(e.event_id % 2 as int) as epoch
+              from events e),
+            r as (
+              select *, row_number() over (
+                partition by epoch, user_id, event_type
+                order by ts_us desc, event_id desc) as rn
+              from base),
+            w0 as (select max(ts_us) as w from base where epoch = 0)
+            select epoch,
+                   max(ts_us) as watermark_us,
+                   cast(count(*) filter (
+                        where rn = 1 and epoch = 1
+                          and ts_us <= (select w from w0)) as bigint)
+                     as late_upserts
+            from r
+            group by epoch
+            order by epoch
         """,
     }

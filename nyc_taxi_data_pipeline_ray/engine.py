@@ -55,6 +55,7 @@ unit of truth.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 import shutil
@@ -589,6 +590,48 @@ class CdcEngine:
                 out.add(int(m.group(1)))
         return out
 
+    def _committed_groups(self) -> set[int]:
+        d = os.path.join(self.cfg.path, "_epochs")
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for name in os.listdir(d):
+            if re.match(r"epoch-(\d{6})\.json$", name):
+                try:
+                    with open(os.path.join(d, name)) as f:
+                        out.add(int(json.load(f)["group_id"]))
+                except (OSError, KeyError, ValueError):
+                    pass
+        return out
+
+    def _event_watermark(self, *, before_group: int) -> int | None:
+        """Event-time high-water mark (max committed event ts, µs) over
+        all groups committed BEFORE ``before_group`` — the lateness
+        threshold handed to that group's merge tasks.  Served from the
+        ``_watermark.json`` cache when it covers the committed ledger;
+        otherwise folded from the partition manifests (authoritative),
+        which is retry-deterministic because prior groups are fully
+        committed under the single-writer lease."""
+        committed = [g for g in self._committed_groups() if g < before_group]
+        hi = max(committed, default=-1)
+        try:
+            with open(os.path.join(self.cfg.path, "_watermark.json")) as f:
+                d = json.load(f)
+            if int(d.get("through_group", -1)) == hi:
+                w = d.get("watermark_us")
+                return int(w) if w is not None else None
+        except (OSError, ValueError):
+            pass
+        w: int | None = None
+        for pid in self._live_pids():
+            for m in mf.read_manifests(self.cfg.path, pid):
+                if int(m["group_id"]) >= before_group:
+                    continue
+                v = m.get("counters", {}).get("max_ts_us")
+                if v is not None:
+                    w = int(v) if w is None else max(w, int(v))
+        return w
+
     # ----------------------------------------------------------------- apply
     def apply(
         self,
@@ -725,6 +768,11 @@ class CdcEngine:
 
         # ---- Stage B: per-partition LWW merge + commit (one task per
         # partition; each task loads its own A1.5 slice-index file)
+        # event-time watermark through all PRIOR committed groups — one
+        # threshold for every partition of this group.  Deterministic on
+        # retry: prior groups are fully committed under the lease, so the
+        # recompute fallback sees the same manifests.
+        late_threshold_us = self._event_watermark(before_group=group_id)
         merge = _MergePartitions(
             self.cfg.path,
             staging_dir,
@@ -732,6 +780,7 @@ class CdcEngine:
             sorted(epochs),
             self.cfg.max_delta_runs,
             self.cfg.salt_shards,
+            late_threshold_us,
         )
         pids = pa.table({"pid": pa.array(range(self.cfg.num_partitions), pa.int32())})
         reports = (
@@ -754,6 +803,22 @@ class CdcEngine:
                 {"epoch": e, "group_id": group_id, "partitions": len(reports)},
             )
         shutil.rmtree(staging_dir, ignore_errors=True)
+
+        # advance the cached event-time watermark (cache only — the
+        # manifests are authoritative; _event_watermark recomputes from
+        # them whenever the cache lags the committed ledger)
+        grp_max = max(
+            (r["max_ts_us"] for r in reports if r.get("max_ts_us") is not None),
+            default=None,
+        )
+        new_w = max(
+            (w for w in (late_threshold_us, grp_max) if w is not None), default=None
+        )
+        if new_w is not None:
+            mf.atomic_write_json(
+                os.path.join(self.cfg.path, "_watermark.json"),
+                {"watermark_us": int(new_w), "through_group": group_id},
+            )
         tt = _t("commit+cleanup", tt)
 
         rep = ApplyReport(epochs=epochs, seconds=time.perf_counter() - t0)
@@ -2016,6 +2081,7 @@ class _MergePartitions:
         epochs: list[int],
         max_delta_runs: int,
         salt_shards: int,
+        late_threshold_us: int | None = None,
     ):
         self.lake_path = lake_path
         self.staging_dir = staging_dir
@@ -2023,6 +2089,7 @@ class _MergePartitions:
         self.epochs = epochs
         self.max_delta_runs = max_delta_runs
         self.salt_shards = salt_shards
+        self.late_threshold_us = late_threshold_us
 
     def __call__(self, pids: pa.Table) -> pa.Table:
         """Per partition descriptor row: slice list and dead-letter unit
@@ -2074,6 +2141,7 @@ class _MergePartitions:
             self.group_id,
             set(self.epochs),
             self.max_delta_runs,
+            self.late_threshold_us,
         )
 
 
@@ -2094,11 +2162,20 @@ def _apply_partition_group(
     group_id: int,
     epoch_set: set[int],
     max_delta_runs: int,
+    late_threshold_us: int | None = None,
 ) -> pa.Table:
     already = mf.committed_epoch_groups(lake_path, pid)
     new_epochs = sorted(e for e in epoch_set if e not in already)
     if not new_epochs:
-        return _report_row(pid, skipped=True)
+        # retry of a committed group: surface the committed watermark so
+        # the driver's post-commit fold still sees every partition
+        prev = {}
+        try:
+            with open(mf.manifest_path(lake_path, pid, group_id)) as f:
+                prev = json.load(f).get("counters", {})
+        except OSError:
+            pass
+        return _report_row(pid, skipped=True, max_ts_us=prev.get("max_ts_us"))
     good = _epoch_filter(good, new_epochs)
     bad = _epoch_filter(bad, new_epochs)
     if (good is None or good.num_rows == 0) and (bad is None or bad.num_rows == 0):
@@ -2128,6 +2205,32 @@ def _apply_partition_group(
 
     ops = pc.fill_null(delta["op"], "insert")
     n_del = pc.sum(pc.cast(pc.equal(ops, "delete"), pa.int64())).as_py() or 0
+    # event-time watermark: max ts survives the pre-shuffle combiner
+    # exactly (the max-ts row is the LWW winner of its own key), so this
+    # equals the max over all valid SOURCE rows routed here.  min would
+    # not (a losing duplicate's ts is dropped), so no min_ts counter.
+    max_ts_us = (
+        pc.max(pc.cast(good["ts"], pa.int64())).as_py() if good.num_rows else None
+    )
+    # late-data accounting vs the lake's event-time watermark BEFORE this
+    # group (driver-computed, same threshold for every partition): delta
+    # rows that arrived with event time at or below it.  Deterministic
+    # under retry — prior groups are fully committed, so the threshold
+    # recomputes identically.
+    late = 0
+    if late_threshold_us is not None and delta.num_rows:
+        late = (
+            pc.sum(
+                pc.cast(
+                    pc.less_equal(
+                        pc.cast(delta["ts"], pa.int64()),
+                        pa.scalar(late_threshold_us, pa.int64()),
+                    ),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
     counters = {
         "rows_in": n_valid_src + n_bad_src,
         "valid": n_valid_src,
@@ -2137,6 +2240,8 @@ def _apply_partition_group(
         "delta_bytes": delta.nbytes,
         "min_lsn": pc.min(good["lsn"]).as_py() if good.num_rows else None,
         "max_lsn": pc.max(good["lsn"]).as_py() if good.num_rows else None,
+        "max_ts_us": max_ts_us,
+        "late_upserts": late,
     }
     _write_manifest(lake_path, pid, group_id, new_epochs, counters, alerts=alerts)
 
@@ -2151,6 +2256,7 @@ def _apply_partition_group(
         rejects=n_bad_src,
         upserts=counters["upserts"],
         deletes=n_del,
+        max_ts_us=max_ts_us,
     )
 
 
@@ -2162,6 +2268,7 @@ def _report_row(pid: int, *, skipped: bool, **counts) -> pa.Table:
         "rejects": [counts.get("rejects", 0)],
         "upserts": [counts.get("upserts", 0)],
         "deletes": [counts.get("deletes", 0)],
+        "max_ts_us": pa.array([counts.get("max_ts_us")], pa.int64()),
     }
     return pa.table(row)
 

@@ -2419,14 +2419,24 @@ def q_cdc_engine_replay(sf_dir: str) -> pd.DataFrame:
     return eng.snapshot_table().to_pandas()
 
 
-def _events_as_transcript_wal(sf_dir: str, root: str, *, poison_mod: int | None = None):
+def _events_as_transcript_wal(
+    sf_dir: str,
+    root: str,
+    *,
+    poison_mod: int | None = None,
+    epoch_by_parity: bool = False,
+):
     """Recast the events table as a two-epoch transcript WAL under
     ``root`` (see :func:`q_cdc_engine_replay` for the scale notes).
     Returns ``(engine, wal_dir)`` with nothing applied yet — callers
     choose whole-WAL or epoch-at-a-time replay.  ``poison_mod`` plants
     deterministically invalid rows (turn_idx = -1 where
     ``event_id % poison_mod == 0``) to exercise the dead-letter path
-    with a SQL-expressible expected set."""
+    with a SQL-expressible expected set.  ``epoch_by_parity`` splits
+    epochs by ``event_id % 2`` instead of the id midpoint — the ids
+    correlate with event time in the test data, so parity makes the
+    second epoch interleave in event time (non-trivial late arrivals
+    for the watermark witness)."""
     import os
     import shutil
 
@@ -2443,7 +2453,10 @@ def _events_as_transcript_wal(sf_dir: str, root: str, *, poison_mod: int | None 
     eid = ev["event_id"].to_numpy()
     if poison_mod is not None:
         turn_idx = np.where(eid % poison_mod == 0, -1, turn_idx)
-    epoch = (eid > int(eid.max()) // 2).astype(np.int32)
+    if epoch_by_parity:
+        epoch = (eid % 2).astype(np.int32)
+    else:
+        epoch = (eid > int(eid.max()) // 2).astype(np.int32)
     wal = pa.table(
         {
             "lsn": ev["event_id"],
@@ -4060,6 +4073,54 @@ def q_cdc_lineage(sf_dir: str) -> pd.DataFrame:
             "rejects": pd.Series([per_epoch[e]["rejects"] for e in epochs], dtype="int64"),
             "upserts": pd.Series([per_epoch[e]["upserts"] for e in epochs], dtype="int64"),
             "deletes": pd.Series([per_epoch[e]["deletes"] for e in epochs], dtype="int64"),
+        }
+    )
+
+
+def q_cdc_watermarks(sf_dir: str) -> pd.DataFrame:
+    """Event-time watermark + late-data accounting, driver-visible WITH
+    a full SQL oracle — the north-star's "lag metrics": the
+    events-as-transcripts WAL replays epoch by epoch; each merge task
+    records its partition-epoch's event-time high-water mark
+    (``max_ts_us``, exact through the pre-shuffle combiner because the
+    max-ts row is the LWW winner of its own key) and counts delta rows
+    whose event time is at or below the lake's watermark BEFORE the
+    group (``late_upserts`` — the Flink-style late-arrival metric).
+    The fold per epoch (max of watermarks, sum of late counts) must
+    equal the SQL recomputation: watermark = max event time in the
+    epoch; late = epoch-1 LWW winners with ts <= epoch-0's watermark."""
+    from nyc_taxi_data_pipeline_ray.state import manifest as mf
+
+    root = "/tmp/nyc_ray_q_watermarks"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root, epoch_by_parity=True)
+    eng.apply(wal_dir, max_epochs=1)
+    eng.apply(wal_dir)
+    per_epoch: dict[int, dict[str, int]] = {}
+    for pid in range(eng.cfg.num_partitions):
+        for m in mf.read_manifests(eng.cfg.path, pid):
+            assert len(m["epochs"]) == 1, m
+            c = m.get("counters", {})
+            r = per_epoch.setdefault(
+                int(m["epochs"][0]), {"watermark_us": None, "late_upserts": 0}
+            )
+            v = c.get("max_ts_us")
+            if v is not None:
+                r["watermark_us"] = (
+                    int(v)
+                    if r["watermark_us"] is None
+                    else max(r["watermark_us"], int(v))
+                )
+            r["late_upserts"] += int(c.get("late_upserts", 0))
+    epochs = sorted(per_epoch)
+    return pd.DataFrame(
+        {
+            "epoch": pd.Series(epochs, dtype="int32"),
+            "watermark_us": pd.Series(
+                [per_epoch[e]["watermark_us"] for e in epochs], dtype="int64"
+            ),
+            "late_upserts": pd.Series(
+                [per_epoch[e]["late_upserts"] for e in epochs], dtype="int64"
+            ),
         }
     )
 

@@ -154,11 +154,19 @@ def read_compact_markers(lake_path: str, pid: int) -> list[dict]:
 def merge_counters(manifests: Iterable[dict]) -> dict:
     """Monoid merge of lineage counters across partition-epoch manifests
     (the Redis-counter analog, exactly-once because manifests are
-    per-committed-epoch, not increments)."""
+    per-committed-epoch, not increments).  Keys prefixed ``min_`` fold
+    by min, ``min_``/``max_``/``watermark`` bounds fold by min/max —
+    summing a low-water mark across partitions is meaningless."""
     total: dict[str, float] = {}
     for m in manifests:
         for k, v in m.get("counters", {}).items():
-            if isinstance(v, (int, float)):
+            if not isinstance(v, (int, float)):
+                continue
+            if k.startswith("min_"):
+                total[k] = v if k not in total else min(total[k], v)
+            elif k.startswith("max_") or k.startswith("watermark"):
+                total[k] = v if k not in total else max(total[k], v)
+            else:
                 total[k] = total.get(k, 0) + v
     return total
 

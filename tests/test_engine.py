@@ -1332,3 +1332,96 @@ def test_pruned_point_lookups_retry_compactor_race(tmp_path, monkeypatch):
     calls["fail"] = 0
     h = eng.key_history(key)
     assert calls["fail"] == 1 and h.num_rows > 0
+
+
+def test_event_time_watermark_and_lateness(tmp_path):
+    """Per-partition-epoch manifests carry the event-time watermark
+    (max_ts_us — exact through the pre-shuffle combiner) and the
+    late-arrival count vs the lake's prior watermark (late_upserts);
+    both match an independent pandas recomputation and stay stable
+    across idempotent re-apply and crash-retry."""
+    from nyc_taxi_data_pipeline_ray.stages.validate import split_valid
+    from nyc_taxi_data_pipeline_ray.state import manifest as mf
+
+    spec = WalSpec(
+        seed=11,
+        num_conversations=80,
+        num_epochs=3,
+        events_per_epoch=800,
+        ooo_fraction=0.3,
+        dup_fraction=0.1,
+        invalid_fraction=0.05,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    for _ in range(spec.num_epochs):
+        eng.apply(wal, max_epochs=1)
+
+    good, _ = split_valid(gen.events_table())
+    df = good.select(["conv_id", "turn_idx", "ts", "lsn", "epoch"]).to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    # expected per-epoch watermark: max valid event time in the epoch
+    wm = df.groupby("epoch")["ts_us"].max()
+    # expected late winners: LWW winner per (epoch, key) with event time
+    # at/below the running watermark of all PRIOR epochs
+    winners = (
+        df.sort_values(["epoch", "conv_id", "turn_idx", "ts_us", "lsn"])
+        .groupby(["epoch", "conv_id", "turn_idx"], as_index=False)
+        .last()
+    )
+    got = {e: {"watermark_us": None, "late_upserts": 0} for e in wm.index}
+    for pid in range(eng.cfg.num_partitions):
+        for m in mf.read_manifests(eng.cfg.path, pid):
+            e = int(m["epochs"][0])
+            c = m.get("counters", {})
+            v = c.get("max_ts_us")
+            if v is not None:
+                cur = got[e]["watermark_us"]
+                got[e]["watermark_us"] = v if cur is None else max(cur, v)
+            got[e]["late_upserts"] += int(c.get("late_upserts", 0))
+    prior = None
+    for e in sorted(wm.index):
+        assert got[e]["watermark_us"] == int(wm[e]), e
+        w_e = winners[winners["epoch"] == e]
+        exp_late = 0 if prior is None else int((w_e["ts_us"] <= prior).sum())
+        assert got[e]["late_upserts"] == exp_late, e
+        prior = int(wm[e]) if prior is None else max(prior, int(wm[e]))
+
+    # crash-retry: drop global markers AND the watermark cache — the
+    # committed manifests (authoritative) must not change
+    before = [
+        sorted(
+            (m["group_id"], m["counters"].get("late_upserts", 0))
+            for m in mf.read_manifests(eng.cfg.path, pid)
+        )
+        for pid in range(eng.cfg.num_partitions)
+    ]
+    for p in glob.glob(os.path.join(eng.cfg.path, "_epochs", "*.json")):
+        os.remove(p)
+    os.remove(os.path.join(eng.cfg.path, "_watermark.json"))
+    eng.apply(wal)
+    after = [
+        sorted(
+            (m["group_id"], m["counters"].get("late_upserts", 0))
+            for m in mf.read_manifests(eng.cfg.path, pid)
+        )
+        for pid in range(eng.cfg.num_partitions)
+    ]
+    assert before == after
+    _assert_equal_state(eng, gen)
+
+
+def test_merge_counters_folds_bounds():
+    from nyc_taxi_data_pipeline_ray.state.manifest import merge_counters
+
+    ms = [
+        {"counters": {"rows_in": 3, "min_lsn": 5, "max_lsn": 9, "max_ts_us": 100}},
+        {"counters": {"rows_in": 4, "min_lsn": 2, "max_lsn": 11, "max_ts_us": 70}},
+        {"counters": {"rows_in": 1}},
+    ]
+    out = merge_counters(ms)
+    assert out == {
+        "rows_in": 8,
+        "min_lsn": 2,
+        "max_lsn": 11,
+        "max_ts_us": 100,
+    }
