@@ -288,7 +288,10 @@ class _StageUnits:
             path = os.path.join(self.staging_dir, f"unit-{name}.parquet")
             tmp = path + ".tmp"
             with pq.ParquetWriter(
-                tmp, body.schema, use_dictionary=_dict_cols(body.schema)
+                tmp,
+                body.schema,
+                use_dictionary=_dict_cols(body.schema),
+                compression=_LAKE_CODEC,
             ) as w:
                 for rg, (st, en) in enumerate(zip(starts, ends)):
                     w.write_table(body.slice(st, en - st), row_group_size=int(en - st))
@@ -2322,6 +2325,17 @@ def _dict_cols(schema: pa.Schema) -> list[str]:
 BASE_ROW_GROUP_ROWS = 65536
 
 
+#: codec for every lake-owned parquet file (staging fragments, deltas,
+#: bases, rejects, exports).  LZ4 over the default snappy: measured on
+#: the WAL-shaped payload (200k rows / 218 MB of ~2 KB texts), lz4
+#: reads 2.2x faster (0.23 s vs 0.52 s) at +15% file size — staging is
+#: written once and read once, bases are read by every snapshot/query,
+#: so decode speed dominates storage.  (Uncompressed is ~40% faster
+#: still on round-trip CPU but 2.8x the bytes — wrong at 100 TB where
+#: staging IO shares disks/network with the object store.)
+_LAKE_CODEC = "lz4"
+
+
 def _atomic_write_parquet(
     path: str, table: pa.Table, *, row_group_rows: int | None = None
 ) -> None:
@@ -2331,6 +2345,7 @@ def _atomic_write_parquet(
         table,
         tmp,
         use_dictionary=_dict_cols(table.schema),
+        compression=_LAKE_CODEC,
         **({"row_group_size": row_group_rows} if row_group_rows else {}),
     )
     os.replace(tmp, path)
