@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage": R.q_cdc_lineage,
         # event-time watermark + late-arrival accounting per epoch
         "cdc_watermarks": R.q_cdc_watermarks,
+        # add-column/type-widen schema evolution across committed runs
+        "cdc_evolution": R.q_cdc_evolution,
     }
     # The driver certifies the FIRST 50 registry entries each round.  Rotate
     # never-yet-certified entries (no row in CORRECTNESS_r01..r03) into that
@@ -2728,5 +2730,29 @@ def oracle_sql() -> dict[str, str]:
             from r
             group by epoch
             order by epoch
+        """,
+        "cdc_evolution": """
+            with h as (select max(event_id) // 2 as half from events),
+            r as (
+              select e.*,
+                     (e.event_id > h.half) as evolved,
+                     row_number() over (
+                       partition by e.user_id, e.event_type
+                       order by e.ts desc, e.event_id desc) as rn
+              from events e cross join h),
+            t as (
+              select event_type,
+                     dense_rank() over (order by event_type) - 1 as turn_idx
+              from (select distinct event_type from events))
+            select 'u' || cast(r.user_id as varchar) as conv_id,
+                   cast(t.turn_idx as bigint) as turn_idx,
+                   'user' as role, r.event_type as text,
+                   cast(null as varchar) as tool, r.ts,
+                   r.event_id as lsn,
+                   case when r.evolved then 'm-' || r.event_type
+                        else cast(null as varchar) end as model
+            from r join t using (event_type)
+            where rn = 1
+            order by conv_id, turn_idx
         """,
     }

@@ -2425,6 +2425,7 @@ def _events_as_transcript_wal(
     *,
     poison_mod: int | None = None,
     epoch_by_parity: bool = False,
+    evolve: bool = False,
 ):
     """Recast the events table as a two-epoch transcript WAL under
     ``root`` (see :func:`q_cdc_engine_replay` for the scale notes).
@@ -2436,7 +2437,10 @@ def _events_as_transcript_wal(
     epochs by ``event_id % 2`` instead of the id midpoint — the ids
     correlate with event time in the test data, so parity makes the
     second epoch interleave in event time (non-trivial late arrivals
-    for the watermark witness)."""
+    for the watermark witness).  ``evolve`` makes epoch 1 a SCHEMA-
+    EVOLVED segment: it gains a ``model`` column ('m-' || event_type)
+    and widens ``turn_idx`` to int64 — the add-column/type-widen case
+    the engine must unify at merge time."""
     import os
     import shutil
 
@@ -2475,10 +2479,19 @@ def _events_as_transcript_wal(
     for e in (0, 1):
         d = os.path.join(root, "wal", f"epoch={e:06d}")
         os.makedirs(d)
-        pq.write_table(
-            wal.filter(pc.equal(wal["epoch"], pa.scalar(e, pa.int32()))),
-            os.path.join(d, "part-0000.parquet"),
-        )
+        part = wal.filter(pc.equal(wal["epoch"], pa.scalar(e, pa.int32())))
+        if evolve and e == 1:
+            part = part.set_column(
+                part.schema.get_field_index("turn_idx"),
+                "turn_idx",
+                pc.cast(part["turn_idx"], pa.int64()),
+            ).append_column(
+                "model",
+                pc.binary_join_element_wise(
+                    pa.array(np.full(part.num_rows, "m-")), part["text"], ""
+                ),
+            )
+        pq.write_table(part, os.path.join(d, "part-0000.parquet"))
     eng = CdcEngine(LakeConfig.open_or_create(os.path.join(root, "lake"), num_partitions=4))
     return eng, os.path.join(root, "wal")
 
@@ -4074,6 +4087,30 @@ def q_cdc_lineage(sf_dir: str) -> pd.DataFrame:
             "upserts": pd.Series([per_epoch[e]["upserts"] for e in epochs], dtype="int64"),
             "deletes": pd.Series([per_epoch[e]["deletes"] for e in epochs], dtype="int64"),
         }
+    )
+
+
+def q_cdc_evolution(sf_dir: str) -> pd.DataFrame:
+    """Schema evolution, driver-visible WITH a full SQL oracle — the
+    north-rule's add-column/type-widen case: epoch 0 commits under the
+    base transcript schema, then epoch 1 arrives EVOLVED (new ``model``
+    column, ``turn_idx`` widened int32 -> int64) in a separate apply, so
+    the lake's committed runs span two physical schemas and the merge
+    must unify them (``schemas.unify`` + ``_PrepareBatch``/``conform``).
+    The snapshot must equal the SQL union-with-nulls LWW winners:
+    epoch-0 winners carry ``model = NULL``, epoch-1 winners carry
+    ``'m-' || event_type`` — any column misalignment, dropped widening,
+    or stale-schema read shows up as a value or schema mismatch."""
+    root = "/tmp/nyc_ray_q_evolution"
+    eng, wal_dir = _events_as_transcript_wal(sf_dir, root, evolve=True)
+    eng.apply(wal_dir, max_epochs=1)  # base schema committed first
+    eng.apply(wal_dir)  # evolved segment unifies at merge time
+    snap = eng.snapshot_table().select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "model"]
+    )
+    return (
+        snap.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
     )
 
 
