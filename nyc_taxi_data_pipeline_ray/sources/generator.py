@@ -222,8 +222,13 @@ class WalGenerator:
             tmp = path + ".tmp"
             # small row groups so Ray's parquet reader can split one
             # segment file across many read tasks (a 250k-row single
-            # group is one indivisible ~450 MB decompress unit)
-            pq.write_table(t.slice(start, rpf), tmp, row_group_size=16384)
+            # group is one indivisible ~450 MB decompress unit); lz4
+            # segments decode ~2.2x faster than snappy at +15% size —
+            # the WAL writer is the Kafka-producer analog, so the
+            # segment codec is this engine's choice
+            pq.write_table(
+                t.slice(start, rpf), tmp, row_group_size=16384, compression="lz4"
+            )
             os.replace(tmp, path)
         return d
 
