@@ -1677,6 +1677,13 @@ class CdcEngine:
                                 "upserts": int(live),
                                 "deletes": int(base.num_rows - live),
                                 "rejects": 0,
+                                # preserve the event-time watermark across
+                                # the move: the max-ts row always wins its
+                                # key, so max over retained winners == max
+                                # over all valid source rows
+                                "max_ts_us": pc.max(
+                                    pc.cast(base["ts"], pa.int64())
+                                ).as_py(),
                             },
                             "resharded_from": src.path,
                         },

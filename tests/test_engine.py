@@ -1425,3 +1425,19 @@ def test_merge_counters_folds_bounds():
         "max_lsn": 11,
         "max_ts_us": 100,
     }
+
+
+def test_watermark_survives_reshard(tmp_path):
+    """Reshard's bootstrap manifests preserve the event-time watermark
+    (max_ts_us), so late-arrival accounting doesn't reset after a
+    layout change."""
+    spec = WalSpec(
+        seed=5, num_conversations=60, num_epochs=2,
+        events_per_epoch=500, ooo_fraction=0.3,
+    )
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    w_src = eng._event_watermark(before_group=10**6)
+    tgt = eng.reshard(os.path.join(str(tmp_path), "lake2"), 8)
+    assert w_src is not None
+    assert tgt._event_watermark(before_group=10**6) == w_src
