@@ -4963,18 +4963,20 @@ def q_rank_sum_test(sf_dir: str) -> pd.DataFrame:
         v = t["value"].to_numpy(zero_copy_only=False)
         i = t["event_id"].to_numpy(zero_copy_only=False)
         dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
+        # int8 group flag instead of a per-row string label: ~50 MB less
+        # exchange payload at 8M rows; names re-attached at the driver
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "value": t["value"],
-                "grp": pa.array(np.where(dow >= 5, "weekend", "weekday")),
+                "g": pa.array((dow >= 5).astype(np.int8)),
                 "task": pa.array(plan.assign(v, i), pa.int64()),
             }
         )
 
     def ranksum_task(df: pd.DataFrame) -> pd.DataFrame:
         df = plan.add_ranks(df, "value", "event_id", rank_col="rank")
-        return df.groupby("grp", as_index=False).agg(
+        return df.groupby("g", as_index=False).agg(
             n=("rank", "size"), rsum=("rank", "sum")
         )
 
@@ -4984,8 +4986,9 @@ def q_rank_sum_test(sf_dir: str) -> pd.DataFrame:
         .map_groups(ranksum_task, batch_format="pandas")
         .to_pandas()
     )
-    agg = partials.groupby("grp", as_index=False)[["n", "rsum"]].sum()
-    agg = agg.sort_values("grp", ignore_index=True)
+    agg = partials.groupby("g", as_index=False)[["n", "rsum"]].sum()
+    agg["grp"] = np.where(agg["g"].to_numpy() == 1, "weekend", "weekday")
+    agg = agg.drop(columns=["g"]).sort_values("grp", ignore_index=True)
     n_by = dict(zip(agg["grp"], agg["n"]))
     r_by = dict(zip(agg["grp"], agg["rsum"]))
     n1 = int(n_by.get("weekday", 0))
