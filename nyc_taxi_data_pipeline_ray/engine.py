@@ -669,12 +669,16 @@ class CdcEngine:
         group_id = max(epochs)
         staging_root = os.path.join(self.cfg.path, "_staging")
         staging_dir = os.path.join(staging_root, f"group-{group_id:06d}")
-        # stale staging from a crashed run with a different epoch group is
-        # dead weight (our own group dir is rewritten deterministically)
+        # ALL stale staging is dead weight — including our own group's dir
+        # from a crashed earlier attempt.  Stage B consumes slice/reject
+        # index FILES and unit fragments from disk, so leftovers from an
+        # attempt over a since-rewritten WAL segment (a pid or reject set
+        # touched then but not now) would otherwise merge phantom rows;
+        # wiping restores the old in-band invariant that a retry always
+        # recomputes everything it reads.
         if os.path.isdir(staging_root):
             for name in os.listdir(staging_root):
-                if name != f"group-{group_id:06d}":
-                    shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
+                shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
 
         trace = os.environ.get("CDC_TRACE") == "1"
 
@@ -1473,12 +1477,10 @@ class CdcEngine:
         checksum is computed over exactly the partition states the part
         files were exported from (no apply/compact can interleave
         between the checksum pass and the per-partition reads)."""
-        import json
-
         with _LakeLease(self.cfg.path):
-            return self._export_snapshot_locked(out_dir, as_of_epoch, json)
+            return self._export_snapshot_locked(out_dir, as_of_epoch)
 
-    def _export_snapshot_locked(self, out_dir: str, as_of_epoch, json) -> dict:
+    def _export_snapshot_locked(self, out_dir: str, as_of_epoch) -> dict:
         cs = self.checksum(as_of_epoch=as_of_epoch)
         marker = os.path.join(out_dir, "_SUCCESS")
         try:
@@ -1577,11 +1579,21 @@ class CdcEngine:
         partition-layout invariant by construction."""
         if os.path.exists(os.path.join(target_path, "_lake.json")):
             raise ValueError(f"target lake already exists: {target_path}")
-        # _lake.json is written LAST (below), so its absence over a non-empty
-        # directory identifies a crashed previous reshard: wipe the leftovers
-        # so the retry rebuilds from scratch instead of mixing generations.
+        # _lake.json is written LAST (below) and _RESHARDING is dropped FIRST,
+        # so "_RESHARDING present, _lake.json absent" identifies a crashed
+        # previous reshard: wipe the leftovers so the retry rebuilds from
+        # scratch instead of mixing generations.  A non-empty directory
+        # WITHOUT the marker is someone else's data — refuse to clobber it.
+        in_progress = os.path.join(target_path, "_RESHARDING")
         if os.path.isdir(target_path) and os.listdir(target_path):
+            if not os.path.exists(in_progress):
+                raise ValueError(
+                    f"target path is non-empty and not a crashed reshard: {target_path}"
+                )
             shutil.rmtree(target_path)
+        os.makedirs(target_path, exist_ok=True)
+        with open(in_progress, "w") as f:
+            f.write("reshard in progress\n")
         src = self.cfg
         tgt_cfg = LakeConfig(
             path=target_path,
@@ -1715,8 +1727,10 @@ class CdcEngine:
             shutil.rmtree(stage_dir, ignore_errors=True)
             # completion marker LAST: an interrupted reshard leaves no
             # _lake.json, so it can't pass for a healthy lake and the retry's
-            # crashed-attempt sweep (above) cleans it up automatically.
+            # crashed-attempt sweep (above, keyed on _RESHARDING) cleans it
+            # up automatically.
             tgt_cfg.save()
+            os.unlink(in_progress)
         return CdcEngine(tgt_cfg)
 
     def key_history(self, conv_id: str) -> pa.Table:

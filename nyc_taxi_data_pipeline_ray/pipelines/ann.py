@@ -52,8 +52,9 @@ def _vectors_where_id_below(sf_dir: str, upper: int) -> tuple[np.ndarray, np.nda
     return ids[order], mat[order]
 
 
-def _normalize_rows(m: np.ndarray) -> np.ndarray:
-    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+# one canonical row normalization for index build AND probe (a skew
+# between the two would silently degrade IVF cell assignment)
+from nyc_taxi_data_pipeline_ray.state.ann_index import _normalize_rows  # noqa: E402
 
 
 def q_ann_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 5) -> pd.DataFrame:
@@ -801,7 +802,12 @@ def q_ann_index_probe(
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=nprobe)
-    assert stats["files_read"] < stats["files_total"], stats  # pruning is real
+    # pruning is real: each query touches at most its nprobe cells.  (The
+    # files_read < files_total form would be data-dependent — k-means can
+    # leave cells empty, letting the probed UNION cover every non-empty
+    # cell even though per-query pruning held.)
+    assert nprobe < stats["cells_total"], stats
+    assert stats["cells_probed"] <= num_queries * nprobe, stats
     return df
 
 

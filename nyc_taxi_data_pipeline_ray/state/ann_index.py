@@ -200,7 +200,30 @@ class IvfIndex:
         (``files_read`` / ``files_total``).  With ``nprobe == ncells``
         the result equals brute force over the indexed corpus exactly
         (same 4-dp rounding and (sim desc, vec_id asc) tie order as
-        ``q_ann_bruteforce``)."""
+        ``q_ann_bruteforce``).
+
+        Reader-vs-compactor: a concurrent ``compact()`` removes folded
+        run dirs only AFTER the new base marker lands, so a probe that
+        raced it re-lists once and reads a consistent newer view (the
+        same one-retry idiom as the engine's pruned key readers)."""
+        try:
+            return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
+        except Exception as e:  # FileNotFoundError, possibly Ray-wrapped
+            cause = getattr(e, "cause", None)
+            if isinstance(e, FileNotFoundError) or isinstance(
+                cause, FileNotFoundError
+            ):
+                return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
+            raise
+
+    def _probe_once(
+        self,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        *,
+        k: int,
+        nprobe: int,
+    ) -> tuple[pd.DataFrame, dict]:
         import ray
 
         qmat = _normalize_rows(np.asarray(qmat, np.float64))
@@ -292,11 +315,41 @@ class IvfIndex:
         return df, stats
 
     # --------------------------------------------------------------- compact
+    def vacuum(self) -> dict:
+        """Remove run DIRECTORIES already folded into the newest base.
+
+        A ``compact()`` crash between its base-marker write and the
+        rmtree sweep would otherwise orphan the folded dirs forever
+        (the next compact sees one live run and skips).  Also reclaims
+        a partial ``base-*/`` dir whose marker never landed.  Single
+        writer assumed, as everywhere in this ledger idiom."""
+        import shutil
+
+        base = self._base()
+        if base is None:
+            return {"removed": 0}
+        gen, through = base
+        removed = 0
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if not os.path.isdir(full):
+                continue
+            dead = (name.startswith("base-") and name != f"base-{gen:06d}") or (
+                name.startswith("seg-") and int(name[4:]) <= through
+            )
+            if dead:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return {"removed": removed}
+
     def compact(self) -> dict:
         """Fold base + live segments into one new base generation (per
         cell, one Ray task each), then drop the folded runs.  Probes
         running concurrently keep working: the old runs are removed only
-        after the new base's marker lands (readers re-list on miss)."""
+        after the new base's marker lands (readers re-list on miss).
+        Starts with a :meth:`vacuum` so a previously crashed compact's
+        orphans are reclaimed before deciding whether to skip."""
+        self.vacuum()
         runs = self._read_runs()
         if len(runs) <= 1:
             return {"skipped": True, "runs": len(runs)}

@@ -155,8 +155,9 @@ def merge_counters(manifests: Iterable[dict]) -> dict:
     """Monoid merge of lineage counters across partition-epoch manifests
     (the Redis-counter analog, exactly-once because manifests are
     per-committed-epoch, not increments).  Keys prefixed ``min_`` fold
-    by min, ``min_``/``max_``/``watermark`` bounds fold by min/max —
-    summing a low-water mark across partitions is meaningless."""
+    by min and ``max_`` by max (the event-time watermark rides the
+    ``max_ts_us`` counter); everything else sums.  Summing a bound
+    across partitions would be meaningless."""
     total: dict[str, float] = {}
     for m in manifests:
         for k, v in m.get("counters", {}).items():
@@ -164,7 +165,7 @@ def merge_counters(manifests: Iterable[dict]) -> dict:
                 continue
             if k.startswith("min_"):
                 total[k] = v if k not in total else min(total[k], v)
-            elif k.startswith("max_") or k.startswith("watermark"):
+            elif k.startswith("max_"):
                 total[k] = v if k not in total else max(total[k], v)
             else:
                 total[k] = total.get(k, 0) + v

@@ -132,3 +132,59 @@ def test_compact_preserves_probe_results(tmp_path):
     idx.add(_ds(np.array([900], np.int64), mat[:1]), segment_id=2)
     again, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
     assert len(again) == len(after)
+
+
+def test_vacuum_reclaims_crashed_compact_orphans(tmp_path):
+    """A compact() crash between the base-marker write and the rmtree
+    sweep must not orphan the folded run dirs forever: the next
+    compact's leading vacuum reclaims them (and a partial markerless
+    base dir), and reads are unaffected."""
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat, segments=2)
+    qids, qmat = ids[:3], mat[:3]
+    before, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+
+    # simulate the crash: run a real compact but make its cleanup
+    # rmtree a no-op (exactly compact()'s state at the crash point —
+    # new base + marker written, folded runs never removed)
+    import shutil as _sh
+
+    folded = idx._read_runs()
+    real_rmtree = _sh.rmtree
+    try:
+        _sh.rmtree = lambda p, **k: None
+        idx.compact()
+    finally:
+        _sh.rmtree = real_rmtree
+    # orphans still on disk
+    assert all(os.path.isdir(d) for d in folded)
+    # a retry compact (or vacuum) reclaims them
+    res = idx.vacuum()
+    assert res["removed"] >= len(folded)
+    assert not any(os.path.isdir(d) for d in folded)
+    after, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    pd.testing.assert_frame_equal(before.reset_index(drop=True), after.reset_index(drop=True))
+
+
+def test_probe_retries_on_compactor_race(tmp_path):
+    """Reader-vs-compactor: a probe holding a stale run listing (dir
+    removed by a concurrent compact) re-lists once and succeeds — same
+    idiom as the engine's pruned key readers."""
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat, segments=2)
+    qids, qmat = ids[:3], mat[:3]
+    expect, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+
+    real = idx._read_runs
+    state = {"first": True}
+
+    def stale_then_real():
+        if state["first"]:
+            state["first"] = False
+            return [os.path.join(str(tmp_path), "ivf", "seg-000099")]  # vanished dir
+        return real()
+
+    idx._read_runs = stale_then_real
+    got, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    assert not state["first"]  # retry actually happened
+    pd.testing.assert_frame_equal(expect.reset_index(drop=True), got.reset_index(drop=True))

@@ -1441,3 +1441,41 @@ def test_watermark_survives_reshard(tmp_path):
     tgt = eng.reshard(os.path.join(str(tmp_path), "lake2"), 8)
     assert w_src is not None
     assert tgt._event_watermark(before_group=10**6) == w_src
+
+
+def test_reshard_refuses_unrelated_nonempty_target(tmp_path):
+    """The crashed-attempt sweep is keyed on the _RESHARDING marker: a
+    non-empty target directory WITHOUT it is someone else's data and
+    must be refused, never rm -rf'd (review finding on the round-4
+    completion-marker change)."""
+    spec = WalSpec(seed=61, num_conversations=20, num_epochs=1, events_per_epoch=200)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    tgt = os.path.join(str(tmp_path), "precious")
+    os.makedirs(tgt)
+    keep = os.path.join(tgt, "do-not-delete.txt")
+    with open(keep, "w") as f:
+        f.write("user data\n")
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.reshard(tgt, 2)
+    assert os.path.exists(keep)  # untouched
+
+
+def test_apply_retry_discards_stale_staging(tmp_path):
+    """A retry of a crashed apply() must recompute everything it reads:
+    stale unit fragments / slice indexes staged by the failed attempt
+    (possibly over a since-rewritten WAL segment) may not leak into the
+    merge (review finding on the driver-off slice index change)."""
+    spec = WalSpec(seed=62, num_conversations=30, num_epochs=2, events_per_epoch=300)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    # plant poison staging for the group id apply() will use (max epoch)
+    staging = os.path.join(eng.cfg.path, "_staging", "group-000001")
+    os.makedirs(staging)
+    poison = os.path.join(staging, "unit-99-deadbeef.parquet")
+    with open(poison, "w") as f:
+        f.write("not parquet")
+    with open(os.path.join(staging, "slices-p0001.json"), "w") as f:
+        f.write('[["99-deadbeef", [0]]]')
+    eng.apply(wal)
+    assert not os.path.exists(poison)  # wiped before staging, not merged
+    _assert_equal_state(eng, gen)
