@@ -4766,10 +4766,8 @@ def q_weighted_median(sf_dir: str, *, n_bins: int = 4096) -> pd.DataFrame:
             m = left[["key", "pr", "price"]].merge(right, on="key")
             if target is not None:
                 b = bin_of(m["price"].to_numpy())
-                keep = np.array(
-                    [target.get(p) == bb for p, bb in zip(m["pr"], b)]
-                )
-                m = m[keep]
+                want = m["pr"].map(target).to_numpy(dtype=float, na_value=np.nan)
+                m = m[want == b]
                 return m[["pr", "price", "w"]]
             m["bin"] = bin_of(m["price"].to_numpy())
             g = m.groupby(["pr", "bin"], as_index=False)["w"].sum()
