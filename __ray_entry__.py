@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactness witness: index-probe candidates reranked by exact
         # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
         "dedup_index_rerank": T.q_dedup_index_rerank,
+        # composed continuous-ingest release: per-epoch index probe+add
+        # (O(new docs)), exact rerank, broadcast keep/dup_of decision
+        # (full oracle: exact cross-epoch Jaccard dup map in SQL)
+        "dedup_index_release": T.q_dedup_index_release,
         # exactness witness: LSH candidates reranked by exact char-5-gram
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,
@@ -398,6 +402,24 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                   >= 0.8
             order by doc_a, doc_b
+        """,
+        "dedup_index_release": """
+            with g as (
+              select doc_id, list_distinct(list_transform(range(1, length(text) - 3),
+                  i -> substring(text, i, 5))) as grams
+              from documents where length(text) >= 5),
+            pairs as (
+              select a.doc_id as da, b.doc_id as db
+              from g a join g b on a.doc_id // 125 > b.doc_id // 125
+              where cast(len(list_intersect(a.grams, b.grams)) as double)
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= 0.8),
+            dup as (select da as doc_id, min(db) as dup_of from pairs group by 1)
+            select d.doc_id, d.doc_id // 125 as epoch,
+                   dup.dup_of is null as keep,
+                   coalesce(dup.dup_of, -1) as dup_of
+            from documents d left join dup on d.doc_id = dup.doc_id
+            order by d.doc_id
         """,
         "minhash_rerank": """
             with g as (

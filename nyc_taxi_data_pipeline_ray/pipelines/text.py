@@ -686,6 +686,110 @@ def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.Dat
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
+def q_dedup_index_release(
+    sf_dir: str, *, n_epochs: int = 4, exact_threshold: float = 0.8
+) -> pd.DataFrame:
+    """CONTINUOUS-INGEST near-dedup release — the composed loop a
+    100 TB training corpus actually runs, certified end-to-end against
+    one SQL oracle: documents arrive in epochs (doc_id ranges standing
+    in for WAL commit groups); each epoch is PROBED against the
+    persisted LSH index (prior segments only) and then ADDED as its own
+    segment, so per-epoch cost is O(new docs) — never O(corpus); the
+    probe candidates are reranked by EXACT char-5-gram Jaccard with the
+    distributed pair verify; and the release decision (keep, or dup_of
+    = the smallest earlier near-duplicate) is applied as a broadcast
+    lookup inside one streaming ``map_batches`` pass — the dup map is
+    OUTPUT-class (near-dup pairs only), the corpus never lands on the
+    driver.  Within-epoch duplicates are deliberately both kept (policy:
+    an arrival batch is released atomically; they collide against epoch
+    e+1's probes — and the oracle encodes the same strictly-earlier-
+    epoch rule).  The oracle is the exact cross-epoch Jaccard >= 0.8
+    dup map in SQL; the band family's recall bound (miss prob
+    (1 - J^4)^16 = 2e-4 at J = 0.8) under the fixed seed makes the
+    index-probe candidates cover the exact set on this corpus, and the
+    driver hash-check certifies the equality."""
+    import math
+    import shutil
+
+    import ray
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = "/tmp/nyc_ray_q_dedup_index_release"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    per = math.ceil(ds.count() / n_epochs)
+    idx = MinHashIndex(root)
+    cands: list[pd.DataFrame] = []
+    for e in range(n_epochs):
+        batch = ds.filter(expr=f"doc_id >= {e * per} and doc_id < {(e + 1) * per}")
+        if e:
+            c = idx.probe(batch, threshold=0.5)
+            if len(c):
+                cands.append(
+                    c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
+                        ["doc_a", "doc_b"]
+                    ]
+                )
+        idx.add(batch, segment_id=e)
+
+    cand = (
+        pd.concat(cands, ignore_index=True)
+        if cands
+        else pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+    )
+
+    def chargrams(t: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            if len(s) < 5:
+                continue
+            out_id.append(did)
+            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "grams": pa.array(out_g, pa.list_(pa.string())),
+            }
+        )
+
+    exact = _distributed_pair_jaccard(
+        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+    )
+    dup_of = (
+        {} if exact.empty else exact.groupby("doc_a")["doc_b"].min().to_dict()
+    )
+    dup_ref = ray.put(dup_of)
+
+    def decide(t: pa.Table) -> pa.Table:
+        m = ray.get(dup_ref)
+        ids = t["doc_id"].to_numpy()
+        dup = (
+            pd.Series(ids, dtype="int64")
+            .map(m)
+            .fillna(-1)
+            .to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "epoch": pa.array((ids // per).astype(np.int64), pa.int64()),
+                "keep": pa.array(dup < 0, pa.bool_()),
+                "dup_of": pa.array(dup, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns(["doc_id"])
+        .map_batches(decide, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_minhash_rerank(
     sf_dir: str, *, num_perm: int = 64, exact_threshold: float = 0.8
 ) -> pd.DataFrame:
