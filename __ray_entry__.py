@@ -404,18 +404,23 @@ def oracle_sql() -> dict[str, str]:
             order by doc_a, doc_b
         """,
         "dedup_index_release": """
-            with g as (
+            -- epoch width derived exactly as the pipeline does
+            -- (ceil(count/4)), so the witness holds at any corpus size
+            with p as (select cast(ceil(count(*) / 4.0) as bigint) as per
+                       from documents),
+            g as (
               select doc_id, list_distinct(list_transform(range(1, length(text) - 3),
                   i -> substring(text, i, 5))) as grams
               from documents where length(text) >= 5),
             pairs as (
               select a.doc_id as da, b.doc_id as db
-              from g a join g b on a.doc_id // 125 > b.doc_id // 125
+              from g a join g b
+                on a.doc_id // (select per from p) > b.doc_id // (select per from p)
               where cast(len(list_intersect(a.grams, b.grams)) as double)
                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                     >= 0.8),
             dup as (select da as doc_id, min(db) as dup_of from pairs group by 1)
-            select d.doc_id, d.doc_id // 125 as epoch,
+            select d.doc_id, d.doc_id // (select per from p) as epoch,
                    dup.dup_of is null as keep,
                    coalesce(dup.dup_of, -1) as dup_of
             from documents d left join dup on d.doc_id = dup.doc_id

@@ -1013,8 +1013,15 @@ def _footer_min_max(sf_dir: str, table: str, column: str) -> tuple[float, float]
     import pyarrow.parquet as pq
 
     def as_float(x) -> float:
-        if isinstance(x, (datetime.datetime, datetime.date)):
+        # mirror pc.cast(col, int64()) per storage type: timestamp[us]
+        # stats -> epoch MICROSECONDS, date32 stats -> epoch DAYS
+        # (datetime.datetime subclasses datetime.date, so order matters —
+        # a days/us mix-up here would silently funnel every row into one
+        # histogram bin)
+        if isinstance(x, datetime.datetime):
             return float(pd.Timestamp(x).value // 1000)
+        if isinstance(x, datetime.date):
+            return float((x - datetime.date(1970, 1, 1)).days)
         return float(x)
 
     f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
@@ -4605,6 +4612,14 @@ class _RankPlan:
                         task = len(counts)
                         counts.append(0)
                         acc = 0
+                    # an esub is the finest deterministic unit (splitting
+                    # WITHIN one by id needs per-subrange counts = a third
+                    # refinement pass; ranks stay exact either way), so an
+                    # id-concentrated single-value run can still exceed cap
+                    # in one task — record it like the vmin<vmax path does
+                    # so the skew is observable, not silent
+                    if int(ns[es]) > cap:
+                        self.unsplit_hot.append((b, vs, int(ns[es])))
                     row[es] = task
                     counts[task] += int(ns[es])
                     acc += int(ns[es])

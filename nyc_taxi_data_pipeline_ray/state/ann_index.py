@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -79,7 +80,6 @@ class IvfIndex:
 
     def __init__(self, path: str, *, centroids: np.ndarray | None = None):
         self.path = path
-        os.makedirs(path, exist_ok=True)
         meta_path = os.path.join(path, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -87,7 +87,14 @@ class IvfIndex:
             self.centroids = _normalize_rows(np.asarray(meta["centroids"], np.float64))
         else:
             if centroids is None:
-                raise ValueError("a new IvfIndex needs trained centroids")
+                # read-only open of a path that was never created: fail
+                # WITHOUT the makedirs side effect (a mistyped ann-probe
+                # path must not leave an empty dir behind)
+                raise FileNotFoundError(
+                    f"no IvfIndex at {path!r} (meta.json missing); "
+                    "pass trained centroids to create one"
+                )
+            os.makedirs(path, exist_ok=True)
             self.centroids = _normalize_rows(np.asarray(centroids, np.float64))
             mf.atomic_write_json(
                 meta_path,
@@ -147,6 +154,12 @@ class IvfIndex:
         if segment_id in self.segments():
             return {"segment": segment_id, "skipped": True}
         seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        # wipe, don't reuse: a crashed add may have left cell files for a
+        # DIFFERENT batch; a retry that routes to a different cell set
+        # would otherwise commit those phantom rows under its marker
+        # (same hazard as engine.apply's staging wipe).  The dir is
+        # invisible to readers until the manifest lands, so this is safe.
+        shutil.rmtree(seg_dir, ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
         cent = self.centroids
 

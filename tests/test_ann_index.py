@@ -98,6 +98,48 @@ def test_add_is_idempotent_and_incremental(tmp_path):
     assert set(stored["vec_id"].to_pylist()) == set(new_ids.tolist())
 
 
+def test_crashed_add_leaves_no_phantom_rows(tmp_path):
+    """A crashed add (cell files written, no manifest) must not leak its
+    rows into a retry that routes to a different cell set: the retry
+    wipes the uncommitted seg dir before writing."""
+    import pyarrow.parquet as pq
+
+    ids, mat = _vectors(seed=23)
+    idx = _build(tmp_path, ids, mat, segments=1)
+    seg = os.path.join(idx.path, "seg-000001")
+    # simulate the crash: a stray committed-looking cell file from a
+    # batch that was later rewritten upstream, with NO manifest
+    os.makedirs(seg, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array([0], pa.int32()),
+                "vec_id": pa.array([999_999], pa.int64()),
+                "embedding": pa.array([np.zeros(mat.shape[1], np.float32)]),
+            }
+        ),
+        os.path.join(seg, "cell=0000.parquet"),
+    )
+    new_ids = np.arange(1000, 1020, dtype=np.int64)
+    idx.add(_ds(new_ids, mat[:20]), segment_id=1)
+    stored = pa.concat_tables(
+        [pq.read_table(os.path.join(seg, f)) for f in os.listdir(seg)]
+    )
+    assert 999_999 not in set(stored["vec_id"].to_pylist())
+    assert set(stored["vec_id"].to_pylist()) == set(new_ids.tolist())
+
+
+def test_open_missing_index_has_no_side_effects(tmp_path):
+    """Read-only open of a never-created path raises FileNotFoundError
+    and does NOT leave an empty directory behind."""
+    import pytest
+
+    p = os.path.join(str(tmp_path), "typo-path")
+    with pytest.raises(FileNotFoundError):
+        IvfIndex(p)
+    assert not os.path.exists(p)
+
+
 def test_probe_is_partition_pruned(tmp_path):
     """nprobe < ncells reads strictly fewer cell files than exist, and
     never more than nprobe cells' worth per query set."""

@@ -69,6 +69,29 @@ def test_rankplan_skewed_spread_column_splits():
     assert hot_ok
 
 
+def test_rankplan_id_concentrated_single_value_is_observable():
+    """An id-CONCENTRATED single-value run (ids packed into a sliver of
+    the bin's [imin, imax], stretched by two outliers) defeats uniform
+    esub chunking — the finest deterministic unit overflows cap.  Ranks
+    must stay exact and the overflow must be RECORDED in unsplit_hot
+    (not silent), mirroring the vmin<vmax residue path."""
+    rng = np.random.default_rng(13)
+    n = 50_000
+    values = np.full(n, 42.0)
+    # hot ids packed into [5e5, 5.5e5]; outliers stretch the id range
+    ids = rng.choice(np.arange(500_000, 550_000), n - 2, replace=False).astype(
+        np.int64
+    )
+    ids = np.concatenate([ids, [0, 10**12]])
+    values = np.concatenate([values[:-2], [42.0, 42.0]])
+    cap = 2000
+    plan, task = _run(values, ids, cap)
+    sizes = np.bincount(task)
+    assert sizes.max() > cap  # the collapse is real...
+    assert plan.unsplit_hot  # ...and observable, not silent
+    assert max(nn for _, _, nn in plan.unsplit_hot) == sizes.max()
+
+
 def test_rankplan_uniform_fast_path_unchanged():
     """No hot bins -> no refinement pass, one task per occupied bin."""
     rng = np.random.default_rng(3)
