@@ -723,15 +723,15 @@ def q_dedup_index_release(
     cands: list[pd.DataFrame] = []
     for e in range(n_epochs):
         batch = ds.filter(expr=f"doc_id >= {e * per} and doc_id < {(e + 1) * per}")
-        if e:
-            c = idx.probe(batch, threshold=0.5)
-            if len(c):
-                cands.append(
-                    c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
-                        ["doc_a", "doc_b"]
-                    ]
-                )
-        idx.add(batch, segment_id=e)
+        # fused probe+commit: ONE band computation per epoch, probing
+        # strictly-earlier segments only (replay-deterministic)
+        c, _rep = idx.probe_and_add(batch, segment_id=e, threshold=0.5)
+        if len(c):
+            cands.append(
+                c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
+                    ["doc_a", "doc_b"]
+                ]
+            )
 
     cand = (
         pd.concat(cands, ignore_index=True)

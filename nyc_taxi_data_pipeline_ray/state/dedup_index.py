@@ -211,19 +211,30 @@ class MinHashIndex:
         return {"compacted": True, "generation": gen, "through_segment": through}
 
     # ------------------------------------------------------------------- add
+    def _band_rows_of(self, docs: rd.Dataset) -> rd.Dataset:
+        num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
+        return docs.map_batches(
+            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
+            batch_format="pyarrow",
+        )
+
     def add(self, docs: rd.Dataset, segment_id: int) -> dict:
         """Index a new document batch as one committed segment.
         Idempotent on segment_id (replay-safe for epoch-driven callers)."""
         if segment_id in self.segments():
             return {"segment": segment_id, "skipped": True}
-        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
-        os.makedirs(seg_dir, exist_ok=True)
-        num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
+        return self._commit_rows(self._band_rows_of(docs), segment_id)
 
-        rows = docs.map_batches(
-            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
-            batch_format="pyarrow",
-        )
+    def _commit_rows(self, rows: rd.Dataset, segment_id: int) -> dict:
+        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        # wipe, don't reuse: a crashed add may have left bucket files for
+        # a DIFFERENT batch; a retry whose docs hash to other buckets
+        # would otherwise commit those phantom rows under its manifest
+        # (invisible until the manifest lands, so the wipe is safe)
+        import shutil
+
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
 
         def write_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())
@@ -260,15 +271,50 @@ class MinHashIndex:
         run_dirs = ([base_dir] if base_dir else []) + [
             os.path.join(self.path, f"seg-{s:06d}") for s in live
         ]
-        num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
         if not run_dirs:
             return _empty_pairs().to_pandas()
+        return self._probe_band_rows(self._band_rows_of(docs), threshold, run_dirs)
 
-        probe_rows = docs.map_batches(
-            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
-            batch_format="pyarrow",
+    def probe_and_add(
+        self, docs: rd.Dataset, segment_id: int, *, threshold: float = 0.5
+    ) -> tuple[pd.DataFrame, dict]:
+        """The ingest-loop primitive, fused: probe ``docs`` against the
+        STRICTLY-EARLIER committed segments (id < segment_id), then
+        commit them as ``segment_id`` — the band rows are computed ONCE
+        (materialized; they are epoch-sized — num_perm ints per doc —
+        never corpus-sized) instead of once for the probe and again for
+        the add.  Probing only earlier segments makes a replay return
+        exactly the candidates the first attempt returned (the batch
+        never matches itself), so callers can treat
+        (candidates, report) as a deterministic function of the WAL
+        epoch.  Raises if ``segment_id`` was already folded into a
+        compacted base — the strictly-earlier view no longer exists."""
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} already folded into base generation "
+                f"{base[0]} (through {base[1]}); the strictly-earlier probe "
+                "view is gone"
+            )
+        base_dir, live = self._read_runs()
+        run_dirs = ([base_dir] if base_dir else []) + [
+            os.path.join(self.path, f"seg-{s:06d}")
+            for s in live
+            if s < segment_id
+        ]
+        rows = self._band_rows_of(docs).materialize()
+        cand = (
+            self._probe_band_rows(rows, threshold, run_dirs)
+            if run_dirs
+            else _empty_pairs().to_pandas()
         )
+        if segment_id in self.segments():
+            return cand, {"segment": segment_id, "skipped": True}
+        return cand, self._commit_rows(rows, segment_id)
 
+    def _probe_band_rows(
+        self, probe_rows: rd.Dataset, threshold: float, run_dirs: list[str]
+    ) -> pd.DataFrame:
         def match_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())
             stored = []

@@ -112,6 +112,58 @@ def test_crash_resume_uncommitted_segment(tmp_path, corpus):
     assert idx.segments() == [0, 1]
 
 
+def test_probe_and_add_fuses_probe_then_add(tmp_path, corpus):
+    """probe_and_add == probe(before) + add(after): same candidates,
+    same committed state, one band computation; replay returns the same
+    candidates with a skipped commit."""
+    base, arrivals = corpus
+    ref = MinHashIndex(str(tmp_path / "ref"))
+    ref.add(rd.from_arrow(base), segment_id=0)
+    want = ref.probe(rd.from_arrow(arrivals), threshold=0.5)
+
+    idx = MinHashIndex(str(tmp_path / "fused"))
+    first_cand, first_rep = idx.probe_and_add(rd.from_arrow(base), segment_id=0)
+    assert first_cand.empty and first_rep["skipped"] is False  # nothing earlier
+    cand, rep = idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
+    assert rep["skipped"] is False and idx.segments() == [0, 1]
+    assert cand.equals(want)
+    # replay: deterministic candidates (strictly-earlier probe view),
+    # exactly-once commit
+    cand2, rep2 = idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
+    assert rep2 == {"segment": 1, "skipped": True}
+    assert cand2.equals(want)
+
+
+def test_probe_and_add_refuses_folded_segment(tmp_path, corpus):
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.add(rd.from_arrow(arrivals), segment_id=1)
+    assert idx.compact()["compacted"] is True
+    with pytest.raises(ValueError, match="folded into base"):
+        idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
+
+
+def test_crashed_add_leaves_no_phantom_rows(tmp_path, corpus):
+    """A crashed add (bucket files written, no manifest) must not leak
+    its rows into a retry indexing a different batch: the retry wipes
+    the uncommitted seg dir before writing."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    # crashed attempt: full segment written, manifest removed
+    idx.add(rd.from_arrow(arrivals), segment_id=1)
+    os.remove(os.path.join(str(tmp_path / "idx"), "seg-000001.json"))
+    # retry commits a DIFFERENT (smaller) batch under the same id
+    retry = arrivals.slice(0, 1)
+    idx.add(rd.from_arrow(retry), segment_id=1)
+    seg = os.path.join(str(tmp_path / "idx"), "seg-000001")
+    stored = pa.concat_tables(
+        [pq.read_table(os.path.join(seg, f)) for f in os.listdir(seg)]
+    )
+    assert set(stored["doc_id"].to_pylist()) == {retry["doc_id"][0].as_py()}
+
+
 def test_compaction_preserves_results(tmp_path, corpus):
     base, arrivals = corpus
     idx = MinHashIndex(str(tmp_path / "idx"))
