@@ -249,6 +249,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--threshold", type=float, default=0.5)
 
     sp = sub.add_parser(
+        "index-ingest",
+        help="fused probe+add: near-dups vs earlier segments, then commit",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    sp.add_argument("--segment", type=int, required=True)
+    sp.add_argument("--out", required=True, help="parquet for the candidate pairs")
+    sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = sub.add_parser(
         "index-compact", help="fold dedup-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
@@ -314,6 +324,13 @@ def main(argv: list[str] | None = None) -> int:
                 pairs = idx.probe(docs, threshold=args.threshold)
                 pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "pairs": len(pairs)}))
+            elif args.cmd == "index-ingest":
+                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                pairs, rep = idx.probe_and_add(
+                    docs, segment_id=args.segment, threshold=args.threshold
+                )
+                pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
+                print(json.dumps({**rep, "out": args.out, "pairs": len(pairs)}))
             else:
                 print(json.dumps(idx.compact()))
             return 0

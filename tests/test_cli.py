@@ -125,6 +125,58 @@ def test_cli_follow_with_view(tmp_path, capsys):
     assert rep["refreshed"] == 0 and rep["reused"] == 4
 
 
+def test_cli_dedup_index_lifecycle(tmp_path, capsys):
+    """index-add / index-ingest / index-probe / index-compact: the fused
+    ingest verb returns the same candidates a separate probe would."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    texts = pq.read_table("/root/testdata/sf0.01/documents.parquet")[
+        "text"
+    ].to_pylist()[:30]
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()), "text": texts[:20]}), d0
+    )
+    # arrivals: one exact dup of doc 0 plus novel texts
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101, 102], pa.int64()),
+                "text": [texts[0], texts[25], texts[26]],
+            }
+        ),
+        d1,
+    )
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "pairs.parquet")
+
+    assert main(["index-add", "--index", idx, "--docs", d0, "--segment", "0"]) == 0
+    assert main(["index-ingest", "--index", idx, "--docs", d1, "--segment", "1",
+                 "--out", out]) == 0
+    ing = pq.read_table(out)
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["skipped"] is False and rep["pairs"] == ing.num_rows
+    assert (100, 0) in set(
+        zip(ing["probe_doc"].to_pylist(), ing["indexed_doc"].to_pylist())
+    )
+    # a standalone probe of the same batch now ALSO matches itself
+    # (segment 1 is committed); restricted to earlier docs it agrees
+    out2 = str(tmp_path / "pairs2.parquet")
+    assert main(["index-probe", "--index", idx, "--docs", d1, "--out", out2]) == 0
+    t2 = pq.read_table(out2)
+    earlier = t2.filter(pa.compute.less(t2["indexed_doc"], pa.scalar(100)))
+    assert sorted(
+        zip(earlier["probe_doc"].to_pylist(), earlier["indexed_doc"].to_pylist())
+    ) == sorted(zip(ing["probe_doc"].to_pylist(), ing["indexed_doc"].to_pylist()))
+    assert main(["index-compact", "--index", idx]) == 0
+
+
 def test_cli_ann_index_lifecycle(tmp_path):
     """ann-add / ann-probe / ann-compact against the persisted IVF index:
     the CLI loop a training-data ingest job would script."""
