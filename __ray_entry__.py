@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-pruned probe; exhaustive-probe == brute force witness
         "ann_index_probe": A.q_ann_index_probe,     # rows-only (approximate)
         "ann_index_exhaustive": A.q_ann_index_exhaustive,
+        # continuous-ingest semantic near-dedup over the persisted IVF
+        # index: probe earlier segments -> add epoch segment -> broadcast
+        # release decision (embedding analog of dedup_index_release)
+        "ann_index_release": A.q_ann_index_release,
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
         # exact k-NN graph (block-pair sweep + k-sized partial merge)
@@ -524,6 +528,26 @@ def oracle_sql() -> dict[str, str]:
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # the release loop probes ALL cells of strictly-earlier segments
+        # (witness config), so the hit set equals the exact cross-epoch
+        # cosine filter; epoch width derived exactly as the pipeline does
+        # (ceil(count/4)), so the witness holds at any corpus size
+        "ann_index_release": """
+            with p as (select cast(ceil(count(*) / 4.0) as bigint) as per
+                       from embeddings),
+            e as (select vec_id, cast(embedding as double[]) as emb,
+                         vec_id // (select per from p) as epoch
+                  from embeddings),
+            d as (select a.vec_id as vid, min(b.vec_id) as dup_of
+                  from e a join e b on b.epoch < a.epoch
+                  where round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
+                  group by a.vec_id),
+            sel as (select e.vec_id, e.epoch,
+                           d.dup_of is null as keep,
+                           coalesce(d.dup_of, -1) as dup_of
+                    from e left join d on d.vid = e.vec_id)
+            select * from sel order by vec_id
         """,
         "knn_graph": """
             with sims as (

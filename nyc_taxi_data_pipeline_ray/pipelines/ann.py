@@ -831,3 +831,110 @@ def q_ann_index_exhaustive(
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
     assert stats["cells_probed"] == stats["cells_total"], stats
     return df
+
+
+def q_ann_index_release(
+    sf_dir: str,
+    *,
+    n_epochs: int = 4,
+    threshold: float = 0.45,
+    k: int = 64,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+    probe_chunk: int = 4096,
+) -> pd.DataFrame:
+    """CONTINUOUS-INGEST semantic near-dedup release — the embedding
+    analog of ``text.q_dedup_index_release``, certified end-to-end
+    against one SQL oracle: vectors arrive in epochs (vec_id ranges
+    standing in for WAL commit groups); each epoch is PROBED against the
+    persisted :class:`state.ann_index.IvfIndex` (strictly-earlier
+    segments only — replay-deterministic) and then ADDED as its own
+    segment, exercising the index's O(new vectors) add path under the
+    exact ingest loop a training corpus runs; the release decision
+    (keep, or dup_of = the smallest earlier-epoch vector with cosine >=
+    ``threshold``) is applied as a broadcast lookup inside one streaming
+    ``map_batches`` pass — the dup map is OUTPUT-class (near-dup hits
+    only), the corpus never lands on the driver.  Epoch queries stream
+    through the driver in bounded ``probe_chunk`` slices (each probe
+    broadcasts one chunk's query matrix via ``ray.put``), so driver
+    memory is O(chunk), never O(epoch).
+
+    This is the WITNESS configuration: ``nprobe == ncells`` makes every
+    probe visit each indexed vector exactly once, so the hit set equals
+    the exact cross-epoch cosine filter and the driver hash-check
+    certifies the whole segment lifecycle (assign/commit/route/merge)
+    behind it.  Production runs set ``nprobe < ncells`` for the
+    O(probed cells) read — that path's pruning is asserted in
+    ``q_ann_index_probe`` and its recall pinned in tests.  Within-epoch
+    duplicates are both kept (an arrival batch releases atomically;
+    they collide against later epochs' probes), and the oracle encodes
+    the same strictly-earlier-epoch rule.  The per-query saturation
+    guard (every hit count < k) proves top-k truncation never hid a
+    qualifying earlier neighbour, so min() over hits IS the global min.
+    """
+    import math
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+
+    root = "/tmp/nyc_ray_q_ann_index_release"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    per = math.ceil(ds.count() / n_epochs)
+
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    cent = _kmeans_lite(_normalize_rows(sample_mat), ncells)
+    idx = IvfIndex(root, centroids=cent)
+
+    dup_of: dict[int, int] = {}
+    for e in range(n_epochs):
+        batch = ds.filter(expr=f"vec_id >= {e * per} and vec_id < {(e + 1) * per}")
+        if e > 0:
+            for chunk in batch.iter_batches(
+                batch_size=probe_chunk, batch_format="pyarrow"
+            ):
+                qids = chunk["vec_id"].to_numpy(zero_copy_only=False)
+                qmat = np.stack(
+                    chunk["embedding"].to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                hits, _stats = idx.probe(
+                    qids, _normalize_rows(qmat), k=k, nprobe=ncells
+                )
+                hits = hits[hits["sim"] >= threshold]
+                if hits.empty:
+                    continue
+                counts = hits.groupby("qid").size()
+                assert (counts < k).all(), (
+                    f"top-k saturated (max {counts.max()} >= k={k}); "
+                    "raise k so min(dup_of) is exact"
+                )
+                for qid, vid in hits.groupby("qid")["vec_id"].min().items():
+                    prev = dup_of.get(int(qid))
+                    dup_of[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
+        idx.add(batch, segment_id=e)
+
+    dup_ref = ray.put(dup_of)
+
+    def decide(t: pa.Table) -> pa.Table:
+        m = ray.get(dup_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        dup = (
+            pd.Series(ids, dtype="int64").map(m).fillna(-1).to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "epoch": pa.array((ids // per).astype(np.int64), pa.int64()),
+                "keep": pa.array(dup < 0, pa.bool_()),
+                "dup_of": pa.array(dup, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns(["vec_id"])
+        .map_batches(decide, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id", ignore_index=True)
