@@ -62,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (O(new docs)), exact rerank, broadcast keep/dup_of decision
         # (full oracle: exact cross-epoch Jaccard dup map in SQL)
         "dedup_index_release": T.q_dedup_index_release,
+        # LSM-compaction witness: same loop with a mid-loop compact();
+        # later probes read the folded base — same oracle must hold
+        "dedup_index_release_compacted": lambda sf: T.q_dedup_index_release(
+            sf, compact_every=2
+        ),
         # exactness witness: LSH candidates reranked by exact char-5-gram
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,
@@ -109,6 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index: probe earlier segments -> add epoch segment -> broadcast
         # release decision (embedding analog of dedup_index_release)
         "ann_index_release": A.q_ann_index_release,
+        # LSM-compaction witness: same loop with a mid-loop compact();
+        # later probes read the folded base — same oracle must hold
+        "ann_index_release_compacted": lambda sf: A.q_ann_index_release(
+            sf, compact_every=2
+        ),
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
         # exact k-NN graph (block-pair sweep + k-sized partial merge)
@@ -343,7 +353,7 @@ def oracle_sql() -> dict[str, str]:
     from nyc_taxi_data_pipeline_ray.pipelines.text import STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return {
+    sql = {
         "doc_token_stats": r"""
             select doc_id, cast(length(text) as bigint) as n_chars,
                    cast(array_length(regexp_split_to_array(trim(text), '\s+')) as bigint) as n_tokens
@@ -2807,3 +2817,9 @@ def oracle_sql() -> dict[str, str]:
             order by conv_id, turn_idx
         """,
     }
+    # LSM-compaction witnesses run the SAME release loops with a
+    # mid-loop compact(); folding segments into a base must not change
+    # any candidate/hit, so the oracles are identical by construction.
+    sql["dedup_index_release_compacted"] = sql["dedup_index_release"]
+    sql["ann_index_release_compacted"] = sql["ann_index_release"]
+    return sql

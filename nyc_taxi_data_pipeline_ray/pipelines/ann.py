@@ -842,6 +842,7 @@ def q_ann_index_release(
     ncells: int = 16,
     sample_rows: int = 2000,
     probe_chunk: int = 4096,
+    compact_every: int | None = None,
 ) -> pd.DataFrame:
     """CONTINUOUS-INGEST semantic near-dedup release — the embedding
     analog of ``text.q_dedup_index_release``, certified end-to-end
@@ -871,6 +872,12 @@ def q_ann_index_release(
     the same strictly-earlier-epoch rule.  The per-query saturation
     guard (every hit count < k) proves top-k truncation never hid a
     qualifying earlier neighbour, so min() over hits IS the global min.
+
+    ``compact_every=c`` runs :meth:`IvfIndex.compact` after every c
+    epochs, so later epochs' probes read the folded BASE cells instead
+    of the per-epoch segment cells — the witness configuration for the
+    LSM compact read path (same oracle: folding must not change any
+    hit).  A post-loop assertion proves the compaction happened.
     """
     import math
     import shutil
@@ -914,6 +921,10 @@ def q_ann_index_release(
                     prev = dup_of.get(int(qid))
                     dup_of[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
         idx.add(batch, segment_id=e)
+        if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
+            idx.compact()
+    if compact_every:
+        assert idx._base() is not None, "compaction witness never compacted"
 
     dup_ref = ray.put(dup_of)
 

@@ -687,7 +687,11 @@ def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.Dat
 
 
 def q_dedup_index_release(
-    sf_dir: str, *, n_epochs: int = 4, exact_threshold: float = 0.8
+    sf_dir: str,
+    *,
+    n_epochs: int = 4,
+    exact_threshold: float = 0.8,
+    compact_every: int | None = None,
 ) -> pd.DataFrame:
     """CONTINUOUS-INGEST near-dedup release — the composed loop a
     100 TB training corpus actually runs, certified end-to-end against
@@ -707,7 +711,13 @@ def q_dedup_index_release(
     dup map in SQL; the band family's recall bound (miss prob
     (1 - J^4)^16 = 2e-4 at J = 0.8) under the fixed seed makes the
     index-probe candidates cover the exact set on this corpus, and the
-    driver hash-check certifies the equality."""
+    driver hash-check certifies the equality.
+
+    ``compact_every=c`` runs :meth:`MinHashIndex.compact` after every c
+    epochs, so later epochs' probes read the folded BASE instead of the
+    per-epoch segments — the witness configuration for the LSM compact
+    read path (same oracle: folding must not change any candidate).  A
+    post-loop assertion proves the compaction actually happened."""
     import math
     import shutil
 
@@ -732,6 +742,10 @@ def q_dedup_index_release(
                     ["doc_a", "doc_b"]
                 ]
             )
+        if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
+            idx.compact()
+    if compact_every:
+        assert idx._base() is not None, "compaction witness never compacted"
 
     cand = (
         pd.concat(cands, ignore_index=True)
