@@ -897,7 +897,16 @@ def q_ann_index_release(
 
     dup_of: dict[int, int] = {}
     for e in range(n_epochs):
-        batch = ds.filter(expr=f"vec_id >= {e * per} and vec_id < {(e + 1) * per}")
+        # pushed-down parquet row filter: each epoch read prunes to its
+        # vec_id range's row groups instead of rescanning the table
+        # (epochs arrive as separate WAL files in production; this is
+        # the single-table test-shape equivalent)
+        batch = read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= e * per)
+            & (pads.field("vec_id") < (e + 1) * per),
+        )
         if e > 0:
             for chunk in batch.iter_batches(
                 batch_size=probe_chunk, batch_format="pyarrow"

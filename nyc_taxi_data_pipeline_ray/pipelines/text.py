@@ -721,6 +721,7 @@ def q_dedup_index_release(
     import math
     import shutil
 
+    import pyarrow.dataset as pads
     import ray
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
@@ -732,7 +733,15 @@ def q_dedup_index_release(
     idx = MinHashIndex(root)
     cands: list[pd.DataFrame] = []
     for e in range(n_epochs):
-        batch = ds.filter(expr=f"doc_id >= {e * per} and doc_id < {(e + 1) * per}")
+        # pushed-down parquet row filter: each epoch read prunes to its
+        # doc_id range's row groups instead of rescanning the table
+        # (epochs arrive as separate WAL files in production)
+        batch = read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= e * per)
+            & (pads.field("doc_id") < (e + 1) * per),
+        )
         # fused probe+commit: ONE band computation per epoch, probing
         # strictly-earlier segments only (replay-deterministic)
         c, _rep = idx.probe_and_add(batch, segment_id=e, threshold=0.5)
