@@ -285,6 +285,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--nprobe", type=int, default=4)
 
     sp = sub.add_parser(
+        "ann-ingest",
+        help="fused probe+add: top-k hits vs earlier segments, then commit",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
+    sp.add_argument("--segment", type=int, required=True)
+    sp.add_argument("--out", required=True, help="parquet for the top-k hits")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument(
+        "--ncells", type=int, default=16,
+        help="coarse-quantizer cells (used only when creating a new index)",
+    )
+
+    sp = sub.add_parser(
         "ann-compact", help="fold IVF-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
@@ -346,7 +361,7 @@ def main(argv: list[str] | None = None) -> int:
                 _normalize_rows,
             )
 
-            if args.cmd == "ann-add" and not os.path.exists(
+            if args.cmd in ("ann-add", "ann-ingest") and not os.path.exists(
                 os.path.join(args.index, "meta.json")
             ):
                 from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_lite
@@ -363,6 +378,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.cmd == "ann-add":
                 vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
                 print(json.dumps(idx.add(vecs, segment_id=args.segment)))
+            elif args.cmd == "ann-ingest":
+                vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
+                df, rep = idx.probe_and_add(
+                    vecs, segment_id=args.segment, k=args.k, nprobe=args.nprobe
+                )
+                pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+                print(json.dumps({**rep, "out": args.out, "hits": len(df)}))
             elif args.cmd == "ann-probe":
                 qt = pq.read_table(args.queries, columns=["vec_id", "embedding"])
                 qids = qt["vec_id"].to_numpy(zero_copy_only=False)

@@ -907,29 +907,21 @@ def q_ann_index_release(
             filter=(pads.field("vec_id") >= e * per)
             & (pads.field("vec_id") < (e + 1) * per),
         )
-        if e > 0:
-            for chunk in batch.iter_batches(
-                batch_size=probe_chunk, batch_format="pyarrow"
-            ):
-                qids = chunk["vec_id"].to_numpy(zero_copy_only=False)
-                qmat = np.stack(
-                    chunk["embedding"].to_numpy(zero_copy_only=False)
-                ).astype(np.float64)
-                hits, _stats = idx.probe(
-                    qids, _normalize_rows(qmat), k=k, nprobe=ncells
-                )
-                hits = hits[hits["sim"] >= threshold]
-                if hits.empty:
-                    continue
-                counts = hits.groupby("qid").size()
-                assert (counts < k).all(), (
-                    f"top-k saturated (max {counts.max()} >= k={k}); "
-                    "raise k so min(dup_of) is exact"
-                )
-                for qid, vid in hits.groupby("qid")["vec_id"].min().items():
-                    prev = dup_of.get(int(qid))
-                    dup_of[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
-        idx.add(batch, segment_id=e)
+        # fused ingest primitive: probe strictly-earlier segments, then
+        # commit the epoch as its own segment (replay-deterministic)
+        hits, _rep = idx.probe_and_add(
+            batch, segment_id=e, k=k, nprobe=ncells, probe_chunk=probe_chunk
+        )
+        hits = hits[hits["sim"] >= threshold]
+        if not hits.empty:
+            counts = hits.groupby("qid").size()
+            assert (counts < k).all(), (
+                f"top-k saturated (max {counts.max()} >= k={k}); "
+                "raise k so min(dup_of) is exact"
+            )
+            for qid, vid in hits.groupby("qid")["vec_id"].min().items():
+                prev = dup_of.get(int(qid))
+                dup_of[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
         if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
             idx.compact()
     if compact_every:

@@ -229,6 +229,65 @@ class IvfIndex:
                 return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
             raise
 
+    def probe_and_add(
+        self,
+        vectors: rd.Dataset,
+        segment_id: int,
+        *,
+        k: int = 5,
+        nprobe: int = 4,
+        probe_chunk: int = 4096,
+    ) -> tuple[pd.DataFrame, dict]:
+        """The ingest-loop primitive, mirroring
+        :meth:`state.dedup_index.MinHashIndex.probe_and_add`: probe the
+        batch against the STRICTLY-EARLIER committed segments
+        (id < segment_id), then commit it as ``segment_id``.  Probing
+        only earlier segments makes a replay return exactly the hits
+        the first attempt returned (the batch never matches itself), so
+        callers can treat (hits, report) as a deterministic function of
+        the WAL epoch — the add stays idempotent on segment_id either
+        way.  Queries stream through the caller in bounded
+        ``probe_chunk`` slices, so driver memory is O(chunk), never
+        O(epoch).  Raises if ``segment_id`` was already folded into a
+        compacted base — the strictly-earlier view no longer exists."""
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} already folded into base generation "
+                f"{base[0]} (through {base[1]}); the strictly-earlier probe "
+                "view is gone"
+            )
+        gen_through = base
+        run_dirs = (
+            [os.path.join(self.path, f"base-{gen_through[0]:06d}")]
+            if gen_through
+            else []
+        ) + [
+            os.path.join(self.path, f"seg-{s:06d}")
+            for s in self.segments()
+            if s > (gen_through[1] if gen_through else -1) and s < segment_id
+        ]
+        hits: list[pd.DataFrame] = []
+        if run_dirs:
+            for chunk in vectors.iter_batches(
+                batch_size=probe_chunk, batch_format="pyarrow"
+            ):
+                qids = chunk["vec_id"].to_numpy(zero_copy_only=False)
+                qmat = np.stack(
+                    chunk["embedding"].to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                df, _stats = self._probe_once(
+                    qids, qmat, k=k, nprobe=nprobe, run_dirs=run_dirs
+                )
+                if len(df):
+                    hits.append(df)
+        out = (
+            pd.concat(hits, ignore_index=True) if hits else _empty_topk().to_pandas()
+        )
+        if segment_id in self.segments():
+            return out, {"segment": segment_id, "skipped": True}
+        return out, self.add(vectors, segment_id)
+
     def _probe_once(
         self,
         qids: np.ndarray,
@@ -236,12 +295,14 @@ class IvfIndex:
         *,
         k: int,
         nprobe: int,
+        run_dirs: list[str] | None = None,
     ) -> tuple[pd.DataFrame, dict]:
         import ray
 
         qmat = _normalize_rows(np.asarray(qmat, np.float64))
         qcells = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, : min(nprobe, self.ncells)]
-        run_dirs = self._read_runs()
+        if run_dirs is None:
+            run_dirs = self._read_runs()
         needed = sorted(set(qcells.ravel().tolist()))
         files = [
             (c, p)

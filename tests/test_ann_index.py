@@ -230,3 +230,55 @@ def test_probe_retries_on_compactor_race(tmp_path):
     got, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
     assert not state["first"]  # retry actually happened
     pd.testing.assert_frame_equal(expect.reset_index(drop=True), got.reset_index(drop=True))
+
+
+def test_probe_and_add_fuses_probe_then_add(tmp_path):
+    """probe_and_add == probe(before earlier segments) + add(after):
+    same hits, replay returns them again, and the add stays idempotent
+    (mirrors MinHashIndex.probe_and_add)."""
+    ids, mat = _vectors()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf_pa"), centroids=cent)
+    half = len(ids) // 2
+    base_ids, base_mat = ids[:half], mat[:half]
+    arr_ids, arr_mat = ids[half:], mat[half:]
+
+    first_hits, first_rep = idx.probe_and_add(
+        _ds(base_ids, base_mat), segment_id=0, k=3, nprobe=8
+    )
+    assert first_hits.empty and not first_rep["skipped"]  # nothing earlier
+
+    hits, rep = idx.probe_and_add(
+        _ds(arr_ids, arr_mat), segment_id=1, k=3, nprobe=8
+    )
+    assert not rep["skipped"]
+    # exhaustive nprobe over only the earlier segment == brute force
+    # restricted to the base half
+    exp = _brute(base_ids, base_mat, arr_ids, arr_mat, k=3)
+    got = hits.sort_values(
+        ["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(hits["vec_id"]) <= set(base_ids.tolist())  # never self-batch
+
+    # replay: same hits, add skipped
+    hits2, rep2 = idx.probe_and_add(
+        _ds(arr_ids, arr_mat), segment_id=1, k=3, nprobe=8
+    )
+    assert rep2["skipped"]
+    pd.testing.assert_frame_equal(
+        hits2.sort_values(
+            ["qid", "sim", "vec_id"], ascending=[True, False, True], ignore_index=True
+        ),
+        exp,
+    )
+
+
+def test_probe_and_add_refuses_folded_segment(tmp_path):
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat, segments=2)
+    idx.compact()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="folded into base"):
+        idx.probe_and_add(_ds(ids[:4], mat[:4]), segment_id=1, k=3, nprobe=8)

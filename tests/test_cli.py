@@ -221,3 +221,45 @@ def test_cli_ann_index_lifecycle(tmp_path):
     assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out,
                  "--k", "3", "--nprobe", "4"]) == 0
     assert pq.read_table(out).equals(t)  # compaction preserves results
+
+
+def test_cli_ann_ingest(tmp_path):
+    """ann-ingest (fused probe+add): hits come from strictly-earlier
+    segments only, and the epoch is committed in the same verb."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(29)
+    mat = rng.normal(size=(80, 8)).astype(np.float32)
+    ids = np.arange(80, dtype=np.int64)
+
+    def write(path, lo, hi):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[lo:hi]),
+                    "embedding": pa.array([r for r in mat[lo:hi]]),
+                }
+            ),
+            path,
+        )
+
+    e0 = str(tmp_path / "e0.parquet")
+    e1 = str(tmp_path / "e1.parquet")
+    write(e0, 0, 40)
+    write(e1, 40, 80)
+    idx = str(tmp_path / "ivf")
+    h0 = str(tmp_path / "h0.parquet")
+    h1 = str(tmp_path / "h1.parquet")
+
+    assert main(["ann-ingest", "--index", idx, "--vectors", e0, "--segment", "0",
+                 "--out", h0, "--k", "3", "--nprobe", "4", "--ncells", "4"]) == 0
+    assert pq.read_table(h0).num_rows == 0  # nothing earlier to hit
+    assert main(["ann-ingest", "--index", idx, "--vectors", e1, "--segment", "1",
+                 "--out", h1, "--k", "3", "--nprobe", "4"]) == 0
+    t = pq.read_table(h1)
+    assert t.num_rows == 40 * 3  # every query hit k=3 earlier vectors
+    assert set(t["vec_id"].to_pylist()) <= set(range(40))  # earlier only
