@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_index_release_compacted": lambda sf: T.q_dedup_index_release(
             sf, compact_every=2
         ),
+        # the full two-modality admission loop: per epoch, probe+add BOTH
+        # persisted indexes (MinHash text LSH + IVF embeddings); keep iff
+        # no strictly-earlier text OR semantic near-dup
+        "corpus_admission": T.q_corpus_admission,
         # exactness witness: LSH candidates reranked by exact char-5-gram
         # Jaccard (the rerank is SQL-expressible; full oracle)
         "minhash_rerank": T.q_minhash_rerank,
@@ -2822,4 +2826,40 @@ def oracle_sql() -> dict[str, str]:
     # any candidate/hit, so the oracles are identical by construction.
     sql["dedup_index_release_compacted"] = sql["dedup_index_release"]
     sql["ann_index_release_compacted"] = sql["ann_index_release"]
+    # two-modality admission: text dup map (cross-epoch exact Jaccard,
+    # epoch width from documents) x semantic dup map (cross-epoch exact
+    # cosine, epoch width from embeddings), left-joined onto documents
+    sql["corpus_admission"] = """
+        with pd_ as (select cast(ceil(count(*) / 4.0) as bigint) as per
+                     from documents),
+        pv as (select cast(ceil(count(*) / 4.0) as bigint) as per
+               from embeddings),
+        g as (
+          select doc_id, list_distinct(list_transform(range(1, length(text) - 3),
+              i -> substring(text, i, 5))) as grams
+          from documents where length(text) >= 5),
+        tp as (
+          select a.doc_id as da, min(b.doc_id) as dup_of
+          from g a join g b
+            on a.doc_id // (select per from pd_) > b.doc_id // (select per from pd_)
+          where cast(len(list_intersect(a.grams, b.grams)) as double)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                >= 0.8
+          group by a.doc_id),
+        ee as (select vec_id, cast(embedding as double[]) as emb,
+                      vec_id // (select per from pv) as epoch
+               from embeddings),
+        sp as (select a.vec_id as vid, min(b.vec_id) as dup_of
+               from ee a join ee b on b.epoch < a.epoch
+               where round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
+               group by a.vec_id)
+        select d.doc_id, d.doc_id // (select per from pd_) as epoch,
+               (tp.dup_of is null and sp.dup_of is null) as keep,
+               coalesce(tp.dup_of, -1) as text_dup_of,
+               coalesce(sp.dup_of, -1) as sem_dup_of
+        from documents d
+        left join tp on tp.da = d.doc_id
+        left join sp on sp.vid = d.doc_id
+        order by d.doc_id
+    """
     return sql

@@ -665,25 +665,29 @@ def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.Dat
     )[["doc_a", "doc_b"]]
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def chargrams(t: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = s or ""
-            if len(s) < 5:
-                continue
-            out_id.append(did)
-            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "grams": pa.array(out_g, pa.list_(pa.string())),
-            }
-        )
-
     df = _distributed_pair_jaccard(
-        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+        ds.map_batches(_chargram_table, batch_format="pyarrow"), cand, exact_threshold
     )
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _chargram_table(t: pa.Table) -> pa.Table:
+    """(doc_id, sorted distinct char-5-grams) rows for the exact-Jaccard
+    verifies; docs shorter than one gram are dropped (the SQL oracles
+    filter ``length(text) >= 5`` to match)."""
+    out_id, out_g = [], []
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = s or ""
+        if len(s) < 5:
+            continue
+        out_id.append(did)
+        out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "grams": pa.array(out_g, pa.list_(pa.string())),
+        }
+    )
 
 
 def q_dedup_index_release(
@@ -764,23 +768,8 @@ def q_dedup_index_release(
         )
     )
 
-    def chargrams(t: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = s or ""
-            if len(s) < 5:
-                continue
-            out_id.append(did)
-            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "grams": pa.array(out_g, pa.list_(pa.string())),
-            }
-        )
-
     exact = _distributed_pair_jaccard(
-        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+        ds.map_batches(_chargram_table, batch_format="pyarrow"), cand, exact_threshold
     )
     dup_of = (
         {} if exact.empty else exact.groupby("doc_a")["doc_b"].min().to_dict()
@@ -836,23 +825,8 @@ def q_minhash_rerank(
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def chargrams(t: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = s or ""
-            if len(s) < 5:
-                continue
-            out_id.append(did)
-            out_g.append(sorted({s[i : i + 5] for i in range(len(s) - 4)}))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "grams": pa.array(out_g, pa.list_(pa.string())),
-            }
-        )
-
     df = _distributed_pair_jaccard(
-        ds.map_batches(chargrams, batch_format="pyarrow"), cand, exact_threshold
+        ds.map_batches(_chargram_table, batch_format="pyarrow"), cand, exact_threshold
     )
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
@@ -3633,3 +3607,136 @@ def q_dedup_impact(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def q_corpus_admission(
+    sf_dir: str,
+    *,
+    n_epochs: int = 4,
+    jaccard_threshold: float = 0.8,
+    cosine_threshold: float = 0.45,
+    k: int = 64,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """The COMPLETE per-epoch admission decision a training corpus
+    runs, both modalities in ONE ingest loop, certified against one SQL
+    oracle: each arrival epoch is probed against BOTH persisted indexes
+    over everything admitted before it — the MinHash LSH index on the
+    text (exact char-5-gram Jaccard rerank of the candidates, as in
+    ``q_dedup_index_release``) and the IVF embedding index (exhaustive-
+    probe witness config, as in ``ann.q_ann_index_release``) — and then
+    committed into both as its own segment, so per-epoch cost is O(new
+    docs), never O(corpus).  The decision is one broadcast lookup pass:
+    keep iff no strictly-earlier text near-dup AND no strictly-earlier
+    semantic near-dup; ``text_dup_of`` / ``sem_dup_of`` report the
+    smallest earlier offender per modality (-1 = none).
+
+    Epoch widths derive per table (``ceil(count/n_epochs)``) because the
+    corpora differ in size — documents without an embedding row simply
+    have no semantic verdict (sem_dup_of = -1), exactly as the oracle's
+    left join encodes.  Exactness riders are inherited from the two
+    parent witnesses: the LSH band family's recall bound covers the
+    exact Jaccard set on this corpus, and the IVF probe is exhaustive
+    over earlier segments with the saturation guard proving min() over
+    top-k hits is the global min."""
+    import math
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import (
+        _kmeans_lite,
+        _normalize_rows,
+        _vectors_where_id_below,
+    )
+    from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    troot = "/tmp/nyc_ray_q_corpus_admission_text"
+    vroot = "/tmp/nyc_ray_q_corpus_admission_vec"
+    shutil.rmtree(troot, ignore_errors=True)
+    shutil.rmtree(vroot, ignore_errors=True)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    per_docs = math.ceil(docs.count() / n_epochs)
+    per_vecs = math.ceil(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+        / n_epochs
+    )
+
+    tidx = MinHashIndex(troot)
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    vidx = IvfIndex(vroot, centroids=_kmeans_lite(_normalize_rows(sample_mat), ncells))
+
+    cands: list[pd.DataFrame] = []
+    sem_dup: dict[int, int] = {}
+    for e in range(n_epochs):
+        dbatch = read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= e * per_docs)
+            & (pads.field("doc_id") < (e + 1) * per_docs),
+        )
+        c, _rep = tidx.probe_and_add(dbatch, segment_id=e, threshold=0.5)
+        if len(c):
+            cands.append(
+                c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
+                    ["doc_a", "doc_b"]
+                ]
+            )
+        ebatch = read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= e * per_vecs)
+            & (pads.field("vec_id") < (e + 1) * per_vecs),
+        )
+        hits, _vrep = vidx.probe_and_add(ebatch, segment_id=e, k=k, nprobe=ncells)
+        hits = hits[hits["sim"] >= cosine_threshold]
+        if not hits.empty:
+            counts = hits.groupby("qid").size()
+            assert (counts < k).all(), (
+                f"top-k saturated (max {counts.max()} >= k={k}); "
+                "raise k so min(sem_dup_of) is exact"
+            )
+            for qid, vid in hits.groupby("qid")["vec_id"].min().items():
+                prev = sem_dup.get(int(qid))
+                sem_dup[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
+
+    cand = (
+        pd.concat(cands, ignore_index=True)
+        if cands
+        else pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+    )
+    exact = _distributed_pair_jaccard(
+        docs.map_batches(_chargram_table, batch_format="pyarrow"),
+        cand,
+        jaccard_threshold,
+    )
+    text_dup = {} if exact.empty else exact.groupby("doc_a")["doc_b"].min().to_dict()
+    dup_ref = ray.put((text_dup, sem_dup))
+
+    def decide(t: pa.Table) -> pa.Table:
+        tmap, smap = ray.get(dup_ref)
+        ids = t["doc_id"].to_numpy()
+        tdup = pd.Series(ids, dtype="int64").map(tmap).fillna(-1).to_numpy(np.int64)
+        sdup = pd.Series(ids, dtype="int64").map(smap).fillna(-1).to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "epoch": pa.array((ids // per_docs).astype(np.int64), pa.int64()),
+                "keep": pa.array((tdup < 0) & (sdup < 0), pa.bool_()),
+                "text_dup_of": pa.array(tdup, pa.int64()),
+                "sem_dup_of": pa.array(sdup, pa.int64()),
+            }
+        )
+
+    out = (
+        docs.select_columns(["doc_id"])
+        .map_batches(decide, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
