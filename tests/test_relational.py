@@ -76,3 +76,25 @@ def test_query_vs_oracle(name, fn, sql):
             assert same.all(), f"{name}.{c}: mismatch\n" + str(
                 pd.DataFrame({"got": g[~same].head(), "exp": e[~same].head()})
             )
+
+
+def test_driver_window_holds_never_certified_entries():
+    """The driver certifies only the FIRST 50 registry entries each
+    round; the round-4 rotation put 50 never-yet-driver-certified
+    entries there.  Guard the composition so a later registry edit
+    can't silently push a never-certified entry back out of the window
+    in favor of one that already has a driver row."""
+    import json
+    import os
+
+    import __ray_entry__ as E
+
+    q = list(E.queries())
+    assert len(q) >= 50
+    certified = set()
+    for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        p = os.path.join(os.path.dirname(os.path.abspath(E.__file__)), r)
+        if os.path.exists(p):
+            certified |= set(json.load(open(p)))
+    overlap = [k for k in q[:50] if k in certified]
+    assert not overlap, f"already-certified entries occupy the window: {overlap}"
