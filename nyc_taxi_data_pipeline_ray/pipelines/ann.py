@@ -833,6 +833,27 @@ def q_ann_index_exhaustive(
     return df
 
 
+def _fold_sem_dups(
+    hits: pd.DataFrame, *, k: int, threshold: float, dup_map: dict[int, int]
+) -> None:
+    """Fold one epoch's probe hits into the running semantic-dup map:
+    filter to ``sim >= threshold``, assert the per-query top-k never
+    saturated (if any of a query's top-k falls below the threshold,
+    nothing outside the top-k can qualify — so min() over the hits IS
+    the global min), then keep the smallest earlier vec_id per query."""
+    hits = hits[hits["sim"] >= threshold]
+    if hits.empty:
+        return
+    counts = hits.groupby("qid").size()
+    assert (counts < k).all(), (
+        f"top-k saturated (max {counts.max()} >= k={k}); "
+        "raise k so min(dup_of) is exact"
+    )
+    for qid, vid in hits.groupby("qid")["vec_id"].min().items():
+        prev = dup_map.get(int(qid))
+        dup_map[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
+
+
 def q_ann_index_release(
     sf_dir: str,
     *,
@@ -912,16 +933,7 @@ def q_ann_index_release(
         hits, _rep = idx.probe_and_add(
             batch, segment_id=e, k=k, nprobe=ncells, probe_chunk=probe_chunk
         )
-        hits = hits[hits["sim"] >= threshold]
-        if not hits.empty:
-            counts = hits.groupby("qid").size()
-            assert (counts < k).all(), (
-                f"top-k saturated (max {counts.max()} >= k={k}); "
-                "raise k so min(dup_of) is exact"
-            )
-            for qid, vid in hits.groupby("qid")["vec_id"].min().items():
-                prev = dup_of.get(int(qid))
-                dup_of[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
+        _fold_sem_dups(hits, k=k, threshold=threshold, dup_map=dup_of)
         if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
             idx.compact()
     if compact_every:

@@ -3647,6 +3647,7 @@ def q_corpus_admission(
     import ray
 
     from nyc_taxi_data_pipeline_ray.pipelines.ann import (
+        _fold_sem_dups,
         _kmeans_lite,
         _normalize_rows,
         _vectors_where_id_below,
@@ -3693,16 +3694,7 @@ def q_corpus_admission(
             & (pads.field("vec_id") < (e + 1) * per_vecs),
         )
         hits, _vrep = vidx.probe_and_add(ebatch, segment_id=e, k=k, nprobe=ncells)
-        hits = hits[hits["sim"] >= cosine_threshold]
-        if not hits.empty:
-            counts = hits.groupby("qid").size()
-            assert (counts < k).all(), (
-                f"top-k saturated (max {counts.max()} >= k={k}); "
-                "raise k so min(sem_dup_of) is exact"
-            )
-            for qid, vid in hits.groupby("qid")["vec_id"].min().items():
-                prev = sem_dup.get(int(qid))
-                sem_dup[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
+        _fold_sem_dups(hits, k=k, threshold=cosine_threshold, dup_map=sem_dup)
 
     cand = (
         pd.concat(cands, ignore_index=True)

@@ -248,14 +248,30 @@ class IvfIndex:
         the WAL epoch — the add stays idempotent on segment_id either
         way.  Queries stream through the caller in bounded
         ``probe_chunk`` slices, so driver memory is O(chunk), never
-        O(epoch).  Raises if ``segment_id`` was already folded into a
-        compacted base — the strictly-earlier view no longer exists."""
+        O(epoch).
+
+        Compaction interplay: once a ``compact()`` folds past
+        ``segment_id``, the strictly-earlier view is gone.  A replay of
+        an epoch that was ALREADY COMMITTED before the fold returns
+        ``(empty, {"skipped": True, "folded": True})`` — the commit is
+        safe to skip, but the original hits are not reproducible, so
+        ingest loops must persist each epoch's hits before compacting
+        past it.  An UNcommitted ``segment_id`` at or below the fold
+        watermark raises: its segment dir would be invisible to every
+        reader (``_read_runs`` lists only ``s > through``), silently
+        losing the vectors."""
         base = self._base()
         if base is not None and base[1] >= segment_id:
+            if segment_id in self.segments():
+                return _empty_topk().to_pandas(), {
+                    "segment": segment_id,
+                    "skipped": True,
+                    "folded": True,
+                }
             raise ValueError(
-                f"segment {segment_id} already folded into base generation "
-                f"{base[0]} (through {base[1]}); the strictly-earlier probe "
-                "view is gone"
+                f"segment {segment_id} was never committed and is at or below "
+                f"base generation {base[0]}'s fold watermark ({base[1]}); "
+                "adding it now would be invisible to readers"
             )
         gen_through = base
         run_dirs = (
@@ -267,6 +283,12 @@ class IvfIndex:
             for s in self.segments()
             if s > (gen_through[1] if gen_through else -1) and s < segment_id
         ]
+        # materialize once: the probe's iter_batches and the add would
+        # otherwise each re-execute the input read (double I/O, and a
+        # source mutated between the passes would commit vectors the
+        # probe never saw) — the same reason MinHashIndex.probe_and_add
+        # materializes its band rows.  Epoch-sized, never corpus-sized.
+        vectors = vectors.materialize()
         hits: list[pd.DataFrame] = []
         if run_dirs:
             for chunk in vectors.iter_batches(

@@ -287,14 +287,30 @@ class MinHashIndex:
         exactly the candidates the first attempt returned (the batch
         never matches itself), so callers can treat
         (candidates, report) as a deterministic function of the WAL
-        epoch.  Raises if ``segment_id`` was already folded into a
-        compacted base — the strictly-earlier view no longer exists."""
+        epoch.
+
+        Compaction interplay: once a ``compact()`` folds past
+        ``segment_id``, the strictly-earlier view is gone.  A replay of
+        an epoch that was ALREADY COMMITTED before the fold returns
+        ``(empty, {"skipped": True, "folded": True})`` — the commit is
+        safe to skip, but the original candidates are not reproducible,
+        so ingest loops must persist each epoch's candidates before
+        compacting past it.  An UNcommitted ``segment_id`` at or below
+        the fold watermark raises: its segment dir would be invisible
+        to every reader (live runs are ``s > through``), silently
+        losing the documents."""
         base = self._base()
         if base is not None and base[1] >= segment_id:
+            if segment_id in self.segments():
+                return _empty_pairs().to_pandas(), {
+                    "segment": segment_id,
+                    "skipped": True,
+                    "folded": True,
+                }
             raise ValueError(
-                f"segment {segment_id} already folded into base generation "
-                f"{base[0]} (through {base[1]}); the strictly-earlier probe "
-                "view is gone"
+                f"segment {segment_id} was never committed and is at or below "
+                f"base generation {base[0]}'s fold watermark ({base[1]}); "
+                "adding it now would be invisible to readers"
             )
         base_dir, live = self._read_runs()
         run_dirs = ([base_dir] if base_dir else []) + [

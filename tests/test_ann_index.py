@@ -274,11 +274,22 @@ def test_probe_and_add_fuses_probe_then_add(tmp_path):
     )
 
 
-def test_probe_and_add_refuses_folded_segment(tmp_path):
+def test_probe_and_add_after_fold(tmp_path):
+    """Replay of a COMMITTED epoch folded by compact() skips gracefully
+    (crash-resume must not wedge); an UNcommitted segment at or below
+    the fold watermark raises — readers would never see its dir."""
     ids, mat = _vectors()
-    idx = _build(tmp_path, ids, mat, segments=2)
-    idx.compact()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf_fold"), centroids=cent)
+    half = len(ids) // 2
+    idx.add(_ds(ids[:half], mat[:half]), segment_id=0)
+    idx.add(_ds(ids[half:], mat[half:]), segment_id=2)
+    assert idx.compact()["skipped"] is False  # through_segment = 2
+    hits, rep = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=2, k=3, nprobe=8
+    )
+    assert hits.empty and rep == {"segment": 2, "skipped": True, "folded": True}
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="folded into base"):
+    with _pytest.raises(ValueError, match="never committed"):
         idx.probe_and_add(_ds(ids[:4], mat[:4]), segment_id=1, k=3, nprobe=8)

@@ -134,13 +134,19 @@ def test_probe_and_add_fuses_probe_then_add(tmp_path, corpus):
     assert cand2.equals(want)
 
 
-def test_probe_and_add_refuses_folded_segment(tmp_path, corpus):
+def test_probe_and_add_after_fold(tmp_path, corpus):
+    """Replay of a COMMITTED epoch whose strictly-earlier view a
+    compact() has folded away skips gracefully (a crash-resume ingest
+    loop must not wedge); an UNcommitted segment at or below the fold
+    watermark still raises — its dir would be invisible to readers."""
     base, arrivals = corpus
     idx = MinHashIndex(str(tmp_path / "idx"))
     idx.add(rd.from_arrow(base), segment_id=0)
-    idx.add(rd.from_arrow(arrivals), segment_id=1)
-    assert idx.compact()["compacted"] is True
-    with pytest.raises(ValueError, match="folded into base"):
+    idx.add(rd.from_arrow(arrivals), segment_id=2)
+    assert idx.compact()["compacted"] is True  # through_segment = 2
+    cand, rep = idx.probe_and_add(rd.from_arrow(arrivals), segment_id=2)
+    assert cand.empty and rep == {"segment": 2, "skipped": True, "folded": True}
+    with pytest.raises(ValueError, match="never committed"):
         idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
 
 
