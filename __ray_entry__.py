@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-pruned probe; exhaustive-probe == brute force witness
         "ann_index_probe": A.q_ann_index_probe,     # rows-only (approximate)
         "ann_index_exhaustive": A.q_ann_index_exhaustive,
+        # IVF-PQ storage tier: cell files hold uint8/16 codes; saturated
+        # codebooks make the ADC read path exactly brute force
+        "ann_index_pq_exhaustive": A.q_ann_index_pq_exhaustive,
         # continuous-ingest semantic near-dedup over the persisted IVF
         # index: probe earlier segments -> add epoch segment -> broadcast
         # release decision (embedding analog of dedup_index_release)
@@ -123,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_index_release_compacted": lambda sf: A.q_ann_index_release(
             sf, compact_every=2
         ),
+        # crash-resume witness: persist_hits sidecars + compact after
+        # EVERY epoch, then rebuild the decision table from replayed
+        # sidecar hits alone — same oracle as ann_index_release
+        "admission_replay": A.q_admission_replay,
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
         # exact k-NN graph (block-pair sweep + k-sized partial merge)
@@ -534,6 +541,19 @@ def oracle_sql() -> dict[str, str]:
         # vector once, so brute force IS its oracle (ann.py
         # q_ann_index_exhaustive docstring)
         "ann_index_exhaustive": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # IVF-PQ tier with SATURATED codebooks: encoding is lossless, ADC
+        # scores equal exact dot products, so brute force is its oracle
+        # too (ann.py q_ann_index_pq_exhaustive docstring)
+        "ann_index_pq_exhaustive": """
             with q as (select vec_id as qid, cast(embedding as double[]) as qe
                        from embeddings where vec_id < 5),
             s as (select qid, vec_id,
@@ -2826,6 +2846,10 @@ def oracle_sql() -> dict[str, str]:
     # any candidate/hit, so the oracles are identical by construction.
     sql["dedup_index_release_compacted"] = sql["dedup_index_release"]
     sql["ann_index_release_compacted"] = sql["ann_index_release"]
+    # the admission-replay witness rebuilds the SAME decision table from
+    # the persisted per-epoch sidecars (probe view folded away), so the
+    # release oracle is its oracle too
+    sql["admission_replay"] = sql["ann_index_release"]
     # two-modality admission: text dup map (cross-epoch exact Jaccard,
     # epoch width from documents) x semantic dup map (cross-epoch exact
     # cosine, epoch width from embeddings), left-joined onto documents

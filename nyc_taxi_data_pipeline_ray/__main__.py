@@ -298,11 +298,26 @@ def main(argv: list[str] | None = None) -> int:
         "--ncells", type=int, default=16,
         help="coarse-quantizer cells (used only when creating a new index)",
     )
+    sp.add_argument(
+        "--persist-hits", action="store_true",
+        help="write the epoch's hits to an _admissions/ sidecar before the "
+        "commit, so the admission decision survives later compaction",
+    )
 
     sp = sub.add_parser(
         "ann-compact", help="fold IVF-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
+        "ann-replay",
+        help="recover a committed epoch's persisted admission hits "
+        "(_admissions/epoch-N.parquet) — works even after compaction "
+        "folded the epoch's probe view away",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--segment", type=int, required=True)
+    sp.add_argument("--out", required=True, help="parquet for the recovered hits")
 
     args = p.parse_args(argv)
 
@@ -381,10 +396,28 @@ def main(argv: list[str] | None = None) -> int:
             elif args.cmd == "ann-ingest":
                 vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
                 df, rep = idx.probe_and_add(
-                    vecs, segment_id=args.segment, k=args.k, nprobe=args.nprobe
+                    vecs,
+                    segment_id=args.segment,
+                    k=args.k,
+                    nprobe=args.nprobe,
+                    persist_hits=args.persist_hits,
                 )
                 pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
                 print(json.dumps({**rep, "out": args.out, "hits": len(df)}))
+            elif args.cmd == "ann-replay":
+                df = idx._load_hits(args.segment)
+                if df is None:
+                    print(
+                        json.dumps(
+                            {
+                                "error": f"no persisted hits for segment {args.segment}"
+                                " (ingest it with --persist-hits)",
+                            }
+                        )
+                    )
+                    return 1
+                pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+                print(json.dumps({"segment": args.segment, "out": args.out, "hits": len(df)}))
             elif args.cmd == "ann-probe":
                 qt = pq.read_table(args.queries, columns=["vec_id", "embedding"])
                 qids = qt["vec_id"].to_numpy(zero_copy_only=False)

@@ -672,7 +672,8 @@ def q_ann_pq(
     _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
     sample = _normalize_rows(sample_mat)
     d = sample.shape[1]
-    assert d % m_sub == 0, "subspace count must divide dimension"
+    if d % m_sub != 0:
+        raise ValueError("subspace count must divide dimension")
     dsub = d // m_sub
     books = np.stack(
         [
@@ -749,10 +750,13 @@ def q_ann_pq(
 
 
 # --------------------------------------------------------------------------
-def _build_ivf_index(sf_dir: str, root: str, *, ncells: int, sample_rows: int):
+def _build_ivf_index(
+    sf_dir: str, root: str, *, ncells: int, sample_rows: int, **idx_kwargs
+):
     """Fresh persisted IVF index over the embeddings table, built
     INCREMENTALLY in two segments (even / odd vec_id halves) to exercise
-    the O(new vectors) add path the index exists for."""
+    the O(new vectors) add path the index exists for.  Extra kwargs
+    (``pq_books`` / ``pq_refine``) select the IVF-PQ storage tier."""
     import shutil
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
@@ -760,7 +764,7 @@ def _build_ivf_index(sf_dir: str, root: str, *, ncells: int, sample_rows: int):
     shutil.rmtree(root, ignore_errors=True)
     _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
     cent = _kmeans_lite(_normalize_rows(sample_mat), ncells)
-    idx = IvfIndex(root, centroids=cent)
+    idx = IvfIndex(root, centroids=cent, **idx_kwargs)
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -806,8 +810,10 @@ def q_ann_index_probe(
     # files_read < files_total form would be data-dependent — k-means can
     # leave cells empty, letting the probed UNION cover every non-empty
     # cell even though per-query pruning held.)
-    assert nprobe < stats["cells_total"], stats
-    assert stats["cells_probed"] <= num_queries * nprobe, stats
+    if not (nprobe < stats["cells_total"]):
+        raise RuntimeError(f"pruning witness degenerate: {stats}")
+    if not (stats["cells_probed"] <= num_queries * nprobe):
+        raise RuntimeError(f"probe pruning violated: {stats}")
     return df
 
 
@@ -829,7 +835,68 @@ def q_ann_index_exhaustive(
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
-    assert stats["cells_probed"] == stats["cells_total"], stats
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
+    return df
+
+
+def _saturated_pq_books(m_norm: np.ndarray, m_sub: int) -> np.ndarray:
+    """PQ codebooks holding EVERY distinct subvector of ``m_norm`` —
+    encoding becomes lossless (each subvector quantizes to itself), so
+    ADC scores equal exact dot products: the witness configuration that
+    lets a SQL oracle certify the whole IVF-PQ read path.  Subspaces
+    with fewer distinct subvectors are padded with copies of their first
+    entry; ``argmax`` breaks the resulting exact ties toward the
+    earliest index, so a pad code is never emitted."""
+    dsub = m_norm.shape[1] // m_sub
+    subs = [
+        np.unique(m_norm[:, j * dsub : (j + 1) * dsub], axis=0) for j in range(m_sub)
+    ]
+    kc = max(len(s) for s in subs)
+    return np.stack(
+        [
+            np.vstack([s, np.repeat(s[:1], kc - len(s), axis=0)])
+            if len(s) < kc
+            else s
+            for s in subs
+        ]
+    )
+
+
+def q_ann_index_pq_exhaustive(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    m_sub: int = 4,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Exactness witness for the IVF-PQ STORAGE tier: cell files hold
+    small-int PQ codes instead of raw vectors (at d=64/m=4 the index is
+    ~32-128x smaller than the corpus — the reason billion-vector IVF
+    indexes ship PQ), and probing scores candidates via per-query ADC
+    lookup tables.  With SATURATED codebooks (every distinct subvector
+    is a sub-centroid — built here from a driver read of the corpus,
+    which is witness-scale only; production trains k_codes=256 books on
+    a sample) the encoding is lossless and ADC == exact dot product, so
+    an all-cells probe reproduces brute-force top-k — certified by the
+    same ``ann_bruteforce`` SQL oracle as ``ann_index_exhaustive``.
+    Production recall at k_codes=256-sized books and the exact-refine
+    tier (``pq_refine``) are pinned in pytest."""
+    ids_all, mat_all = _vectors_where_id_below(sf_dir, np.iinfo(np.int64).max)
+    books = _saturated_pq_books(_normalize_rows(mat_all), m_sub)
+    idx = _build_ivf_index(
+        sf_dir,
+        "/tmp/nyc_ray_q_ann_index_pq_ex",
+        ncells=ncells,
+        sample_rows=sample_rows,
+        pq_books=books,
+    )
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
     return df
 
 
@@ -845,10 +912,13 @@ def _fold_sem_dups(
     if hits.empty:
         return
     counts = hits.groupby("qid").size()
-    assert (counts < k).all(), (
-        f"top-k saturated (max {counts.max()} >= k={k}); "
-        "raise k so min(dup_of) is exact"
-    )
+    # witness-critical invariant: a real raise, not an assert (python -O
+    # strips asserts and would silently degrade the exactness witness)
+    if not (counts < k).all():
+        raise RuntimeError(
+            f"top-k saturated (max {counts.max()} >= k={k}); "
+            "raise k so min(dup_of) is exact"
+        )
     for qid, vid in hits.groupby("qid")["vec_id"].min().items():
         prev = dup_map.get(int(qid))
         dup_map[int(qid)] = int(vid) if prev is None else min(prev, int(vid))
@@ -899,13 +969,21 @@ def q_ann_index_release(
     of the per-epoch segment cells — the witness configuration for the
     LSM compact read path (same oracle: folding must not change any
     hit).  A post-loop assertion proves the compaction happened.
+
+    ORACLE COUPLING: the certified SQL oracle in ``__ray_entry__``
+    hardcodes this function's DEFAULT epoch divisor
+    (``ceil(count/4.0)``); calling with a non-default ``n_epochs``
+    yields a correct pipeline but silently diverges from that oracle —
+    pair any such call with a matching oracle.
     """
     import math
     import shutil
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 
-    root = "/tmp/nyc_ray_q_ann_index_release"
+    # per-variant root: the plain and `_compacted` registry entries (and
+    # any concurrent sweep) must not rmtree each other's live index
+    root = f"/tmp/nyc_ray_q_ann_index_release_c{compact_every or 0}"
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -936,10 +1014,118 @@ def q_ann_index_release(
         _fold_sem_dups(hits, k=k, threshold=threshold, dup_map=dup_of)
         if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
             idx.compact()
-    if compact_every:
-        assert idx._base() is not None, "compaction witness never compacted"
+    if compact_every and idx._base() is None:
+        raise RuntimeError("compaction witness never compacted")
 
     dup_ref = ray.put(dup_of)
+
+    def decide(t: pa.Table) -> pa.Table:
+        m = ray.get(dup_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        dup = (
+            pd.Series(ids, dtype="int64").map(m).fillna(-1).to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "epoch": pa.array((ids // per).astype(np.int64), pa.int64()),
+                "keep": pa.array(dup < 0, pa.bool_()),
+                "dup_of": pa.array(dup, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns(["vec_id"])
+        .map_batches(decide, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id", ignore_index=True)
+
+
+def q_admission_replay(
+    sf_dir: str,
+    *,
+    n_epochs: int = 4,
+    threshold: float = 0.45,
+    k: int = 64,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+    probe_chunk: int = 4096,
+) -> pd.DataFrame:
+    """CRASH-RESUME witness for the persisted admission sidecar: the
+    one piece the release loops' contract used to leave to the caller
+    ("persist each epoch's hits before compacting past it") now done by
+    the index itself (``probe_and_add(persist_hits=True)`` writes
+    ``_admissions/epoch-N.parquet`` tmp+rename BEFORE the segment
+    marker).
+
+    Phase 1 runs the ``ann_index_release`` ingest loop with
+    ``persist_hits=True`` under the ADVERSARIAL compaction schedule —
+    ``compact()`` after every epoch, so by the end every epoch's
+    strictly-earlier probe view has been folded away.  Phase 2 simulates
+    the resume: every epoch is replayed through the same
+    ``probe_and_add``; each must answer from its sidecar
+    (``report["replayed_hits"]``) — a re-probe is impossible by
+    construction.  The release decision table is rebuilt FROM THE
+    REPLAYED hits alone and cross-checked against the live run's before
+    returning, so the driver's hash-check certifies the sidecar
+    content, not the live probes.  Oracle: the exact cross-epoch cosine
+    SQL of ``ann_index_release`` (same witness config, ``nprobe ==
+    ncells``, saturation guard).
+
+    ORACLE COUPLING: the certified SQL oracle hardcodes the default
+    epoch divisor (``ceil(count/4.0)``) — see ``q_ann_index_release``.
+    """
+    import math
+    import shutil
+
+    from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+
+    root = "/tmp/nyc_ray_q_admission_replay"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    per = math.ceil(ds.count() / n_epochs)
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    idx = IvfIndex(root, centroids=_kmeans_lite(_normalize_rows(sample_mat), ncells))
+
+    def epoch_batch(e: int) -> rd.Dataset:
+        return read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= e * per)
+            & (pads.field("vec_id") < (e + 1) * per),
+        )
+
+    live_dup: dict[int, int] = {}
+    for e in range(n_epochs):
+        hits, rep = idx.probe_and_add(
+            epoch_batch(e),
+            segment_id=e,
+            k=k,
+            nprobe=ncells,
+            probe_chunk=probe_chunk,
+            persist_hits=True,
+        )
+        if rep.get("skipped"):
+            raise RuntimeError(f"live ingest of epoch {e} unexpectedly skipped")
+        _fold_sem_dups(hits, k=k, threshold=threshold, dup_map=live_dup)
+        idx.compact()  # adversarial: fold after EVERY epoch
+    if idx._base() is None or idx._base()[1] != n_epochs - 1:
+        raise RuntimeError(f"fold watermark wrong: {idx._base()}")
+
+    # ---- the resume: every epoch answers from its sidecar, verbatim
+    replay_dup: dict[int, int] = {}
+    for e in range(n_epochs):
+        hits, rep = idx.probe_and_add(epoch_batch(e), segment_id=e, k=k)
+        if not rep.get("replayed_hits"):
+            raise RuntimeError(f"epoch {e} replay did not come from the sidecar: {rep}")
+        _fold_sem_dups(hits, k=k, threshold=threshold, dup_map=replay_dup)
+    if replay_dup != live_dup:
+        raise RuntimeError("replayed admission decisions diverged from live run")
+
+    dup_ref = ray.put(replay_dup)
 
     def decide(t: pa.Table) -> pa.Table:
         m = ray.get(dup_ref)

@@ -721,7 +721,13 @@ def q_dedup_index_release(
     epochs, so later epochs' probes read the folded BASE instead of the
     per-epoch segments — the witness configuration for the LSM compact
     read path (same oracle: folding must not change any candidate).  A
-    post-loop assertion proves the compaction actually happened."""
+    post-loop assertion proves the compaction actually happened.
+
+    ORACLE COUPLING: the certified SQL oracle in ``__ray_entry__``
+    hardcodes this function's DEFAULT epoch divisor
+    (``ceil(count/4.0)``); calling with a non-default ``n_epochs``
+    yields a correct pipeline but silently diverges from that oracle —
+    pair any such call with a matching oracle."""
     import math
     import shutil
 
@@ -730,7 +736,9 @@ def q_dedup_index_release(
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-    root = "/tmp/nyc_ray_q_dedup_index_release"
+    # per-variant root: the plain and `_compacted` registry entries (and
+    # any concurrent sweep) must not rmtree each other's live index
+    root = f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}"
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     per = math.ceil(ds.count() / n_epochs)
@@ -3639,7 +3647,13 @@ def q_corpus_admission(
     parent witnesses: the LSH band family's recall bound covers the
     exact Jaccard set on this corpus, and the IVF probe is exhaustive
     over earlier segments with the saturation guard proving min() over
-    top-k hits is the global min."""
+    top-k hits is the global min.
+
+    ORACLE COUPLING: the certified SQL oracle in ``__ray_entry__``
+    hardcodes this function's DEFAULT epoch divisor
+    (``ceil(count/4.0)``); calling with a non-default ``n_epochs``
+    yields a correct pipeline but silently diverges from that oracle —
+    pair any such call with a matching oracle."""
     import math
     import shutil
 

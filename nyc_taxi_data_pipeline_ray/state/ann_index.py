@@ -78,13 +78,25 @@ class IvfIndex:
     them on any sample, e.g. ``pipelines.ann._kmeans_lite``) and are
     frozen into ``meta.json``; reopening ignores the argument."""
 
-    def __init__(self, path: str, *, centroids: np.ndarray | None = None):
+    def __init__(
+        self,
+        path: str,
+        *,
+        centroids: np.ndarray | None = None,
+        pq_books: np.ndarray | None = None,
+        pq_refine: bool = False,
+    ):
         self.path = path
         meta_path = os.path.join(path, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             self.centroids = _normalize_rows(np.asarray(meta["centroids"], np.float64))
+            pq = meta.get("pq")
+            self.pq_books = (
+                np.asarray(pq["books"], np.float64) if pq is not None else None
+            )
+            self.pq_refine = bool(pq["refine"]) if pq is not None else False
         else:
             if centroids is None:
                 # read-only open of a path that was never created: fail
@@ -94,16 +106,64 @@ class IvfIndex:
                     f"no IvfIndex at {path!r} (meta.json missing); "
                     "pass trained centroids to create one"
                 )
-            os.makedirs(path, exist_ok=True)
             self.centroids = _normalize_rows(np.asarray(centroids, np.float64))
+            self.pq_books = (
+                np.asarray(pq_books, np.float64) if pq_books is not None else None
+            )
+            self.pq_refine = bool(pq_refine) and self.pq_books is not None
+            if self.pq_books is not None:
+                msub, _kc, dsub = self.pq_books.shape
+                if msub * dsub != self.centroids.shape[1]:
+                    raise ValueError(
+                        f"pq_books subspaces ({msub} x {dsub}) do not tile "
+                        f"dim {self.centroids.shape[1]}"
+                    )
+            os.makedirs(path, exist_ok=True)
             mf.atomic_write_json(
                 meta_path,
                 {
                     "ncells": int(self.centroids.shape[0]),
                     "dim": int(self.centroids.shape[1]),
                     "centroids": self.centroids.tolist(),
+                    # PQ storage tier (IVF-PQ, Jegou et al. 2011): cell
+                    # files hold uint8/uint16 codes instead of raw
+                    # vectors; the codebooks are frozen like centroids
+                    "pq": (
+                        None
+                        if self.pq_books is None
+                        else {
+                            "books": self.pq_books.tolist(),
+                            "refine": self.pq_refine,
+                        }
+                    ),
                 },
             )
+
+    def _code_dtype(self) -> np.dtype:
+        kc = int(self.pq_books.shape[1])
+        return np.dtype(np.uint8) if kc <= 256 else np.dtype(np.uint16)
+
+    def _pq_encode(self, m: np.ndarray) -> np.ndarray:
+        """Nearest sub-centroid per subspace (L2, via the standard
+        argmax(2<x,c> - |c|^2) identity).  ``m`` must already be row-
+        normalized — the same canonicalization as cell assignment."""
+        books = self.pq_books
+        msub, _kc, dsub = books.shape
+        codes = np.empty((len(m), msub), self._code_dtype())
+        for j in range(msub):
+            sub = m[:, j * dsub : (j + 1) * dsub]
+            c = books[j]
+            codes[:, j] = np.argmax(2 * (sub @ c.T) - (c * c).sum(1)[None, :], axis=1)
+        return codes
+
+    def _adc_tables(self, qmat: np.ndarray) -> np.ndarray:
+        """Per-query asymmetric-distance tables: (nq, m_sub, k_codes)
+        inner products against every sub-centroid, so scoring a stored
+        code is m_sub table lookups + adds instead of a d-dim dot."""
+        msub, _kc, dsub = self.pq_books.shape
+        return np.einsum(
+            "jkd,njd->njk", self.pq_books, qmat.reshape(len(qmat), msub, dsub)
+        )
 
     @property
     def ncells(self) -> int:
@@ -162,6 +222,8 @@ class IvfIndex:
         shutil.rmtree(seg_dir, ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
         cent = self.centroids
+        books = self.pq_books
+        refine = self.pq_refine
 
         def assign(t: pa.Table) -> pa.Table:
             m = _normalize_rows(
@@ -170,13 +232,26 @@ class IvfIndex:
                 )
             )
             cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-            return pa.table(
-                {
-                    "cell": pa.array(cells),
-                    "vec_id": t["vec_id"],
-                    "embedding": t["embedding"],
-                }
-            )
+            cols = {"cell": pa.array(cells), "vec_id": t["vec_id"]}
+            if books is None:
+                cols["embedding"] = t["embedding"]
+            else:
+                # PQ tier: encode MAP-SIDE so the cell exchange ships
+                # m_sub small ints per vector, not the raw d-dim floats
+                # (the shuffle payload shrinks by the same ~32-128x as
+                # the stored files)
+                codes = self._pq_encode(m)
+                cols["codes"] = pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel()), codes.shape[1]
+                )
+                if refine:
+                    # exact-rerank tier rides in the SAME file as a
+                    # separate column: parquet is columnar, so the ADC
+                    # pass reads only [vec_id, codes] and the refine
+                    # pass only [embedding] — sidecar I/O shape without
+                    # a row-alignment hazard between two files
+                    cols["embedding"] = t["embedding"]
+            return pa.table(cols)
 
         def write_cell(g: pa.Table) -> pa.Table:
             c = int(g["cell"][0].as_py())
@@ -197,6 +272,33 @@ class IvfIndex:
             self._manifest_path(segment_id), {"segment": segment_id, "vectors": n}
         )
         return {"segment": segment_id, "skipped": False, "vectors": n}
+
+    # ------------------------------------------------------- admission hits
+    def _hits_path(self, segment_id: int) -> str:
+        return os.path.join(self.path, "_admissions", f"epoch-{segment_id:06d}.parquet")
+
+    def _load_hits(self, segment_id: int) -> pd.DataFrame | None:
+        p = self._hits_path(segment_id)
+        return pq.read_table(p).to_pandas() if os.path.exists(p) else None
+
+    def _persist_hits(self, segment_id: int, df: pd.DataFrame) -> None:
+        """Write the epoch's probe hits as a sidecar UNDER the index,
+        tmp+rename, BEFORE the segment marker lands — completing the
+        ``probe_and_add`` contract: once persisted, the original
+        admission decision survives any later ``compact()`` (the
+        ``_admissions/`` dir is invisible to vacuum/compact, which only
+        touch ``base-*`` / ``seg-*``)."""
+        os.makedirs(os.path.join(self.path, "_admissions"), exist_ok=True)
+        t = (
+            pa.Table.from_pandas(
+                df[[f.name for f in TOPK_SCHEMA]], preserve_index=False
+            ).cast(TOPK_SCHEMA)
+            if len(df)
+            else _empty_topk()
+        )
+        p = self._hits_path(segment_id)
+        pq.write_table(t, p + ".tmp")
+        os.replace(p + ".tmp", p)
 
     # ----------------------------------------------------------------- probe
     def probe(
@@ -237,6 +339,7 @@ class IvfIndex:
         k: int = 5,
         nprobe: int = 4,
         probe_chunk: int = 4096,
+        persist_hits: bool = False,
     ) -> tuple[pd.DataFrame, dict]:
         """The ingest-loop primitive, mirroring
         :meth:`state.dedup_index.MinHashIndex.probe_and_add`: probe the
@@ -251,18 +354,39 @@ class IvfIndex:
         O(epoch).
 
         Compaction interplay: once a ``compact()`` folds past
-        ``segment_id``, the strictly-earlier view is gone.  A replay of
-        an epoch that was ALREADY COMMITTED before the fold returns
-        ``(empty, {"skipped": True, "folded": True})`` — the commit is
-        safe to skip, but the original hits are not reproducible, so
-        ingest loops must persist each epoch's hits before compacting
-        past it.  An UNcommitted ``segment_id`` at or below the fold
-        watermark raises: its segment dir would be invisible to every
-        reader (``_read_runs`` lists only ``s > through``), silently
-        losing the vectors."""
+        ``segment_id``, the strictly-earlier view is gone.  With
+        ``persist_hits=True`` the epoch's hits are written to an
+        ``_admissions/epoch-N.parquet`` sidecar BEFORE the segment
+        marker, so any replay — folded or not — returns the original
+        hits verbatim (``report["replayed_hits"]`` marks them).  Without
+        the sidecar, a replay of an epoch that was ALREADY COMMITTED
+        before the fold returns ``(empty, {"skipped": True, "folded":
+        True})`` — the commit is safe to skip, but the original hits are
+        not reproducible.  An UNcommitted ``segment_id`` at or below the
+        fold watermark raises: its segment dir would be invisible to
+        every reader (``_read_runs`` lists only ``s > through``),
+        silently losing the vectors."""
         base = self._base()
         if base is not None and base[1] >= segment_id:
             if segment_id in self.segments():
+                replay = self._load_hits(segment_id)
+                if replay is not None:
+                    return replay, {
+                        "segment": segment_id,
+                        "skipped": True,
+                        "folded": True,
+                        "replayed_hits": True,
+                    }
+                import warnings
+
+                warnings.warn(
+                    f"replaying segment {segment_id} after compact() folded "
+                    f"past it: original hits are NOT reproducible; returning "
+                    "empty (persist per-epoch hits before compacting past "
+                    "them)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 return _empty_topk().to_pandas(), {
                     "segment": segment_id,
                     "skipped": True,
@@ -273,16 +397,34 @@ class IvfIndex:
                 f"base generation {base[0]}'s fold watermark ({base[1]}); "
                 "adding it now would be invisible to readers"
             )
-        gen_through = base
-        run_dirs = (
-            [os.path.join(self.path, f"base-{gen_through[0]:06d}")]
-            if gen_through
-            else []
-        ) + [
-            os.path.join(self.path, f"seg-{s:06d}")
-            for s in self.segments()
-            if s > (gen_through[1] if gen_through else -1) and s < segment_id
-        ]
+        if segment_id in self.segments():
+            replay = self._load_hits(segment_id)
+            if replay is not None:
+                # committed epoch with a persisted sidecar: skip the
+                # (deterministic but not free) re-probe entirely
+                return replay, {
+                    "segment": segment_id,
+                    "skipped": True,
+                    "replayed_hits": True,
+                }
+
+        def _earlier_run_dirs() -> list[str]:
+            # strictly-earlier committed view; re-listable so a probe
+            # that raced a concurrent compact() can retry against the
+            # folded (but semantically identical, still < segment_id
+            # thanks to the watermark guard above) newer layout
+            gen_through = self._base()
+            return (
+                [os.path.join(self.path, f"base-{gen_through[0]:06d}")]
+                if gen_through
+                else []
+            ) + [
+                os.path.join(self.path, f"seg-{s:06d}")
+                for s in self.segments()
+                if s > (gen_through[1] if gen_through else -1) and s < segment_id
+            ]
+
+        run_dirs = _earlier_run_dirs()
         # materialize once: the probe's iter_batches and the add would
         # otherwise each re-execute the input read (double I/O, and a
         # source mutated between the passes would commit vectors the
@@ -298,9 +440,22 @@ class IvfIndex:
                 qmat = np.stack(
                     chunk["embedding"].to_numpy(zero_copy_only=False)
                 ).astype(np.float64)
-                df, _stats = self._probe_once(
-                    qids, qmat, k=k, nprobe=nprobe, run_dirs=run_dirs
-                )
+                try:
+                    df, _stats = self._probe_once(
+                        qids, qmat, k=k, nprobe=nprobe, run_dirs=run_dirs
+                    )
+                except Exception as e:  # probe()'s one-retry idiom: a
+                    # concurrent compact() folded our pre-listed dirs
+                    cause = getattr(e, "cause", None)
+                    if not (
+                        isinstance(e, FileNotFoundError)
+                        or isinstance(cause, FileNotFoundError)
+                    ):
+                        raise
+                    run_dirs = _earlier_run_dirs()
+                    df, _stats = self._probe_once(
+                        qids, qmat, k=k, nprobe=nprobe, run_dirs=run_dirs
+                    )
                 if len(df):
                     hits.append(df)
         out = (
@@ -308,6 +463,10 @@ class IvfIndex:
         )
         if segment_id in self.segments():
             return out, {"segment": segment_id, "skipped": True}
+        if persist_hits:
+            # sidecar BEFORE the marker: a commit implies its admission
+            # decision is durable, so compaction can never orphan it
+            self._persist_hits(segment_id, out)
         return out, self.add(vectors, segment_id)
 
     def _probe_once(
@@ -345,42 +504,105 @@ class IvfIndex:
         if not files:
             return _empty_topk().to_pandas(), stats
 
-        qref = ray.put((qids, qmat, qcells))
+        qtables = self._adc_tables(qmat) if self.pq_books is not None else None
+        qref = ray.put((qids, qmat, qcells, qtables))
         k_ = k
+        refine = self.pq_refine
+        refine_factor = 4
 
         def probe_file(t: pa.Table) -> pa.Table:
-            qids_l, qmat_l, qcells_l = ray.get(qref)
+            qids_l, qmat_l, qcells_l, qtables_l = ray.get(qref)
             out = []
             for row in t.to_pylist():  # one row per (cell, path) descriptor
                 c, path = int(row["cell"]), row["path"]
-                stored = pq.read_table(path)
+                # which queries probe THIS cell — one vectorized membership
+                # test, then a single matmul for all of them together
+                qrows = np.nonzero((qcells_l == c).any(axis=1))[0]
+                if len(qrows) == 0:
+                    continue
+                if qtables_l is None:
+                    stored = pq.read_table(path)
+                else:
+                    # PQ tier: the ADC pass touches only the code column
+                    stored = pq.read_table(path, columns=["vec_id", "codes"])
                 if stored.num_rows == 0:
                     continue
                 ids = stored["vec_id"].to_numpy(zero_copy_only=False)
-                m = _normalize_rows(
-                    np.stack(stored["embedding"].to_numpy(zero_copy_only=False)).astype(
-                        np.float64
+                sel_qids = np.asarray(qids_l)[qrows]
+                n, nq_sel = len(ids), len(qrows)
+                if qtables_l is None:
+                    m = _normalize_rows(
+                        np.stack(
+                            stored["embedding"].to_numpy(zero_copy_only=False)
+                        ).astype(np.float64)
+                    )
+                    s = np.round(m @ qmat_l[qrows].T, 4)  # (n_stored, n_sel)
+                else:
+                    codes = np.stack(
+                        stored["codes"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                    qt = qtables_l[qrows]  # (n_sel, m_sub, k_codes)
+                    acc = np.zeros((n, nq_sel))
+                    for j in range(qt.shape[1]):
+                        acc += qt[:, j, :][:, codes[:, j]].T
+                    s = np.round(acc, 4)
+                # self-match exclusion: sink below any cosine (>= -1)
+                s[ids[:, None] == sel_qids[None, :]] = -np.inf
+                # one lexsort for every (query, candidate) pair: primary
+                # key query column, then -sim, then vec_id — identical
+                # per-query order to the scalar kernel this replaces
+                cols = np.repeat(np.arange(nq_sel), n)
+                flat_ids = np.tile(ids, nq_sel)
+                flat_s = s.ravel(order="F")  # flat index = col * n + row
+                if qtables_l is not None and refine:
+                    # two-stage: ADC shortlists r per query, then exact
+                    # cosine over ONLY those (row, query) pairs from the
+                    # refine column (read separately — columnar prune)
+                    r = min(max(k_ * refine_factor, k_), n)
+                    top_r = np.lexsort((flat_ids, -flat_s, cols)).reshape(
+                        nq_sel, n
+                    )[:, :r]
+                    rows_flat = top_r.ravel() % n
+                    cols_flat = np.repeat(np.arange(nq_sel), top_r.shape[1])
+                    m_ref = _normalize_rows(
+                        np.stack(
+                            pq.read_table(path, columns=["embedding"])[
+                                "embedding"
+                            ].to_numpy(zero_copy_only=False)
+                        ).astype(np.float64)
+                    )
+                    s_exact = np.round(
+                        np.einsum(
+                            "ij,ij->i",
+                            m_ref[rows_flat],
+                            qmat_l[qrows][cols_flat],
+                        ),
+                        4,
+                    )
+                    s_exact[~np.isfinite(flat_s[top_r.ravel()])] = -np.inf
+                    flat_ids = ids[rows_flat]
+                    flat_s = s_exact
+                    cols = cols_flat
+                    n_eff = top_r.shape[1]
+                else:
+                    n_eff = n
+                top = np.lexsort((flat_ids, -flat_s, cols)).reshape(
+                    nq_sel, n_eff
+                )[:, : min(k_, n_eff)]
+                qid_of = np.repeat(sel_qids, top.shape[1])
+                sel = top.ravel()
+                keep = np.isfinite(flat_s[sel])
+                if not keep.any():
+                    continue
+                out.append(
+                    pa.table(
+                        {
+                            "qid": pa.array(qid_of[keep], pa.int64()),
+                            "vec_id": pa.array(flat_ids[sel][keep], pa.int64()),
+                            "sim": pa.array(flat_s[sel][keep], pa.float64()),
+                        }
                     )
                 )
-                for qi, qid in enumerate(qids_l):
-                    if c not in qcells_l[qi]:
-                        continue
-                    cand = np.nonzero(ids != qid)[0]
-                    if len(cand) == 0:
-                        continue
-                    s = m[cand] @ qmat_l[qi]
-                    order = cand[np.lexsort((ids[cand], -np.round(s, 4)))][:k_]
-                    out.append(
-                        pa.table(
-                            {
-                                "qid": pa.array([qid] * len(order), pa.int64()),
-                                "vec_id": pa.array(ids[order], pa.int64()),
-                                "sim": pa.array(
-                                    np.round(m[order] @ qmat_l[qi], 4), pa.float64()
-                                ),
-                            }
-                        )
-                    )
             return pa.concat_tables(out) if out else _empty_topk()
 
         desc = pa.table(

@@ -275,8 +275,40 @@ class MinHashIndex:
             return _empty_pairs().to_pandas()
         return self._probe_band_rows(self._band_rows_of(docs), threshold, run_dirs)
 
+    # ------------------------------------------------------- admission hits
+    def _hits_path(self, segment_id: int) -> str:
+        return os.path.join(self.path, "_admissions", f"epoch-{segment_id:06d}.parquet")
+
+    def _load_hits(self, segment_id: int) -> pd.DataFrame | None:
+        p = self._hits_path(segment_id)
+        return pq.read_table(p).to_pandas() if os.path.exists(p) else None
+
+    def _persist_hits(self, segment_id: int, df: pd.DataFrame) -> None:
+        """Write the epoch's probe candidates as a sidecar UNDER the
+        index, tmp+rename, BEFORE the segment marker lands — completing
+        the ``probe_and_add`` contract: once persisted, the original
+        admission decision survives any later ``compact()`` (the
+        ``_admissions/`` dir is invisible to compaction, which only
+        touches ``base-*`` / ``seg-*``)."""
+        os.makedirs(os.path.join(self.path, "_admissions"), exist_ok=True)
+        t = (
+            pa.Table.from_pandas(
+                df[[f.name for f in PAIR_SCHEMA]], preserve_index=False
+            ).cast(PAIR_SCHEMA)
+            if len(df)
+            else _empty_pairs()
+        )
+        p = self._hits_path(segment_id)
+        pq.write_table(t, p + ".tmp")
+        os.replace(p + ".tmp", p)
+
     def probe_and_add(
-        self, docs: rd.Dataset, segment_id: int, *, threshold: float = 0.5
+        self,
+        docs: rd.Dataset,
+        segment_id: int,
+        *,
+        threshold: float = 0.5,
+        persist_hits: bool = False,
     ) -> tuple[pd.DataFrame, dict]:
         """The ingest-loop primitive, fused: probe ``docs`` against the
         STRICTLY-EARLIER committed segments (id < segment_id), then
@@ -290,18 +322,39 @@ class MinHashIndex:
         epoch.
 
         Compaction interplay: once a ``compact()`` folds past
-        ``segment_id``, the strictly-earlier view is gone.  A replay of
-        an epoch that was ALREADY COMMITTED before the fold returns
-        ``(empty, {"skipped": True, "folded": True})`` — the commit is
-        safe to skip, but the original candidates are not reproducible,
-        so ingest loops must persist each epoch's candidates before
-        compacting past it.  An UNcommitted ``segment_id`` at or below
-        the fold watermark raises: its segment dir would be invisible
-        to every reader (live runs are ``s > through``), silently
-        losing the documents."""
+        ``segment_id``, the strictly-earlier view is gone.  With
+        ``persist_hits=True`` the epoch's candidates are written to an
+        ``_admissions/epoch-N.parquet`` sidecar BEFORE the segment
+        marker, so any replay — folded or not — returns the original
+        candidates verbatim (``report["replayed_hits"]`` marks them).
+        Without the sidecar, a replay of an epoch that was ALREADY
+        COMMITTED before the fold returns ``(empty, {"skipped": True,
+        "folded": True})`` — the commit is safe to skip, but the
+        original candidates are not reproducible.  An UNcommitted
+        ``segment_id`` at or below the fold watermark raises: its
+        segment dir would be invisible to every reader (live runs are
+        ``s > through``), silently losing the documents."""
         base = self._base()
         if base is not None and base[1] >= segment_id:
             if segment_id in self.segments():
+                replay = self._load_hits(segment_id)
+                if replay is not None:
+                    return replay, {
+                        "segment": segment_id,
+                        "skipped": True,
+                        "folded": True,
+                        "replayed_hits": True,
+                    }
+                import warnings
+
+                warnings.warn(
+                    f"replaying segment {segment_id} after compact() folded "
+                    f"past it: original candidates are NOT reproducible; "
+                    "returning empty (persist per-epoch hits before "
+                    "compacting past them)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 return _empty_pairs().to_pandas(), {
                     "segment": segment_id,
                     "skipped": True,
@@ -312,6 +365,16 @@ class MinHashIndex:
                 f"base generation {base[0]}'s fold watermark ({base[1]}); "
                 "adding it now would be invisible to readers"
             )
+        if segment_id in self.segments():
+            replay = self._load_hits(segment_id)
+            if replay is not None:
+                # committed epoch with a persisted sidecar: skip the
+                # (deterministic but not free) re-probe entirely
+                return replay, {
+                    "segment": segment_id,
+                    "skipped": True,
+                    "replayed_hits": True,
+                }
         base_dir, live = self._read_runs()
         run_dirs = ([base_dir] if base_dir else []) + [
             os.path.join(self.path, f"seg-{s:06d}")
@@ -326,6 +389,10 @@ class MinHashIndex:
         )
         if segment_id in self.segments():
             return cand, {"segment": segment_id, "skipped": True}
+        if persist_hits:
+            # sidecar BEFORE the marker: a commit implies its admission
+            # decision is durable, so compaction can never orphan it
+            self._persist_hits(segment_id, cand)
         return cand, self._commit_rows(rows, segment_id)
 
     def _probe_band_rows(

@@ -293,3 +293,178 @@ def test_probe_and_add_after_fold(tmp_path):
 
     with _pytest.raises(ValueError, match="never committed"):
         idx.probe_and_add(_ds(ids[:4], mat[:4]), segment_id=1, k=3, nprobe=8)
+
+
+# ------------------------------------------------------------------ PQ tier
+def _pq_build(tmp_path, ids, mat, *, name, books, refine=False, ncells=8):
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), ncells)
+    idx = IvfIndex(
+        os.path.join(str(tmp_path), name),
+        centroids=cent,
+        pq_books=books,
+        pq_refine=refine,
+    )
+    for s in range(2):
+        m = ids % 2 == s
+        idx.add(_ds(ids[m], mat[m]), segment_id=s)
+    return idx
+
+
+def test_pq_saturated_equals_brute_force(tmp_path):
+    """Saturated codebooks (every distinct subvector) make PQ encoding
+    lossless, so the all-cells IVF-PQ probe reproduces brute force."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(seed=31)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    idx = _pq_build(tmp_path, ids, mat, name="pq", books=books)
+    qids, qmat = ids[:4], mat[:4]
+    got, stats = idx.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=idx.ncells
+    )
+    assert stats["cells_probed"] == stats["cells_total"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), _brute(ids, mat, qids, qmat), check_dtype=False
+    )
+
+
+def test_pq_refine_path_equals_brute_force(tmp_path):
+    """The exact-refine tier re-scores the ADC shortlist from the raw
+    embedding column; with saturated books the shortlist provably
+    contains the true top-k, so refine output == brute force too."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(seed=37)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    idx = _pq_build(tmp_path, ids, mat, name="pqr", books=books, refine=True)
+    qids, qmat = ids[:4], mat[:4]
+    got, _ = idx.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=idx.ncells
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), _brute(ids, mat, qids, qmat), check_dtype=False
+    )
+
+
+def test_pq_index_is_much_smaller_than_raw(tmp_path):
+    """The point of the tier: stored cell bytes shrink by >= 8x vs raw
+    float vectors (uint8 codes at d=16/m=4; ~32x at production d)."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_l2
+
+    ids, mat = _vectors(n=2000, d=64, seed=41)
+    m_norm = _normalize_rows(mat.astype(np.float64))
+    books = np.stack(
+        [
+            _kmeans_l2(np.ascontiguousarray(m_norm[:500, j * 16 : (j + 1) * 16]), 32, seed=7 + j)
+            for j in range(4)
+        ]
+    )
+    raw = _build(tmp_path, ids, mat, ncells=8, segments=2)
+    pq_idx = _pq_build(tmp_path, ids, mat, name="pqsmall", books=books)
+    assert pq_idx._code_dtype() == np.uint8
+
+    def _cell_bytes(idx):
+        total = 0
+        for d_, _, fs in os.walk(idx.path):
+            total += sum(
+                os.path.getsize(os.path.join(d_, f))
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return total
+
+    ratio = _cell_bytes(raw) / _cell_bytes(pq_idx)
+    assert ratio >= 8, ratio
+
+
+def test_pq_production_recall_floor(tmp_path):
+    """Non-saturated (k_codes=32) books: recall@5 vs brute force stays
+    above a floor on this corpus — the production operating point."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_l2
+
+    ids, mat = _vectors(n=400, d=16, seed=43)
+    m_norm = _normalize_rows(mat.astype(np.float64))
+    books = np.stack(
+        [
+            _kmeans_l2(np.ascontiguousarray(m_norm[:, j * 4 : (j + 1) * 4]), 32, seed=7 + j)
+            for j in range(4)
+        ]
+    )
+    idx = _pq_build(tmp_path, ids, mat, name="pqprod", books=books, refine=True)
+    qids, qmat = ids[:8], mat[:8]
+    got, _ = idx.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=idx.ncells
+    )
+    truth = _brute(ids, mat, qids, qmat)
+    hit = len(
+        got.merge(truth, on=["qid", "vec_id"], how="inner", suffixes=("", "_t"))
+    )
+    assert hit / len(truth) >= 0.5, hit / len(truth)
+
+
+def test_pq_compact_preserves_probe_results(tmp_path):
+    """LSM fold of PQ cell files (codes + refine column together) must
+    not change any probe result."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(seed=47)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    idx = _pq_build(tmp_path, ids, mat, name="pqc", books=books, refine=True)
+    q = _normalize_rows(mat[:3].astype(np.float64))
+    before, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    rep = idx.compact()
+    assert not rep["skipped"]
+    after, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
+def test_pq_reopen_reads_books_from_meta(tmp_path):
+    """The codebooks are frozen into meta.json like the centroids: a
+    fresh opener probes identically with no constructor args."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(seed=53)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    idx = _pq_build(tmp_path, ids, mat, name="pqo", books=books, refine=True)
+    q = _normalize_rows(mat[:3].astype(np.float64))
+    a, _ = idx.probe(ids[:3], q, k=5, nprobe=idx.ncells)
+    reopened = IvfIndex(idx.path)
+    assert reopened.pq_refine and reopened.pq_books.shape == books.shape
+    b, _ = reopened.probe(ids[:3], q, k=5, nprobe=reopened.ncells)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_persisted_hits_survive_compaction(tmp_path):
+    """probe_and_add(persist_hits=True) writes _admissions/epoch-N
+    before the marker; a replay AFTER compact() folded the epoch's
+    strictly-earlier view recovers the original hits verbatim instead
+    of the lossy empty skip."""
+    ids, mat = _vectors(seed=61)
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf_hits"), centroids=cent)
+    half = len(ids) // 2
+    live0, rep0 = idx.probe_and_add(
+        _ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8, persist_hits=True
+    )
+    live1, rep1 = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=3, nprobe=8, persist_hits=True
+    )
+    assert not rep0["skipped"] and not rep1["skipped"] and len(live1)
+    assert idx.compact()["skipped"] is False  # folds past both epochs
+    # replay both epochs: sidecars answer, no warning, exact content
+    got0, r0 = idx.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0)
+    got1, r1 = idx.probe_and_add(_ds(ids[half:], mat[half:]), segment_id=1)
+    assert r0["replayed_hits"] and r0["folded"] and r0["skipped"]
+    assert r1["replayed_hits"] and r1["folded"] and r1["skipped"]
+    pd.testing.assert_frame_equal(got0.reset_index(drop=True), live0.reset_index(drop=True))
+    pd.testing.assert_frame_equal(got1.reset_index(drop=True), live1.reset_index(drop=True))
+    # committed-but-unfolded replay also prefers the sidecar (no re-probe)
+    idx2 = IvfIndex(os.path.join(str(tmp_path), "ivf_hits2"), centroids=cent)
+    a, _ = idx2.probe_and_add(
+        _ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8, persist_hits=True
+    )
+    b, r = idx2.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0)
+    assert r == {"segment": 0, "skipped": True, "replayed_hits": True}
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

@@ -263,3 +263,48 @@ def test_cli_ann_ingest(tmp_path):
     t = pq.read_table(h1)
     assert t.num_rows == 40 * 3  # every query hit k=3 earlier vectors
     assert set(t["vec_id"].to_pylist()) <= set(range(40))  # earlier only
+
+
+def test_cli_ann_replay_after_compact(tmp_path):
+    """ann-ingest --persist-hits + ann-compact + ann-replay: the
+    admission decision is recovered verbatim from the _admissions
+    sidecar even though compaction folded the probe view away."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(31)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    ids = np.arange(60, dtype=np.int64)
+
+    def write(path, lo, hi):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[lo:hi]),
+                    "embedding": pa.array([r for r in mat[lo:hi]]),
+                }
+            ),
+            path,
+        )
+
+    e0, e1 = str(tmp_path / "e0.parquet"), str(tmp_path / "e1.parquet")
+    write(e0, 0, 30)
+    write(e1, 30, 60)
+    idx = str(tmp_path / "ivf")
+    h0, h1 = str(tmp_path / "h0.parquet"), str(tmp_path / "h1.parquet")
+    r1 = str(tmp_path / "r1.parquet")
+
+    assert main(["ann-ingest", "--index", idx, "--vectors", e0, "--segment", "0",
+                 "--out", h0, "--k", "3", "--nprobe", "4", "--ncells", "4",
+                 "--persist-hits"]) == 0
+    assert main(["ann-ingest", "--index", idx, "--vectors", e1, "--segment", "1",
+                 "--out", h1, "--k", "3", "--nprobe", "4", "--persist-hits"]) == 0
+    assert main(["ann-compact", "--index", idx]) == 0
+    assert main(["ann-replay", "--index", idx, "--segment", "1", "--out", r1]) == 0
+    assert pq.read_table(r1).equals(pq.read_table(h1))
+    # a segment ingested without --persist-hits has nothing to replay
+    assert main(["ann-replay", "--index", idx, "--segment", "7",
+                 "--out", str(tmp_path / "nope.parquet")]) == 1

@@ -262,3 +262,23 @@ def test_params_persisted(tmp_path, corpus):
     idx.add(rd.from_arrow(base), segment_id=0)
     reopened = MinHashIndex(str(tmp_path / "idx"))  # defaults ignored
     assert (reopened.num_perm, reopened.bands, reopened.num_buckets) == (32, 8, 16)
+
+
+def test_persisted_hits_survive_compaction(tmp_path, corpus):
+    """probe_and_add(persist_hits=True) writes _admissions/epoch-N
+    before the marker; a replay AFTER compact() folded the epoch's
+    strictly-earlier view recovers the original candidates verbatim
+    instead of the lossy empty skip."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "hits"))
+    c0, r0 = idx.probe_and_add(rd.from_arrow(base), segment_id=0, persist_hits=True)
+    c1, r1 = idx.probe_and_add(
+        rd.from_arrow(arrivals), segment_id=1, persist_hits=True
+    )
+    assert not r0["skipped"] and not r1["skipped"] and len(c1)
+    assert idx.compact()["compacted"] is True  # folds past both epochs
+    g0, rep0 = idx.probe_and_add(rd.from_arrow(base), segment_id=0)
+    g1, rep1 = idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
+    assert rep0["replayed_hits"] and rep0["folded"] and rep0["skipped"]
+    assert rep1["replayed_hits"] and rep1["folded"] and rep1["skipped"]
+    assert g0.equals(c0) and g1.equals(c1)
