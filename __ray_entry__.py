@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": T.q_fingerprint,
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
-        "dedup_index_probe": T.q_dedup_index_probe,  # rows-only (incremental LSH index)
+        "dedup_index_probe": T.q_dedup_index_probe,  # SQL-mirrored incremental LSH probe
         # exactness witness: index-probe candidates reranked by exact
         # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
         "dedup_index_rerank": T.q_dedup_index_rerank,
@@ -326,37 +326,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_evolution": R.q_cdc_evolution,
     }
     # The driver certifies the FIRST 50 registry entries each round.  Rotate
-    # never-yet-certified entries (no row in CORRECTNESS_r01..r03) into that
-    # window: round 4 = the CDC surface + the round-2 window ops + this
-    # round's reworked rank machinery; the remaining never-certified entries
-    # follow at positions 51+ for the round-5 rotation.
-    _round4_window = [
-        # CDC/engine surface (never driver-certified)
-        "cdc_engine_replay", "cdc_as_of", "cdc_changes_feed",
-        "cdc_snapshot_diff", "cdc_rejects_feed", "cdc_backfill",
-        "cdc_retention", "cdc_point_lookup", "cdc_reshard",
-        "cdc_corpus_release", "cdc_checksum", "cdc_replicate",
-        "matview_conv_stats", "role_stats_ivm", "derived_enriched",
-        "index_lookup", "conversation_text", "corpus_refresh",
-        "rejects_repair_replay",
-        # round-2 flagged window ops
-        "sessionize", "asof_join", "value_percentiles",
-        "daily_revenue_ma", "top_events_per_type",
-        # round-3 relational/window family
-        "customers_no_orders", "customer_running_total",
-        "repeat_customers", "rollup_revenue", "hll_distinct", "funnel",
-        "unpivot_bands", "record_events", "rolling_mau",
-        "value_correlation", "value_regression", "hour_entropy",
-        "event_transitions", "cube_revenue", "zscore_values",
-        "mode_priority", "source_lists", "value_histogram",
-        "extract_source_num", "bloom_semi_join",
-        # rank machinery reworked this round — certify the new code
-        "global_rank", "weighted_median", "rank_sum_test",
-        "revenue_gini", "spearman_drift",
-        # new this round: persisted-IVF-index exactness witness
-        "ann_index_exhaustive",
+    # never-yet-certified entries (no row in CORRECTNESS_r01..r04) into that
+    # window: round 5 = the ingest-loop release/admission family, the text
+    # pairwise/dedup family, the remaining CDC lineage surface, the
+    # statistics tail, and this round's new witnesses (IVF-PQ, admission
+    # replay, the SQL-mirrored index probe).  The 9 deferred entries
+    # (simple ops whose machinery is already certified through siblings:
+    # lang_length_pivot, order_timeline, profile_events, customer_ntile,
+    # late_events, embedding_norms, power_users, churned_customers,
+    # weighted_sample) follow at positions 51+ alongside the 7
+    # rows-only-by-design entries.
+    _round5_window = [
+        # continuous-ingest release loops + two-modality admission
+        "dedup_index_release", "dedup_index_release_compacted",
+        "ann_index_release", "ann_index_release_compacted",
+        "corpus_admission",
+        # new this round: sidecar replay + IVF-PQ + SQL-mirrored probe
+        "admission_replay", "ann_index_pq_exhaustive", "dedup_index_probe",
+        # CDC lineage/watermark/evolution surface
+        "cdc_lineage", "cdc_watermarks", "cdc_evolution",
+        # text pairwise / dedup / LLM-data family
+        "containment", "span_dedup", "semantic_dedup", "edit_distance_dups",
+        "term_pmi", "lm_surprisal", "char_surprisal", "unigram_logprob",
+        "sequence_packing", "lang_mix_weights", "tokenizer_fertility",
+        "lexical_diversity", "dedup_impact", "langid_confusion",
+        # graph / interval / stream-shape operators
+        "interval_overlap_join", "event_pagerank", "triangle_count",
+        "bfs_hops", "peak_concurrency", "user_streaks", "full_outer_join",
+        "scd2_values", "user_lifecycle", "cohort_retention",
+        "daily_gapfill_locf", "rolling_user_sum",
+        # sketches / statistics tail
+        "cms_heavy_hitters", "heavy_hitters", "quantile_digest",
+        "chi_square", "value_mad", "changepoint_cusum", "benford_digits",
+        "seasonal_revenue", "value_minmax_scaled", "user_max_gap",
+        "user_entropy", "partition_skew",
+        # suspected-noise r4 re-measure (code unchanged, design audited)
+        "nation_revenue",
     ]
-    head = {k: _all[k] for k in _round4_window}
+    head = {k: _all[k] for k in _round5_window}
     return head | {k: v for k, v in _all.items() if k not in head}
 
 
@@ -2885,5 +2892,55 @@ def oracle_sql() -> dict[str, str]:
         left join tp on tp.da = d.doc_id
         left join sp on sp.vid = d.doc_id
         order by d.doc_id
+    """
+    # The persisted-LSH probe is exact integer arithmetic mod p=2^31-1
+    # end to end (text.py _shingle_hashes / MinHasher / _band_rows), so
+    # DuckDB can recompute the identical signatures: the 64
+    # seed-deterministic (a, b) permutation constants are inlined below
+    # (the SQL text carries literals; DuckDB does all the computation —
+    # the same idiom as the inlined stopword list).  Banded collision is
+    # encoded as per-band component equality (band_hash is injective on
+    # tuples up to a 2^64 wrap collision); est_jaccard = k/64 exactly
+    # (dyadic — no rounding, see q_dedup_index_probe docstring).
+    from nyc_taxi_data_pipeline_ray.pipelines.text import MinHasher, _MERSENNE
+
+    _mh = MinHasher(num_perm=64)
+    _perm_vals = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_mh.a, _mh.b))
+    )
+    _w = [1]
+    for _ in range(4):
+        _w.append(_w[-1] * 257 % _MERSENNE)
+    sql["dedup_index_probe"] = f"""
+        with perms(i, a, b) as (values {_perm_vals}),
+        sh as (
+          select doc_id,
+                 (ascii(substr(text, i, 1))::bigint * {_w[0]}
+                + ascii(substr(text, i + 1, 1))::bigint * {_w[1]}
+                + ascii(substr(text, i + 2, 1))::bigint * {_w[2]}
+                + ascii(substr(text, i + 3, 1))::bigint * {_w[3]}
+                + ascii(substr(text, i + 4, 1))::bigint * {_w[4]}) % 2147483647 as h
+          from (select doc_id, text, unnest(range(1, length(text) - 3)) as i
+                from documents)),
+        mh as (select s.doc_id, p.i,
+                      min((p.a::bigint * s.h + p.b) % 2147483647) as c
+               from sh s cross join perms p
+               group by s.doc_id, p.i),
+        sig as (select doc_id, list(c order by i) as sig from mh group by doc_id),
+        pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b
+                  where a.doc_id >= 250 and b.doc_id < 250),
+        scored as (select probe_doc, indexed_doc,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select probe_doc, indexed_doc, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by probe_doc, indexed_doc
     """
     return sql

@@ -628,11 +628,17 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     against the index WITHOUT recomputing the indexed signatures — the
     O(new docs) epoch-dedup step a 100 TB ingest loop needs (re-running
     the batch join is O(corpus) per epoch).  Replays the segment add to
-    witness exactly-once.  Rows-only at the driver (signature estimates
-    aren't SQL-expressible); the per-pair estimates are pinned to the
-    direct signature comparison in tests/test_dedup_index.py, and the
-    batch pipeline's q_minhash_rerank supplies the SQL exactness
-    witness for the shared hash family."""
+    witness exactly-once.  SQL-MIRRORED oracle: the whole MinHash
+    family is exact integer arithmetic mod 2^31-1 (polynomial 5-gram
+    hash, (a*h+b) mod p permutations with the seed-deterministic a/b
+    constants inlined into the SQL, banded collision = per-band
+    component equality), so DuckDB recomputes the identical signatures
+    and pair estimates.  The only float is est_jaccard = k/64 — snapped
+    here to the EXACT dyadic value (k/64 is exactly representable; the
+    index's 4-dp display rounding ties differently in numpy half-even
+    vs DuckDB half-away, so the oracle and this query both emit the
+    unrounded 64th).  ORACLE COUPLING: the SQL hardcodes mid=250 and
+    num_perm=64/bands=16."""
     import shutil
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
@@ -647,7 +653,12 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     rep = idx.add(base, segment_id=0)
     replay = idx.add(base, segment_id=0)
     assert replay == {"segment": 0, "skipped": True}, (rep, replay)
-    return idx.probe(arrivals, threshold=threshold)
+    out = idx.probe(arrivals, threshold=threshold)
+    # recover k (match count) from the 4-dp display rounding and emit
+    # the exact dyadic k/64 the SQL oracle computes (1/64 spacing >>
+    # 1e-4 rounding error, so the inversion is unambiguous)
+    out["est_jaccard"] = np.round(out["est_jaccard"] * 64) / 64
+    return out
 
 
 def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.DataFrame:
