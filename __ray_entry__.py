@@ -130,6 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EVERY epoch, then rebuild the decision table from replayed
         # sidecar hits alone — same oracle as ann_index_release
         "admission_replay": A.q_admission_replay,
+        # IVF-PQ tier inside the ingest loop: saturated codebooks keep
+        # the release decisions bit-identical while the index stores
+        # only small-int codes — same oracle as ann_index_release
+        "ann_index_release_pq": lambda sf: A.q_ann_index_release(
+            sf, pq_saturated=True
+        ),
         # per-label vector centroid (mean-pool) from long-form partials
         "label_centroids": A.q_label_centroids,
         # exact k-NN graph (block-pair sweep + k-sized partial merge)
@@ -2857,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
     # the persisted per-epoch sidecars (probe view folded away), so the
     # release oracle is its oracle too
     sql["admission_replay"] = sql["ann_index_release"]
+    sql["ann_index_release_pq"] = sql["ann_index_release"]
     # two-modality admission: text dup map (cross-epoch exact Jaccard,
     # epoch width from documents) x semantic dup map (cross-epoch exact
     # cosine, epoch width from embeddings), left-joined onto documents

@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -802,7 +804,7 @@ def q_ann_index_probe(
     Recall vs brute force is pinned in tests; the exhaustive-probe
     exactness witness is ``q_ann_index_exhaustive``."""
     idx = _build_ivf_index(
-        sf_dir, "/tmp/nyc_ray_q_ann_index", ncells=ncells, sample_rows=sample_rows
+        sf_dir, f"/tmp/nyc_ray_q_ann_index_{os.getpid()}", ncells=ncells, sample_rows=sample_rows
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=nprobe)
@@ -831,7 +833,7 @@ def q_ann_index_exhaustive(
     the full ``ann_bruteforce`` SQL oracle certifies the index's read
     path end to end (segment layout, cell routing, merge)."""
     idx = _build_ivf_index(
-        sf_dir, "/tmp/nyc_ray_q_ann_index_ex", ncells=ncells, sample_rows=sample_rows
+        sf_dir, f"/tmp/nyc_ray_q_ann_index_ex_{os.getpid()}", ncells=ncells, sample_rows=sample_rows
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
@@ -888,7 +890,7 @@ def q_ann_index_pq_exhaustive(
     books = _saturated_pq_books(_normalize_rows(mat_all), m_sub)
     idx = _build_ivf_index(
         sf_dir,
-        "/tmp/nyc_ray_q_ann_index_pq_ex",
+        f"/tmp/nyc_ray_q_ann_index_pq_ex_{os.getpid()}",
         ncells=ncells,
         sample_rows=sample_rows,
         pq_books=books,
@@ -934,6 +936,7 @@ def q_ann_index_release(
     sample_rows: int = 2000,
     probe_chunk: int = 4096,
     compact_every: int | None = None,
+    pq_saturated: bool = False,
 ) -> pd.DataFrame:
     """CONTINUOUS-INGEST semantic near-dedup release — the embedding
     analog of ``text.q_dedup_index_release``, certified end-to-end
@@ -983,7 +986,10 @@ def q_ann_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
-    root = f"/tmp/nyc_ray_q_ann_index_release_c{compact_every or 0}"
+    root = (
+        f"/tmp/nyc_ray_q_ann_index_release_c{compact_every or 0}"
+        f"{'_pq' if pq_saturated else ''}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -992,7 +998,16 @@ def q_ann_index_release(
 
     _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
     cent = _kmeans_lite(_normalize_rows(sample_mat), ncells)
-    idx = IvfIndex(root, centroids=cent)
+    pq_books = None
+    if pq_saturated:
+        # IVF-PQ variant under the SAME oracle: saturated codebooks make
+        # the stored codes lossless, so the whole ingest loop — probe
+        # hits, dup map, release decisions — must be unchanged while the
+        # index stores only small-int codes (driver corpus read is
+        # witness-scale only, cf. q_ann_index_pq_exhaustive)
+        _, mat_all = _vectors_where_id_below(sf_dir, np.iinfo(np.int64).max)
+        pq_books = _saturated_pq_books(_normalize_rows(mat_all), 4)
+    idx = IvfIndex(root, centroids=cent, pq_books=pq_books)
 
     dup_of: dict[int, int] = {}
     for e in range(n_epochs):
@@ -1007,9 +1022,15 @@ def q_ann_index_release(
             & (pads.field("vec_id") < (e + 1) * per),
         )
         # fused ingest primitive: probe strictly-earlier segments, then
-        # commit the epoch as its own segment (replay-deterministic)
+        # commit the epoch as its own segment (replay-deterministic);
+        # persist_hits sidecars the decision past any later compact()
         hits, _rep = idx.probe_and_add(
-            batch, segment_id=e, k=k, nprobe=ncells, probe_chunk=probe_chunk
+            batch,
+            segment_id=e,
+            k=k,
+            nprobe=ncells,
+            probe_chunk=probe_chunk,
+            persist_hits=True,
         )
         _fold_sem_dups(hits, k=k, threshold=threshold, dup_map=dup_of)
         if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
@@ -1081,7 +1102,7 @@ def q_admission_replay(
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 
-    root = "/tmp/nyc_ray_q_admission_replay"
+    root = f"/tmp/nyc_ray_q_admission_replay_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]

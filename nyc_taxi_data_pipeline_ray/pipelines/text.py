@@ -37,6 +37,8 @@ generation linear.
 
 from __future__ import annotations
 
+import os
+
 import functools
 import hashlib
 
@@ -643,7 +645,7 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-    root = "/tmp/nyc_ray_q_dedup_index"
+    root = f"/tmp/nyc_ray_q_dedup_index_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     mid = 250
@@ -749,7 +751,7 @@ def q_dedup_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
-    root = f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}"
+    root = f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     per = math.ceil(ds.count() / n_epochs)
@@ -767,7 +769,12 @@ def q_dedup_index_release(
         )
         # fused probe+commit: ONE band computation per epoch, probing
         # strictly-earlier segments only (replay-deterministic)
-        c, _rep = idx.probe_and_add(batch, segment_id=e, threshold=0.5)
+        # persist_hits: the epoch's candidates land in _admissions/
+        # BEFORE the segment marker, so the keep/dup_of decision below
+        # survives any later compact() (crash-resume contract)
+        c, _rep = idx.probe_and_add(
+            batch, segment_id=e, threshold=0.5, persist_hits=True
+        )
         if len(c):
             cands.append(
                 c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
@@ -3680,8 +3687,8 @@ def q_corpus_admission(
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-    troot = "/tmp/nyc_ray_q_corpus_admission_text"
-    vroot = "/tmp/nyc_ray_q_corpus_admission_vec"
+    troot = f"/tmp/nyc_ray_q_corpus_admission_text_{os.getpid()}"
+    vroot = f"/tmp/nyc_ray_q_corpus_admission_vec_{os.getpid()}"
     shutil.rmtree(troot, ignore_errors=True)
     shutil.rmtree(vroot, ignore_errors=True)
 
@@ -3705,7 +3712,9 @@ def q_corpus_admission(
             filter=(pads.field("doc_id") >= e * per_docs)
             & (pads.field("doc_id") < (e + 1) * per_docs),
         )
-        c, _rep = tidx.probe_and_add(dbatch, segment_id=e, threshold=0.5)
+        c, _rep = tidx.probe_and_add(
+            dbatch, segment_id=e, threshold=0.5, persist_hits=True
+        )
         if len(c):
             cands.append(
                 c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
@@ -3718,7 +3727,9 @@ def q_corpus_admission(
             filter=(pads.field("vec_id") >= e * per_vecs)
             & (pads.field("vec_id") < (e + 1) * per_vecs),
         )
-        hits, _vrep = vidx.probe_and_add(ebatch, segment_id=e, k=k, nprobe=ncells)
+        hits, _vrep = vidx.probe_and_add(
+            ebatch, segment_id=e, k=k, nprobe=ncells, persist_hits=True
+        )
         _fold_sem_dups(hits, k=k, threshold=cosine_threshold, dup_map=sem_dup)
 
     cand = (
