@@ -481,7 +481,12 @@ class IvfIndex:
         import ray
 
         qmat = _normalize_rows(np.asarray(qmat, np.float64))
-        qcells = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, : min(nprobe, self.ncells)]
+        # top-nprobe cells per query; downstream only tests membership
+        # ((qcells == c).any(axis=1)), so unordered argpartition suffices
+        np_ = min(nprobe, self.ncells)
+        qcells = np.argpartition(
+            -(qmat @ self.centroids.T), np_ - 1, axis=1
+        )[:, :np_]
         if run_dirs is None:
             run_dirs = self._read_runs()
         needed = sorted(set(qcells.ravel().tolist()))
