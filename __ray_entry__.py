@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_jaccard_dups": T.q_char_jaccard_pairs,
         "fingerprint": T.q_fingerprint,
         "langid": T.q_langid,
-        "minhash_near_dups": T.q_minhash_near_dups,  # rows-only (LSH)
+        "minhash_near_dups": T.q_minhash_near_dups,  # SQL-mirrored banded LSH
         "dedup_index_probe": T.q_dedup_index_probe,  # SQL-mirrored incremental LSH probe
         # exactness witness: index-probe candidates reranked by exact
         # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
@@ -2918,7 +2918,7 @@ def oracle_sql() -> dict[str, str]:
     _w = [1]
     for _ in range(4):
         _w.append(_w[-1] * 257 % _MERSENNE)
-    sql["dedup_index_probe"] = f"""
+    _sig_ctes = f"""
         with perms(i, a, b) as (values {_perm_vals}),
         sh as (
           select doc_id,
@@ -2933,7 +2933,8 @@ def oracle_sql() -> dict[str, str]:
                       min((p.a::bigint * s.h + p.b) % 2147483647) as c
                from sh s cross join perms p
                group by s.doc_id, p.i),
-        sig as (select doc_id, list(c order by i) as sig from mh group by doc_id),
+        sig as (select doc_id, list(c order by i) as sig from mh group by doc_id)"""
+    sql["dedup_index_probe"] = _sig_ctes + """,
         pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
                          a.sig as sa, b.sig as sb
                   from sig a, sig b
@@ -2949,5 +2950,27 @@ def oracle_sql() -> dict[str, str]:
         select probe_doc, indexed_doc, k / 64.0 as est_jaccard
         from scored where collide and k >= 32
         order by probe_doc, indexed_doc
+    """
+    # Batch all-pairs variant of the same SQL mirror: q_minhash_near_dups
+    # emits (doc_a < doc_b) bucket-mate pairs with est >= 0.5, so the
+    # oracle is the identical signature recompute over ALL ordered pairs
+    # (candidate generation is an exact filter — banding only prunes,
+    # never adds — hence "which pairs collide" is itself SQL-checkable).
+    sql["minhash_near_dups"] = _sig_ctes + """,
+        pairs as (select a.doc_id as doc_a, b.doc_id as doc_b,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b
+                  where a.doc_id < b.doc_id),
+        scored as (select doc_a, doc_b,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select doc_a, doc_b, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by doc_a, doc_b
     """
     return sql

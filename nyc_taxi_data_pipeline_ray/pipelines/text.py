@@ -536,7 +536,14 @@ def q_minhash_near_dups(
 ) -> pd.DataFrame:
     """MinHash signatures -> banded LSH buckets -> candidate pairs ->
     estimated-Jaccard filter.  Candidate generation is linear (explode to
-    (band, band_hash) rows, one groupby); only bucket-mates are compared."""
+    (band, band_hash) rows, one groupby); only bucket-mates are compared.
+
+    SQL-MIRRORED oracle (the :func:`q_dedup_index_probe` idiom): the
+    signature family is exact integer arithmetic mod 2^31-1 with the
+    seed-deterministic permutation constants inlined into the SQL, band
+    collision = per-band component equality, and ``est_jaccard`` is the
+    exact dyadic k/64 (no display rounding — numpy half-even and DuckDB
+    half-away tie differently at 4 dp)."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # plain task pool, NOT an actor pool: MinHasher setup is just
     # drawing 2x64 ints, so the per-process cached instance gives the
@@ -600,13 +607,15 @@ def q_minhash_near_dups(
         ia, ib = _ragged_pair_indices(sizes)
         if not len(ia):
             return empty
+        # mean of 64 booleans = k/64: exactly representable, emitted
+        # unrounded so the SQL oracle's k / 64.0 matches bit-for-bit
         est = (sig[ia] == sig[ib]).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(ids[ia[keep]], pa.int64()),
                 "doc_b": pa.array(ids[ib[keep]], pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 4), pa.float64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
