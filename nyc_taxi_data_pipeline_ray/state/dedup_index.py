@@ -57,6 +57,13 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
+def _is_file_not_found(e: BaseException) -> bool:
+    """FileNotFoundError, possibly Ray-wrapped (RayTaskError.cause)."""
+    return isinstance(e, FileNotFoundError) or isinstance(
+        getattr(e, "cause", None), FileNotFoundError
+    )
+
+
 def _empty_pairs() -> pa.Table:
     return pa.table({f.name: pa.array([], f.type) for f in PAIR_SCHEMA})
 
@@ -266,14 +273,30 @@ class MinHashIndex:
         pipeline's ragged expansion and keeps cross-side ones; a
         searchsorted probe->stored merge would avoid the stored-stored
         expansion for pathologically hot clusters — not needed at the
-        fine-group sizes LSH produces."""
-        base_dir, live = self._read_runs()
-        run_dirs = ([base_dir] if base_dir else []) + [
-            os.path.join(self.path, f"seg-{s:06d}") for s in live
-        ]
+        fine-group sizes LSH produces.
+
+        Reader-vs-compactor: a concurrent ``compact()`` removes folded
+        run dirs only AFTER the new base marker lands, so a probe that
+        raced it (a pre-listed dir vanished mid-read) re-lists once and
+        reads a consistent newer view — the same one-retry idiom as
+        :meth:`IvfIndex.probe`."""
+
+        def _run_dirs() -> list[str]:
+            base_dir, live = self._read_runs()
+            return ([base_dir] if base_dir else []) + [
+                os.path.join(self.path, f"seg-{s:06d}") for s in live
+            ]
+
+        run_dirs = _run_dirs()
         if not run_dirs:
             return _empty_pairs().to_pandas()
-        return self._probe_band_rows(self._band_rows_of(docs), threshold, run_dirs)
+        rows = self._band_rows_of(docs)
+        try:
+            return self._probe_band_rows(rows, threshold, run_dirs)
+        except Exception as e:
+            if not _is_file_not_found(e):
+                raise
+            return self._probe_band_rows(rows, threshold, _run_dirs())
 
     # ------------------------------------------------------- admission hits
     def _hits_path(self, segment_id: int) -> str:
@@ -375,18 +398,29 @@ class MinHashIndex:
                     "skipped": True,
                     "replayed_hits": True,
                 }
-        base_dir, live = self._read_runs()
-        run_dirs = ([base_dir] if base_dir else []) + [
-            os.path.join(self.path, f"seg-{s:06d}")
-            for s in live
-            if s < segment_id
-        ]
+        def _earlier_run_dirs() -> list[str]:
+            # strictly-earlier committed view; re-listable so a probe
+            # that raced a concurrent compact() can retry against the
+            # folded (still < segment_id, per the watermark guard above)
+            # newer layout — mirrors IvfIndex.probe_and_add
+            base_dir, live = self._read_runs()
+            return ([base_dir] if base_dir else []) + [
+                os.path.join(self.path, f"seg-{s:06d}")
+                for s in live
+                if s < segment_id
+            ]
+
+        run_dirs = _earlier_run_dirs()
         rows = self._band_rows_of(docs).materialize()
-        cand = (
-            self._probe_band_rows(rows, threshold, run_dirs)
-            if run_dirs
-            else _empty_pairs().to_pandas()
-        )
+        if run_dirs:
+            try:
+                cand = self._probe_band_rows(rows, threshold, run_dirs)
+            except Exception as e:
+                if not _is_file_not_found(e):
+                    raise
+                cand = self._probe_band_rows(rows, threshold, _earlier_run_dirs())
+        else:
+            cand = _empty_pairs().to_pandas()
         if segment_id in self.segments():
             return cand, {"segment": segment_id, "skipped": True}
         if persist_hits:
@@ -405,6 +439,13 @@ class MinHashIndex:
                 p = os.path.join(d, f"bucket={b:02d}.parquet")
                 if os.path.exists(p):
                     stored.append(pq.read_table(p))
+                elif not os.path.isdir(d):
+                    # a missing bucket FILE is normal (no rows hashed
+                    # there); a missing run DIR means a concurrent
+                    # compact() folded it mid-probe — raise so the
+                    # caller's one-retry re-lists instead of silently
+                    # dropping the folded rows' candidates
+                    raise FileNotFoundError(f"run dir vanished mid-probe: {d}")
             if not stored:
                 return _empty_pairs()
             st = pa.concat_tables(stored)

@@ -287,3 +287,34 @@ def test_persisted_hits_survive_compaction(tmp_path, corpus):
     assert rep0["replayed_hits"] and rep0["folded"] and rep0["skipped"]
     assert rep1["replayed_hits"] and rep1["folded"] and rep1["skipped"]
     assert g0.equals(c0) and g1.equals(c1)
+
+
+def test_probe_retries_on_compactor_race(tmp_path, corpus):
+    """Reader-vs-compactor parity with IvfIndex: a probe holding a
+    stale run listing (dir folded away by a concurrent compact())
+    raises out of the bucket task instead of silently dropping the
+    folded rows' candidates, and the one-retry re-list reproduces the
+    full result."""
+    import pandas as pd
+
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "race"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    expect = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert len(expect)  # planted dups: the race must not shrink this
+
+    real = idx._read_runs
+    state = {"first": True}
+
+    def stale_then_real():
+        if state["first"]:
+            state["first"] = False
+            return None, [99]  # seg-000099 never existed -> vanished dir
+        return real()
+
+    idx._read_runs = stale_then_real
+    got = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert not state["first"]  # retry actually happened
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect.reset_index(drop=True)
+    )
