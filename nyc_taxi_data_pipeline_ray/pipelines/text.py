@@ -3714,32 +3714,52 @@ def q_corpus_admission(
 
     cands: list[pd.DataFrame] = []
     sem_dup: dict[int, int] = {}
-    for e in range(n_epochs):
-        dbatch = read_parquet_clean(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            filter=(pads.field("doc_id") >= e * per_docs)
-            & (pads.field("doc_id") < (e + 1) * per_docs),
-        )
-        c, _rep = tidx.probe_and_add(
-            dbatch, segment_id=e, threshold=0.5, persist_hits=True
-        )
-        if len(c):
-            cands.append(
-                c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
-                    ["doc_a", "doc_b"]
-                ]
+    # the two modality jobs for an epoch touch DISJOINT indexes and
+    # tables, so overlap them on two driver threads: each still submits
+    # distributed Ray work, but the per-job scheduling/merge latency —
+    # the dominant cost at witness scale — is paid once per epoch, not
+    # twice.  Epochs themselves stay sequential (epoch e+1's probe must
+    # see epoch e committed in BOTH indexes).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for e in range(n_epochs):
+            dbatch = read_parquet_clean(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                filter=(pads.field("doc_id") >= e * per_docs)
+                & (pads.field("doc_id") < (e + 1) * per_docs),
             )
-        ebatch = read_parquet_clean(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "embedding"],
-            filter=(pads.field("vec_id") >= e * per_vecs)
-            & (pads.field("vec_id") < (e + 1) * per_vecs),
-        )
-        hits, _vrep = vidx.probe_and_add(
-            ebatch, segment_id=e, k=k, nprobe=ncells, persist_hits=True
-        )
-        _fold_sem_dups(hits, k=k, threshold=cosine_threshold, dup_map=sem_dup)
+            ebatch = read_parquet_clean(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filter=(pads.field("vec_id") >= e * per_vecs)
+                & (pads.field("vec_id") < (e + 1) * per_vecs),
+            )
+            tfut = pool.submit(
+                tidx.probe_and_add,
+                dbatch,
+                segment_id=e,
+                threshold=0.5,
+                persist_hits=True,
+            )
+            vfut = pool.submit(
+                vidx.probe_and_add,
+                ebatch,
+                segment_id=e,
+                k=k,
+                nprobe=ncells,
+                persist_hits=True,
+            )
+            c, _rep = tfut.result()
+            hits, _vrep = vfut.result()
+            if len(c):
+                cands.append(
+                    c.rename(columns={"probe_doc": "doc_a", "indexed_doc": "doc_b"})[
+                        ["doc_a", "doc_b"]
+                    ]
+                )
+            _fold_sem_dups(hits, k=k, threshold=cosine_threshold, dup_map=sem_dup)
 
     cand = (
         pd.concat(cands, ignore_index=True)
