@@ -9,9 +9,36 @@ reduce task and defeats its early-exit schema unification.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 import ray.data as rd
+
+
+def fresh_tmp_root(prefix: str) -> str:
+    """Per-process scratch root ``{prefix}_{pid}`` for a query's
+    throwaway index, with stale-sibling cleanup: roots left behind by
+    EXITED processes (best-of-N bench runs, ``--scaling``'s fresh
+    processes, past pytest sessions) are removed; roots owned by live
+    pids — a concurrent sweep — are left alone.  The per-pid suffix is
+    what makes concurrent runs safe; this reclaims the disk they would
+    otherwise leak across runs."""
+    import glob
+    import shutil
+
+    if os.path.isdir("/proc"):
+        for d in glob.glob(prefix + "_*"):
+            pid = d.rsplit("_", 1)[-1]
+            if (
+                pid.isdigit()
+                and int(pid) != os.getpid()
+                and not os.path.exists(f"/proc/{pid}")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+    root = f"{prefix}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
 
 
 def _strip_schema_metadata(t: pa.Table) -> pa.Table:

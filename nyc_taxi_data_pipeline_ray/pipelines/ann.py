@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
+from nyc_taxi_data_pipeline_ray.io import fresh_tmp_root, read_parquet_clean
 
 
 def _vectors_where_id_below(sf_dir: str, upper: int) -> tuple[np.ndarray, np.ndarray]:
@@ -804,7 +804,7 @@ def q_ann_index_probe(
     Recall vs brute force is pinned in tests; the exhaustive-probe
     exactness witness is ``q_ann_index_exhaustive``."""
     idx = _build_ivf_index(
-        sf_dir, f"/tmp/nyc_ray_q_ann_index_{os.getpid()}", ncells=ncells, sample_rows=sample_rows
+        sf_dir, fresh_tmp_root("/tmp/nyc_ray_q_ann_index"), ncells=ncells, sample_rows=sample_rows
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=nprobe)
@@ -833,7 +833,7 @@ def q_ann_index_exhaustive(
     the full ``ann_bruteforce`` SQL oracle certifies the index's read
     path end to end (segment layout, cell routing, merge)."""
     idx = _build_ivf_index(
-        sf_dir, f"/tmp/nyc_ray_q_ann_index_ex_{os.getpid()}", ncells=ncells, sample_rows=sample_rows
+        sf_dir, fresh_tmp_root("/tmp/nyc_ray_q_ann_index_ex"), ncells=ncells, sample_rows=sample_rows
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
@@ -890,7 +890,7 @@ def q_ann_index_pq_exhaustive(
     books = _saturated_pq_books(_normalize_rows(mat_all), m_sub)
     idx = _build_ivf_index(
         sf_dir,
-        f"/tmp/nyc_ray_q_ann_index_pq_ex_{os.getpid()}",
+        fresh_tmp_root("/tmp/nyc_ray_q_ann_index_pq_ex"),
         ncells=ncells,
         sample_rows=sample_rows,
         pq_books=books,
@@ -986,11 +986,10 @@ def q_ann_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
-    root = (
+    root = fresh_tmp_root(
         f"/tmp/nyc_ray_q_ann_index_release_c{compact_every or 0}"
-        f"{'_pq' if pq_saturated else ''}_{os.getpid()}"
+        f"{'_pq' if pq_saturated else ''}"
     )
-    shutil.rmtree(root, ignore_errors=True)
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -1102,8 +1101,7 @@ def q_admission_replay(
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 
-    root = f"/tmp/nyc_ray_q_admission_replay_{os.getpid()}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = fresh_tmp_root("/tmp/nyc_ray_q_admission_replay")
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -49,7 +49,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from nyc_taxi_data_pipeline_ray.io import read_parquet_clean
+from nyc_taxi_data_pipeline_ray.io import fresh_tmp_root, read_parquet_clean
 from ray.data.aggregate import Min, Sum
 
 STOPWORDS = (
@@ -498,6 +498,37 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return (windows * weights).sum(axis=1, dtype=np.uint64) % np.uint64(_MERSENNE)
 
 
+def _assert_minhash_sql_domain(t: pa.Table) -> pa.Table:
+    """Witness-domain guard for the SQL-mirrored MinHash oracles
+    (``minhash_near_dups`` / ``dedup_index_probe``): the inlined DuckDB
+    signature recompute hashes per-CHARACTER codepoints via
+    ``ascii(substr(...))`` while :func:`_shingle_hashes` hashes UTF-8
+    BYTES, and sub-5-char docs get a padded signature here but no
+    signature row in SQL — identical only while every doc is ASCII with
+    length >= 5 (true of the generated corpus).  Raise loudly on a doc
+    outside that domain instead of silently diverging from the
+    certified oracle.  Pass-through (zero-copy), fused into the caller's
+    signature stage."""
+    import pyarrow.compute as pc
+
+    col = t["text"]
+    if col.null_count or bool(
+        pc.any(pc.less(pc.utf8_length(col), 5)).as_py() or False
+    ):
+        raise ValueError(
+            "SQL-mirrored MinHash oracle requires non-null text with "
+            ">= 5 chars (the DuckDB mirror emits no signature for "
+            "shorter docs; the Python side pads)"
+        )
+    if not bool(pc.all(pc.equal(pc.utf8_length(col), pc.binary_length(col))).as_py()):
+        raise ValueError(
+            "SQL-mirrored MinHash oracle requires ASCII text: the "
+            "DuckDB mirror hashes codepoints, _shingle_hashes hashes "
+            "UTF-8 bytes — a multibyte char silently diverges"
+        )
+    return t
+
+
 @functools.lru_cache(maxsize=4)
 def _cached_minhasher(num_perm: int) -> "MinHasher":
     """Per-worker-process MinHasher cache (params are seed-deterministic,
@@ -551,7 +582,8 @@ def q_minhash_near_dups(
     # spawns per query (measured: actor pool cost >> signature compute
     # at this corpus size)
     sigs = ds.map_batches(
-        lambda t: _cached_minhasher(num_perm)(t), batch_format="pyarrow"
+        lambda t: _cached_minhasher(num_perm)(_assert_minhash_sql_domain(t)),
+        batch_format="pyarrow",
     )
     rows_per_band = num_perm // bands
     # Bounded shuffle buckets: the fine LSH key is (band, band_hash) —
@@ -654,9 +686,10 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-    root = f"/tmp/nyc_ray_q_dedup_index_{os.getpid()}"
-    shutil.rmtree(root, ignore_errors=True)
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    root = fresh_tmp_root("/tmp/nyc_ray_q_dedup_index")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_assert_minhash_sql_domain, batch_format="pyarrow")
     mid = 250
     base = ds.filter(expr=f"doc_id < {mid}")
     arrivals = ds.filter(expr=f"doc_id >= {mid}")
@@ -760,8 +793,7 @@ def q_dedup_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
-    root = f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}_{os.getpid()}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = fresh_tmp_root(f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}")
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     per = math.ceil(ds.count() / n_epochs)
     idx = MinHashIndex(root)
@@ -3696,10 +3728,8 @@ def q_corpus_admission(
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-    troot = f"/tmp/nyc_ray_q_corpus_admission_text_{os.getpid()}"
-    vroot = f"/tmp/nyc_ray_q_corpus_admission_vec_{os.getpid()}"
-    shutil.rmtree(troot, ignore_errors=True)
-    shutil.rmtree(vroot, ignore_errors=True)
+    troot = fresh_tmp_root("/tmp/nyc_ray_q_corpus_admission_text")
+    vroot = fresh_tmp_root("/tmp/nyc_ray_q_corpus_admission_vec")
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     per_docs = math.ceil(docs.count() / n_epochs)

@@ -141,6 +141,14 @@ class IvfIndex:
 
     def _code_dtype(self) -> np.dtype:
         kc = int(self.pq_books.shape[1])
+        if kc > 65536:
+            # assignment into a uint16 codes array would silently wrap
+            # argmax indices >= 2^16 and corrupt every stored code
+            raise ValueError(
+                f"pq_books has {kc} codes per subspace (> 65536): codes "
+                "would overflow uint16 — use more subspaces or smaller "
+                "codebooks"
+            )
         return np.dtype(np.uint8) if kc <= 256 else np.dtype(np.uint16)
 
     def _pq_encode(self, m: np.ndarray) -> np.ndarray:
@@ -281,7 +289,19 @@ class IvfIndex:
         p = self._hits_path(segment_id)
         return pq.read_table(p).to_pandas() if os.path.exists(p) else None
 
-    def _persist_hits(self, segment_id: int, df: pd.DataFrame) -> None:
+    def _hits_params(self, segment_id: int) -> dict[str, str]:
+        """Probe parameters recorded in the sidecar's schema metadata
+        (empty for sidecars written before params were recorded)."""
+        md = pq.read_schema(self._hits_path(segment_id)).metadata or {}
+        return {
+            k.decode(): v.decode()
+            for k, v in md.items()
+            if k in (b"k", b"nprobe", b"threshold")
+        }
+
+    def _persist_hits(
+        self, segment_id: int, df: pd.DataFrame, params: dict | None = None
+    ) -> None:
         """Write the epoch's probe hits as a sidecar UNDER the index,
         tmp+rename, BEFORE the segment marker lands — completing the
         ``probe_and_add`` contract: once persisted, the original
@@ -296,6 +316,13 @@ class IvfIndex:
             if len(df)
             else _empty_topk()
         )
+        if params:
+            t = t.replace_schema_metadata(
+                {
+                    **(t.schema.metadata or {}),
+                    **{str(k).encode(): str(v).encode() for k, v in params.items()},
+                }
+            )
         p = self._hits_path(segment_id)
         pq.write_table(t, p + ".tmp")
         os.replace(p + ".tmp", p)
@@ -323,13 +350,10 @@ class IvfIndex:
         same one-retry idiom as the engine's pruned key readers)."""
         try:
             return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
-        except Exception as e:  # FileNotFoundError, possibly Ray-wrapped
-            cause = getattr(e, "cause", None)
-            if isinstance(e, FileNotFoundError) or isinstance(
-                cause, FileNotFoundError
-            ):
-                return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
-            raise
+        except Exception as e:
+            if not mf.is_file_not_found(e):
+                raise
+            return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
 
     def probe_and_add(
         self,
@@ -358,7 +382,14 @@ class IvfIndex:
         ``persist_hits=True`` the epoch's hits are written to an
         ``_admissions/epoch-N.parquet`` sidecar BEFORE the segment
         marker, so any replay — folded or not — returns the original
-        hits verbatim (``report["replayed_hits"]`` marks them).  Without
+        hits verbatim (``report["replayed_hits"]`` marks them).  The
+        sidecar records its probe parameters: a FOLDED replay returns
+        the recorded decision regardless of the per-call ``k``/
+        ``nprobe`` (the original view is gone), while an UNfolded
+        replay with different parameters re-probes fresh to honor the
+        caller's.  Replaying a committed epoch with ``persist_hits=
+        True`` backfills a missing sidecar from the deterministic
+        re-probe (``report["hits_persisted"]``).  Without
         the sidecar, a replay of an epoch that was ALREADY COMMITTED
         before the fold returns ``(empty, {"skipped": True, "folded":
         True})`` — the commit is safe to skip, but the original hits are
@@ -399,9 +430,16 @@ class IvfIndex:
             )
         if segment_id in self.segments():
             replay = self._load_hits(segment_id)
-            if replay is not None:
-                # committed epoch with a persisted sidecar: skip the
-                # (deterministic but not free) re-probe entirely
+            if replay is not None and self._hits_params(segment_id) == {
+                "k": str(k),
+                "nprobe": str(nprobe),
+            }:
+                # committed epoch with a sidecar from the SAME probe
+                # parameters: skip the (deterministic but not free)
+                # re-probe entirely.  A parameter mismatch falls through
+                # to a fresh re-probe — the earlier view is still intact
+                # here, so the caller's k/nprobe are honored; the
+                # original sidecar decision stays untouched.
                 return replay, {
                     "segment": segment_id,
                     "skipped": True,
@@ -446,11 +484,7 @@ class IvfIndex:
                     )
                 except Exception as e:  # probe()'s one-retry idiom: a
                     # concurrent compact() folded our pre-listed dirs
-                    cause = getattr(e, "cause", None)
-                    if not (
-                        isinstance(e, FileNotFoundError)
-                        or isinstance(cause, FileNotFoundError)
-                    ):
+                    if not mf.is_file_not_found(e):
                         raise
                     run_dirs = _earlier_run_dirs()
                     df, _stats = self._probe_once(
@@ -461,12 +495,23 @@ class IvfIndex:
         out = (
             pd.concat(hits, ignore_index=True) if hits else _empty_topk().to_pandas()
         )
+        params = {"k": k, "nprobe": nprobe}
         if segment_id in self.segments():
-            return out, {"segment": segment_id, "skipped": True}
+            rep = {"segment": segment_id, "skipped": True}
+            if persist_hits and self._load_hits(segment_id) is None:
+                # backfill durability for an epoch committed WITHOUT a
+                # sidecar (e.g. an earlier ingest ran persist_hits=False):
+                # the hits above were just recomputed from the intact
+                # strictly-earlier view, so persisting them now is what
+                # the caller asked for — without it the request would be
+                # silently dropped and the decision lost at the next fold
+                self._persist_hits(segment_id, out, params)
+                rep["hits_persisted"] = True
+            return out, rep
         if persist_hits:
             # sidecar BEFORE the marker: a commit implies its admission
             # decision is durable, so compaction can never orphan it
-            self._persist_hits(segment_id, out)
+            self._persist_hits(segment_id, out, params)
         return out, self.add(vectors, segment_id)
 
     def _probe_once(

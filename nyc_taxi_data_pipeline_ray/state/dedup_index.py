@@ -57,11 +57,7 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-def _is_file_not_found(e: BaseException) -> bool:
-    """FileNotFoundError, possibly Ray-wrapped (RayTaskError.cause)."""
-    return isinstance(e, FileNotFoundError) or isinstance(
-        getattr(e, "cause", None), FileNotFoundError
-    )
+_is_file_not_found = mf.is_file_not_found
 
 
 def _empty_pairs() -> pa.Table:
@@ -306,7 +302,9 @@ class MinHashIndex:
         p = self._hits_path(segment_id)
         return pq.read_table(p).to_pandas() if os.path.exists(p) else None
 
-    def _persist_hits(self, segment_id: int, df: pd.DataFrame) -> None:
+    def _persist_hits(
+        self, segment_id: int, df: pd.DataFrame, params: dict | None = None
+    ) -> None:
         """Write the epoch's probe candidates as a sidecar UNDER the
         index, tmp+rename, BEFORE the segment marker lands — completing
         the ``probe_and_add`` contract: once persisted, the original
@@ -321,9 +319,26 @@ class MinHashIndex:
             if len(df)
             else _empty_pairs()
         )
+        if params:
+            t = t.replace_schema_metadata(
+                {
+                    **(t.schema.metadata or {}),
+                    **{str(k).encode(): str(v).encode() for k, v in params.items()},
+                }
+            )
         p = self._hits_path(segment_id)
         pq.write_table(t, p + ".tmp")
         os.replace(p + ".tmp", p)
+
+    def _hits_params(self, segment_id: int) -> dict[str, str]:
+        """Probe parameters recorded in the sidecar's schema metadata
+        (empty for sidecars written before params were recorded)."""
+        md = pq.read_schema(self._hits_path(segment_id)).metadata or {}
+        return {
+            k.decode(): v.decode()
+            for k, v in md.items()
+            if k in (b"k", b"nprobe", b"threshold")
+        }
 
     def probe_and_add(
         self,
@@ -350,6 +365,13 @@ class MinHashIndex:
         ``_admissions/epoch-N.parquet`` sidecar BEFORE the segment
         marker, so any replay — folded or not — returns the original
         candidates verbatim (``report["replayed_hits"]`` marks them).
+        The sidecar records its probe threshold: a FOLDED replay
+        returns the recorded decision regardless of the per-call
+        ``threshold`` (the original view is gone), while an UNfolded
+        replay with a different threshold re-probes fresh to honor the
+        caller's.  Replaying a committed epoch with ``persist_hits=
+        True`` backfills a missing sidecar from the deterministic
+        re-probe (``report["hits_persisted"]``).
         Without the sidecar, a replay of an epoch that was ALREADY
         COMMITTED before the fold returns ``(empty, {"skipped": True,
         "folded": True})`` — the commit is safe to skip, but the
@@ -390,14 +412,21 @@ class MinHashIndex:
             )
         if segment_id in self.segments():
             replay = self._load_hits(segment_id)
-            if replay is not None:
-                # committed epoch with a persisted sidecar: skip the
-                # (deterministic but not free) re-probe entirely
+            if replay is not None and self._hits_params(segment_id) == {
+                "threshold": str(threshold)
+            }:
+                # committed epoch with a sidecar from the SAME probe
+                # parameters: skip the (deterministic but not free)
+                # re-probe entirely.  A parameter mismatch falls through
+                # to a fresh re-probe — the earlier view is still intact
+                # here, so the caller's threshold is honored; the
+                # original sidecar decision stays untouched.
                 return replay, {
                     "segment": segment_id,
                     "skipped": True,
                     "replayed_hits": True,
                 }
+
         def _earlier_run_dirs() -> list[str]:
             # strictly-earlier committed view; re-listable so a probe
             # that raced a concurrent compact() can retry against the
@@ -421,12 +450,22 @@ class MinHashIndex:
                 cand = self._probe_band_rows(rows, threshold, _earlier_run_dirs())
         else:
             cand = _empty_pairs().to_pandas()
+        params = {"threshold": threshold}
         if segment_id in self.segments():
-            return cand, {"segment": segment_id, "skipped": True}
+            rep = {"segment": segment_id, "skipped": True}
+            if persist_hits and self._load_hits(segment_id) is None:
+                # backfill durability for an epoch committed WITHOUT a
+                # sidecar: the candidates above were just recomputed from
+                # the intact strictly-earlier view, so persisting them is
+                # what the caller asked for — without it the request
+                # would be silently dropped and lost at the next fold
+                self._persist_hits(segment_id, cand, params)
+                rep["hits_persisted"] = True
+            return cand, rep
         if persist_hits:
             # sidecar BEFORE the marker: a commit implies its admission
             # decision is durable, so compaction can never orphan it
-            self._persist_hits(segment_id, cand)
+            self._persist_hits(segment_id, cand, params)
         return cand, self._commit_rows(rows, segment_id)
 
     def _probe_band_rows(

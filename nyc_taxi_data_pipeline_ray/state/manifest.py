@@ -58,6 +58,15 @@ def base_path(lake_path: str, pid: int, generation: int) -> str:
     return os.path.join(partition_dir(lake_path, pid), f"base-{generation:06d}.parquet")
 
 
+def is_file_not_found(e: BaseException) -> bool:
+    """FileNotFoundError, possibly Ray-wrapped (RayTaskError.cause) —
+    the predicate behind the one-retry reader-vs-compactor idiom shared
+    by the engine's pruned key readers, MinHashIndex and IvfIndex."""
+    return isinstance(e, FileNotFoundError) or isinstance(
+        getattr(e, "cause", None), FileNotFoundError
+    )
+
+
 def atomic_write_json(path: str, payload: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

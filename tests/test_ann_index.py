@@ -460,11 +460,71 @@ def test_persisted_hits_survive_compaction(tmp_path):
     assert r1["replayed_hits"] and r1["folded"] and r1["skipped"]
     pd.testing.assert_frame_equal(got0.reset_index(drop=True), live0.reset_index(drop=True))
     pd.testing.assert_frame_equal(got1.reset_index(drop=True), live1.reset_index(drop=True))
-    # committed-but-unfolded replay also prefers the sidecar (no re-probe)
+    # committed-but-unfolded replay with the SAME params prefers the
+    # sidecar (no re-probe); different params would re-probe fresh
     idx2 = IvfIndex(os.path.join(str(tmp_path), "ivf_hits2"), centroids=cent)
     a, _ = idx2.probe_and_add(
         _ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8, persist_hits=True
     )
-    b, r = idx2.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0)
+    b, r = idx2.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8)
     assert r == {"segment": 0, "skipped": True, "replayed_hits": True}
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_persist_hits_backfills_committed_epoch(tmp_path):
+    """Replaying a committed-but-sidecar-less epoch with
+    persist_hits=True must write the sidecar from the deterministic
+    re-probe (report['hits_persisted']) — not silently drop the
+    request — so the decision survives a later fold."""
+    ids, mat = _vectors()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "bf"), centroids=cent)
+    half = len(ids) // 2
+    idx.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8)
+    live, rep = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=3, nprobe=8
+    )  # committed WITHOUT a sidecar
+    assert not rep["skipped"] and idx._load_hits(1) is None
+
+    got, rep2 = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=3, nprobe=8, persist_hits=True
+    )
+    assert rep2["skipped"] and rep2["hits_persisted"]
+    assert got.equals(live) and idx._load_hits(1) is not None
+    # the backfilled decision now survives compaction
+    assert idx.compact()["skipped"] is False
+    replay, rep3 = idx.probe_and_add(_ds(ids[half:], mat[half:]), segment_id=1, k=3)
+    assert rep3["replayed_hits"] and rep3["folded"]
+    pd.testing.assert_frame_equal(replay, live)
+
+
+def test_unfolded_replay_honors_new_params(tmp_path):
+    """While the strictly-earlier view is intact, replaying a committed
+    epoch with DIFFERENT probe params must re-probe fresh (honoring the
+    caller's k) instead of returning the sidecar's k-3 decision; the
+    sidecar itself stays untouched."""
+    ids, mat = _vectors()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "params"), centroids=cent)
+    half = len(ids) // 2
+    idx.probe_and_add(_ds(ids[:half], mat[:half]), segment_id=0, k=3, nprobe=8)
+    small, _ = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=3, nprobe=8, persist_hits=True
+    )
+    assert idx._hits_params(1) == {"k": "3", "nprobe": "8"}
+
+    # same params -> sidecar fast path
+    same, rep_same = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=3, nprobe=8
+    )
+    assert rep_same["replayed_hits"] and same.equals(small)
+
+    # different k -> fresh re-probe with the caller's k
+    big, rep_big = idx.probe_and_add(
+        _ds(ids[half:], mat[half:]), segment_id=1, k=7, nprobe=8
+    )
+    assert rep_big == {"segment": 1, "skipped": True}
+    assert big.groupby("qid").size().max() == 7
+    # original decision untouched
+    assert idx._hits_params(1) == {"k": "3", "nprobe": "8"}
+    pd.testing.assert_frame_equal(idx._load_hits(1), small)

@@ -443,3 +443,32 @@ def test_ann_pq_recall_and_exactness_witness():
     got = small_pq.sort_values(["qid", "vec_id"], ignore_index=True)
     assert list(got["qid"]) == list(small_bf["qid"])
     assert list(got["vec_id"]) == list(small_bf["vec_id"])
+
+
+def test_minhash_sql_domain_guard(tmp_path):
+    """The SQL-mirrored MinHash oracles are bit-exact only over ASCII
+    docs with >= 5 chars; a doc outside that domain must raise loudly
+    (witness guard) instead of silently diverging from the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    def _write(d, texts):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+
+    _write(tmp_path / "nonascii", ["héllo multibyte document text", "plain ascii text long enough"])
+    with pytest.raises(Exception, match="ASCII"):
+        text.q_minhash_near_dups(str(tmp_path / "nonascii"), threshold=0.5)
+
+    _write(tmp_path / "short", ["abc", "plain ascii text long enough"])
+    with pytest.raises(Exception, match="5 chars"):
+        text.q_dedup_index_probe(str(tmp_path / "short"), threshold=0.5)
