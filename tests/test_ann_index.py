@@ -528,3 +528,44 @@ def test_unfolded_replay_honors_new_params(tmp_path):
     # original decision untouched
     assert idx._hits_params(1) == {"k": "3", "nprobe": "8"}
     pd.testing.assert_frame_equal(idx._load_hits(1), small)
+
+
+def test_code_dtype_overflow_guard(tmp_path):
+    """A codebook with > 65536 codes per subspace must raise instead of
+    silently wrapping argmax indices on assignment into a uint16 codes
+    array (which would corrupt every stored code)."""
+    import pytest
+
+    ids, mat = _vectors(n=20)
+    cent = _kmeans_lite(_normalize_rows(mat[:10].astype(np.float64)), 4)
+    books = np.zeros((2, 65537, 8), dtype=np.float64)
+    idx = IvfIndex(os.path.join(str(tmp_path), "of"), centroids=cent, pq_books=books)
+    with pytest.raises(ValueError, match="overflow uint16"):
+        idx._code_dtype()
+
+
+def test_fresh_tmp_root_reclaims_stale_siblings(tmp_path):
+    """fresh_tmp_root must remove sibling roots owned by EXITED pids
+    (the leak across best-of-N bench processes) while leaving roots
+    owned by LIVE pids (a concurrent sweep) untouched."""
+    from nyc_taxi_data_pipeline_ray.io import fresh_tmp_root
+
+    prefix = os.path.join(str(tmp_path), "idxroot")
+    # a stale sibling: pid 2 ** 22 + 7 is far above pid_max defaults and
+    # cannot be a live process in this container
+    dead = f"{prefix}_{2**22 + 7}"
+    os.makedirs(dead)
+    # a live sibling: our own parent pid is certainly alive
+    live = f"{prefix}_{os.getppid()}"
+    os.makedirs(live)
+    # non-pid suffix: never touched
+    other = f"{prefix}_notapid"
+    os.makedirs(other)
+
+    root = fresh_tmp_root(prefix)
+    assert root == f"{prefix}_{os.getpid()}"
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    assert os.path.exists(other)
+    # the returned root is fresh (removed if it pre-existed) but not created
+    assert not os.path.exists(root)
