@@ -1,0 +1,269 @@
+"""Property-based checks for the persisted ingest indexes: for ANY
+epoch split, persist-hits pattern, and compaction schedule, (a)
+``MinHashIndex.probe_and_add`` must match an in-process strictly-
+earlier signature oracle, and (b) ``IvfIndex.probe_and_add`` must
+match brute-force cosine top-k over the earlier epochs — and every
+replay must honor the sidecar contract (persisted decisions verbatim,
+unfolded re-probes identical, folded-without-sidecar loudly empty).
+Few examples, deadline off — each example is a real Ray pipeline
+sequence; the value is the randomized schedule coverage, not volume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_lite, _normalize_rows
+from nyc_taxi_data_pipeline_ray.pipelines.text import _cached_minhasher
+from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex, _band_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PAIR_COLS = ["probe_doc", "indexed_doc", "est_jaccard"]
+
+
+def _sorted_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[PAIR_COLS]
+        .astype({"probe_doc": "int64", "indexed_doc": "int64", "est_jaccard": "float64"})
+        .sort_values(["probe_doc", "indexed_doc"], ignore_index=True)
+    )
+
+
+def _minhash_oracle(
+    table: pa.Table, epoch_of: dict[int, int], threshold: float
+) -> pd.DataFrame:
+    """Strictly-earlier LSH candidates computed in-process: a pair
+    (probe b, indexed a) with epoch(a) < epoch(b) is a candidate iff
+    they share a (band, band_hash) — the SAME polynomial band hash the
+    index persists (_band_rows), so hash collisions count exactly as
+    the index counts them — and est = mean(sig equal) >= threshold.
+    The hash/signature math itself is certified separately by the
+    batch pipeline's SQL-mirrored oracle; what this pins is the INDEX
+    machinery (bucket files, commits, strictly-earlier view, folds)."""
+    rows = _band_rows(table, num_perm=64, bands=16, num_buckets=64)
+    band = rows["band"].to_numpy(zero_copy_only=False)
+    bh = rows["band_hash"].to_numpy(zero_copy_only=False)
+    doc = rows["doc_id"].to_numpy(zero_copy_only=False)
+    mh = _cached_minhasher(64)
+    sig = {
+        int(d): mh.signature(t)
+        for d, t in zip(table["doc_id"].to_pylist(), table["text"].to_pylist())
+    }
+    key_to_docs: dict[tuple[int, int], set[int]] = {}
+    for i in range(len(doc)):
+        key_to_docs.setdefault((int(band[i]), int(bh[i])), set()).add(int(doc[i]))
+    cand: set[tuple[int, int]] = set()
+    for docs in key_to_docs.values():
+        ds = sorted(docs)
+        for x in ds:
+            for y in ds:
+                if epoch_of[x] < epoch_of[y]:
+                    cand.add((y, x))  # (probe, indexed)
+    out = []
+    for b, a in cand:
+        est = float((sig[a] == sig[b]).mean())
+        if est >= threshold:
+            out.append((b, a, round(est, 4)))
+    return _sorted_pairs(pd.DataFrame(out, columns=PAIR_COLS))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_epochs=st.integers(min_value=2, max_value=4),
+    persist_mask=st.integers(min_value=0, max_value=15),
+    compact_mask=st.integers(min_value=0, max_value=15),
+    threshold=st.sampled_from([0.3, 0.5]),
+)
+def test_minhash_ingest_any_schedule(
+    tmp_path_factory, seed, n_epochs, persist_mask, compact_mask, threshold
+):
+    rng = np.random.default_rng(seed)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pick = np.sort(rng.choice(t.num_rows, size=60, replace=False))
+    t = t.take(pick)
+    doc_ids = [int(d) for d in t["doc_id"].to_pylist()]
+    # round-robin over a shuffled order: every epoch non-empty
+    order = rng.permutation(len(doc_ids))
+    epoch_of = {doc_ids[int(i)]: int(pos) % n_epochs for pos, i in enumerate(order)}
+    expected = _minhash_oracle(t, epoch_of, threshold)
+
+    tmp = str(tmp_path_factory.mktemp(f"mh{seed % 100000}"))
+    idx = MinHashIndex(os.path.join(tmp, "idx"))
+    live: dict[int, pd.DataFrame] = {}
+    folded_through = -1
+    for e in range(n_epochs):
+        mask = [epoch_of[d] == e for d in doc_ids]
+        sub = t.filter(pa.array(mask))
+        cand, rep = idx.probe_and_add(
+            rd.from_arrow(sub),
+            segment_id=e,
+            threshold=threshold,
+            persist_hits=bool(persist_mask >> e & 1),
+        )
+        assert rep.get("skipped") is False or "docs" in rep
+        live[e] = _sorted_pairs(cand)
+        if compact_mask >> e & 1:
+            if idx.compact().get("compacted"):
+                folded_through = e
+
+    # (a) the union of per-epoch candidates == the strictly-earlier oracle
+    got = _sorted_pairs(
+        pd.concat(live.values(), ignore_index=True)
+        if live
+        else pd.DataFrame(columns=PAIR_COLS)
+    )
+    pd.testing.assert_frame_equal(got, expected)
+    # per-epoch: each epoch saw exactly the oracle pairs probing it
+    for e in range(n_epochs):
+        exp_e = expected[
+            expected["probe_doc"].map(epoch_of) == e
+        ].reset_index(drop=True)
+        pd.testing.assert_frame_equal(live[e], exp_e)
+
+    # (b) replay contract for every epoch under the final fold state
+    for e in range(n_epochs):
+        mask = [epoch_of[d] == e for d in doc_ids]
+        sub = rd.from_arrow(t.filter(pa.array(mask)))
+        persisted = bool(persist_mask >> e & 1)
+        if persisted:
+            got_e, rep = idx.probe_and_add(sub, segment_id=e, threshold=threshold)
+            assert rep["skipped"] and rep["replayed_hits"]
+            pd.testing.assert_frame_equal(_sorted_pairs(got_e), live[e])
+        elif e <= folded_through:
+            with pytest.warns(RuntimeWarning, match="folded past"):
+                got_e, rep = idx.probe_and_add(sub, segment_id=e, threshold=threshold)
+            assert rep == {"segment": e, "skipped": True, "folded": True}
+            assert got_e.empty
+        else:
+            got_e, rep = idx.probe_and_add(sub, segment_id=e, threshold=threshold)
+            assert rep == {"segment": e, "skipped": True}
+            pd.testing.assert_frame_equal(_sorted_pairs(got_e), live[e])
+
+
+TOPK_COLS = ["qid", "vec_id", "sim"]
+
+
+def _sorted_topk(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[TOPK_COLS]
+        .astype({"qid": "int64", "vec_id": "int64", "sim": "float64"})
+        .sort_values(TOPK_COLS, ignore_index=True)
+    )
+
+
+def _brute_earlier(ids, mat, epoch, e, k):
+    """Brute-force cosine top-k of epoch-e vectors against all earlier
+    epochs, with the index's tie-break (round-4 sim desc, id asc)."""
+    m = _normalize_rows(mat.astype(np.float64))
+    q_rows = np.nonzero(epoch == e)[0]
+    cand = np.nonzero(epoch < e)[0]
+    rows = []
+    for qi in q_rows:
+        if not len(cand):
+            break
+        s = m[cand] @ m[qi]
+        order = cand[np.lexsort((ids[cand], -np.round(s, 4)))][:k]
+        for j in order:
+            rows.append((int(ids[qi]), int(ids[j]), round(float(m[j] @ m[qi]), 4)))
+    return _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
+
+
+def _vec_ds(ids, mat):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([r.astype(np.float32) for r in mat]),
+            }
+        )
+    ).repartition(4)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_epochs=st.integers(min_value=2, max_value=4),
+    persist_mask=st.integers(min_value=0, max_value=15),
+    compact_mask=st.integers(min_value=0, max_value=15),
+)
+def test_ivf_ingest_any_schedule(
+    tmp_path_factory, seed, n_epochs, persist_mask, compact_mask
+):
+    rng = np.random.default_rng(seed)
+    n, d, ncells, k = 150, 12, 8, 3
+    ids = np.arange(n, dtype=np.int64)
+    mat = rng.normal(size=(n, d))
+    epoch = rng.permutation(np.arange(n) % n_epochs)  # every epoch non-empty
+    cent = _kmeans_lite(_normalize_rows(mat[:80].astype(np.float64)), ncells)
+
+    tmp = str(tmp_path_factory.mktemp(f"ivf{seed % 100000}"))
+    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent)
+    live: dict[int, pd.DataFrame] = {}
+    folded_through = -1
+    for e in range(n_epochs):
+        m = epoch == e
+        got, rep = idx.probe_and_add(
+            _vec_ds(ids[m], mat[m]),
+            segment_id=e,
+            k=k,
+            nprobe=ncells,  # exhaustive during ingest: oracle-checkable
+            persist_hits=bool(persist_mask >> e & 1),
+        )
+        live[e] = _sorted_topk(got)
+        # probe hits == brute force over strictly-earlier epochs
+        pd.testing.assert_frame_equal(live[e], _brute_earlier(ids, mat, epoch, e, k))
+        if compact_mask >> e & 1:
+            if idx.compact()["skipped"] is False:
+                folded_through = e
+
+    # final index answers exhaustive queries exactly (brute force over
+    # everything indexed, regardless of the segment/fold history)
+    qids, qmat = ids[:5], mat[:5]
+    df, _stats = idx.probe(qids, _normalize_rows(qmat.astype(np.float64)), k=k, nprobe=ncells)
+    mfull = _normalize_rows(mat.astype(np.float64))
+    rows = []
+    for qi, qid in enumerate(qids):
+        cand = np.nonzero(ids != qid)[0]
+        s = mfull[cand] @ mfull[qi]
+        order = cand[np.lexsort((ids[cand], -np.round(s, 4)))][:k]
+        for j in order:
+            rows.append((int(qid), int(ids[j]), round(float(mfull[j] @ mfull[qi]), 4)))
+    pd.testing.assert_frame_equal(
+        _sorted_topk(df), _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
+    )
+
+    # replay contract under the final fold state
+    for e in range(n_epochs):
+        m = epoch == e
+        sub = _vec_ds(ids[m], mat[m])
+        persisted = bool(persist_mask >> e & 1)
+        if persisted:
+            got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
+            assert rep["skipped"] and rep["replayed_hits"]
+            pd.testing.assert_frame_equal(_sorted_topk(got_e), live[e])
+        elif e <= folded_through:
+            with pytest.warns(RuntimeWarning, match="folded past"):
+                got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
+            assert rep == {"segment": e, "skipped": True, "folded": True}
+            assert got_e.empty
+        else:
+            got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
+            assert rep == {"segment": e, "skipped": True}
+            pd.testing.assert_frame_equal(_sorted_topk(got_e), live[e])
