@@ -19,7 +19,11 @@ import ray.data as rd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from nyc_taxi_data_pipeline_ray.pipelines.ann import _kmeans_lite, _normalize_rows
+from nyc_taxi_data_pipeline_ray.pipelines.ann import (
+    _kmeans_lite,
+    _normalize_rows,
+    _saturated_pq_books,
+)
 from nyc_taxi_data_pipeline_ray.pipelines.text import _cached_minhasher
 from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex, _band_rows
@@ -202,9 +206,10 @@ def _vec_ds(ids, mat):
     n_epochs=st.integers(min_value=2, max_value=4),
     persist_mask=st.integers(min_value=0, max_value=15),
     compact_mask=st.integers(min_value=0, max_value=15),
+    use_pq=st.booleans(),
 )
 def test_ivf_ingest_any_schedule(
-    tmp_path_factory, seed, n_epochs, persist_mask, compact_mask
+    tmp_path_factory, seed, n_epochs, persist_mask, compact_mask, use_pq
 ):
     rng = np.random.default_rng(seed)
     n, d, ncells, k = 150, 12, 8, 3
@@ -212,9 +217,16 @@ def test_ivf_ingest_any_schedule(
     mat = rng.normal(size=(n, d))
     epoch = rng.permutation(np.arange(n) % n_epochs)  # every epoch non-empty
     cent = _kmeans_lite(_normalize_rows(mat[:80].astype(np.float64)), ncells)
+    # PQ tier with saturated codebooks: encoding is lossless, so the
+    # uint8-code storage path must obey the exact same contract
+    books = (
+        _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 3)
+        if use_pq
+        else None
+    )
 
     tmp = str(tmp_path_factory.mktemp(f"ivf{seed % 100000}"))
-    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent)
+    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent, pq_books=books)
     live: dict[int, pd.DataFrame] = {}
     folded_through = -1
     for e in range(n_epochs):
