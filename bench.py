@@ -106,9 +106,15 @@ def run_headline(reps: int = 3) -> dict:
     ]
     rd.read_parquet(files).map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow").count()
 
+    from nyc_taxi_data_pipeline_ray.io import fresh_tmp_root
+
+    # per-pid lakes root with dead-pid sibling reclamation: a rep lake
+    # is rmtree'd after each rep below, but a crashed run would leak
+    # its in-flight lake forever without this
+    lakes_root = fresh_tmp_root(os.path.join(BENCH_ROOT, "lakes"))
     best, n_events = None, 0
     for rep_i in range(reps):
-        lake = os.path.join(BENCH_ROOT, f"lake_cpu{NUM_CPUS}_{os.getpid()}_{rep_i}")
+        lake = os.path.join(lakes_root, f"cpu{NUM_CPUS}_rep{rep_i}")
         shutil.rmtree(lake, ignore_errors=True)
         # partitions sized so one Stage-B merge task handles ~300 MB of
         # payload (~170k x 2 KB events) — the same rule a 100 TB lake
