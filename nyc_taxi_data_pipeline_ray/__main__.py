@@ -43,7 +43,15 @@ def _ray_session():
 
     owns = not ray.is_initialized()
     if owns:
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # honor an ambient cluster (`ray job submit` sets RAY_ADDRESS
+        # in the job's env); fall back to a throwaway local session
+        import os
+
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
