@@ -340,8 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (simple ops whose machinery is already certified through siblings:
     # lang_length_pivot, order_timeline, profile_events, customer_ntile,
     # late_events, embedding_norms, power_users, churned_customers,
-    # weighted_sample) follow at positions 51+ alongside the 7
-    # rows-only-by-design entries.
+    # weighted_sample) follow at positions 51+ alongside the 6
+    # rows-only-by-design entries (minhash_near_dups and
+    # dedup_index_probe graduated to SQL-mirrored oracles this round).
     _round5_window = [
         # continuous-ingest release loops + two-modality admission
         "dedup_index_release", "dedup_index_release_compacted",

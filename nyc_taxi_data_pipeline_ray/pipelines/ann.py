@@ -17,8 +17,6 @@
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -980,7 +978,6 @@ def q_ann_index_release(
     pair any such call with a matching oracle.
     """
     import math
-    import shutil
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 
@@ -1097,7 +1094,6 @@ def q_admission_replay(
     epoch divisor (``ceil(count/4.0)``) — see ``q_ann_index_release``.
     """
     import math
-    import shutil
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
 

@@ -37,8 +37,6 @@ generation linear.
 
 from __future__ import annotations
 
-import os
-
 import functools
 import hashlib
 
@@ -520,7 +518,9 @@ def _assert_minhash_sql_domain(t: pa.Table) -> pa.Table:
             ">= 5 chars (the DuckDB mirror emits no signature for "
             "shorter docs; the Python side pads)"
         )
-    if not bool(pc.all(pc.equal(pc.utf8_length(col), pc.binary_length(col))).as_py()):
+    # pc.all() over a ZERO-ROW batch returns null (not True): guard with
+    # `is False` so an empty block passes through instead of raising
+    if pc.all(pc.equal(pc.utf8_length(col), pc.binary_length(col))).as_py() is False:
         raise ValueError(
             "SQL-mirrored MinHash oracle requires ASCII text: the "
             "DuckDB mirror hashes codepoints, _shingle_hashes hashes "
@@ -682,7 +682,6 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     vs DuckDB half-away, so the oracle and this query both emit the
     unrounded 64th).  ORACLE COUPLING: the SQL hardcodes mid=250 and
     num_perm=64/bands=16."""
-    import shutil
 
     from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
@@ -784,7 +783,6 @@ def q_dedup_index_release(
     yields a correct pipeline but silently diverges from that oracle —
     pair any such call with a matching oracle."""
     import math
-    import shutil
 
     import pyarrow.dataset as pads
     import ray
@@ -3714,7 +3712,6 @@ def q_corpus_admission(
     yields a correct pipeline but silently diverges from that oracle —
     pair any such call with a matching oracle."""
     import math
-    import shutil
 
     import pyarrow.dataset as pads
     import ray

@@ -72,6 +72,21 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def _pq_encode_with(m: np.ndarray, books: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Nearest sub-centroid per subspace (L2, via the standard
+    argmax(2<x,c> - |c|^2) identity).  Module-level so map_batches
+    closures can capture (books, dtype) alone — capturing a bound
+    method would serialize the whole index (centroids + codebooks)
+    into every task on top of the locals."""
+    msub, _kc, dsub = books.shape
+    codes = np.empty((len(m), msub), dtype)
+    for j in range(msub):
+        sub = m[:, j * dsub : (j + 1) * dsub]
+        c = books[j]
+        codes[:, j] = np.argmax(2 * (sub @ c.T) - (c * c).sum(1)[None, :], axis=1)
+    return codes
+
+
 class IvfIndex:
     """Bucket-partitioned persisted IVF index with an ``add / probe /
     compact`` lifecycle.  ``centroids`` are required at creation (train
@@ -152,17 +167,9 @@ class IvfIndex:
         return np.dtype(np.uint8) if kc <= 256 else np.dtype(np.uint16)
 
     def _pq_encode(self, m: np.ndarray) -> np.ndarray:
-        """Nearest sub-centroid per subspace (L2, via the standard
-        argmax(2<x,c> - |c|^2) identity).  ``m`` must already be row-
+        """See :func:`_pq_encode_with`.  ``m`` must already be row-
         normalized — the same canonicalization as cell assignment."""
-        books = self.pq_books
-        msub, _kc, dsub = books.shape
-        codes = np.empty((len(m), msub), self._code_dtype())
-        for j in range(msub):
-            sub = m[:, j * dsub : (j + 1) * dsub]
-            c = books[j]
-            codes[:, j] = np.argmax(2 * (sub @ c.T) - (c * c).sum(1)[None, :], axis=1)
-        return codes
+        return _pq_encode_with(m, self.pq_books, self._code_dtype())
 
     def _adc_tables(self, qmat: np.ndarray) -> np.ndarray:
         """Per-query asymmetric-distance tables: (nq, m_sub, k_codes)
@@ -232,6 +239,7 @@ class IvfIndex:
         cent = self.centroids
         books = self.pq_books
         refine = self.pq_refine
+        code_dtype = self._code_dtype() if books is not None else None
 
         def assign(t: pa.Table) -> pa.Table:
             m = _normalize_rows(
@@ -248,7 +256,7 @@ class IvfIndex:
                 # m_sub small ints per vector, not the raw d-dim floats
                 # (the shuffle payload shrinks by the same ~32-128x as
                 # the stored files)
-                codes = self._pq_encode(m)
+                codes = _pq_encode_with(m, books, code_dtype)
                 cols["codes"] = pa.FixedSizeListArray.from_arrays(
                     pa.array(codes.ravel()), codes.shape[1]
                 )

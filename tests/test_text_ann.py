@@ -472,3 +472,17 @@ def test_minhash_sql_domain_guard(tmp_path):
     _write(tmp_path / "short", ["abc", "plain ascii text long enough"])
     with pytest.raises(Exception, match="5 chars"):
         text.q_dedup_index_probe(str(tmp_path / "short"), threshold=0.5)
+
+
+def test_minhash_sql_domain_guard_passes_empty_batch():
+    """pc.all() over a ZERO-ROW batch returns null, not True — the
+    ASCII guard must pass an empty block through (Ray Data hands
+    map_batches empty blocks at block splits / empty row groups)
+    instead of raising a spurious 'requires ASCII' error."""
+    import pyarrow as pa
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = text._assert_minhash_sql_domain(empty)
+    assert out.num_rows == 0
