@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # SQL-mirrored banded LSH
         "dedup_index_probe": T.q_dedup_index_probe,  # SQL-mirrored incremental LSH probe
+        # CDC delete/resurrect propagated into the persisted dedup
+        # index: tombstone segment -> probe exclusion -> physical
+        # removal at compact (SQL-mirrored, live-set-filtered oracle)
+        "dedup_index_delete": T.q_dedup_index_delete,
         # exactness witness: index-probe candidates reranked by exact
         # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
         "dedup_index_rerank": T.q_dedup_index_rerank,
@@ -117,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ storage tier: cell files hold uint8/16 codes; saturated
         # codebooks make the ADC read path exactly brute force
         "ann_index_pq_exhaustive": A.q_ann_index_pq_exhaustive,
+        # CDC delete/resurrect propagated into the persisted IVF index:
+        # tombstone segment -> probe exclusion -> physical removal at
+        # compact (filtered brute-force oracle over the live set)
+        "ann_index_delete": A.q_ann_index_delete,
         # continuous-ingest semantic near-dedup over the persisted IVF
         # index: probe earlier segments -> add epoch segment -> broadcast
         # release decision (embedding analog of dedup_index_release)
@@ -573,6 +581,22 @@ def oracle_sql() -> dict[str, str]:
             s as (select qid, vec_id,
                          round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
                   from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # delete witness: vec_id % 7 == 0 tombstoned, % 14 == 0 re-added
+        # (resurrected), so the exhaustive probe equals brute force over
+        # exactly the live set (ann.py q_ann_index_delete docstring)
+        "ann_index_delete": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            live as (select vec_id, cast(embedding as double[]) as emb
+                     from embeddings
+                     where vec_id % 7 != 0 or vec_id % 14 = 0),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, emb), 4) as sim
+                  from q, live where vec_id != qid),
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
@@ -2940,6 +2964,28 @@ def oracle_sql() -> dict[str, str]:
                          a.sig as sa, b.sig as sb
                   from sig a, sig b
                   where a.doc_id >= 250 and b.doc_id < 250),
+        scored as (select probe_doc, indexed_doc,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select probe_doc, indexed_doc, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by probe_doc, indexed_doc
+    """
+    # Delete/resurrect over the persisted LSH index: the identical
+    # signature recompute with the index side restricted to the LIVE set
+    # (doc_id % 5 == 0 tombstoned, % 10 == 0 re-added) — deleted docs
+    # must never appear as indexed_doc (text.py q_dedup_index_delete).
+    sql["dedup_index_delete"] = _sig_ctes + """,
+        pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b
+                  where a.doc_id >= 250 and b.doc_id < 250
+                    and (b.doc_id % 5 != 0 or b.doc_id % 10 = 0)),
         scored as (select probe_doc, indexed_doc,
                           len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
                           len(list_filter(range(16), g ->

@@ -267,6 +267,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--threshold", type=float, default=0.5)
 
     sp = sub.add_parser(
+        "index-delete",
+        help="tombstone doc_ids out of the dedup index (CDC delete / "
+        "takedown; physical removal at index-compact)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--ids", required=True, help="parquet with a doc_id column")
+    sp.add_argument("--segment", type=int, required=True)
+
+    sp = sub.add_parser(
         "index-compact", help="fold dedup-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
@@ -311,6 +320,15 @@ def main(argv: list[str] | None = None) -> int:
         help="write the epoch's hits to an _admissions/ sidecar before the "
         "commit, so the admission decision survives later compaction",
     )
+
+    sp = sub.add_parser(
+        "ann-delete",
+        help="tombstone vec_ids out of the IVF index (CDC delete / "
+        "takedown; physical removal at ann-compact)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--ids", required=True, help="parquet with a vec_id column")
+    sp.add_argument("--segment", type=int, required=True)
 
     sp = sub.add_parser(
         "ann-compact", help="fold IVF-index segments into a new base"
@@ -369,6 +387,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
                 print(json.dumps({**rep, "out": args.out, "pairs": len(pairs)}))
+            elif args.cmd == "index-delete":
+                ids = pq.read_table(args.ids, columns=["doc_id"])["doc_id"]
+                print(
+                    json.dumps(
+                        idx.delete(
+                            ids.to_numpy(zero_copy_only=False), segment_id=args.segment
+                        )
+                    )
+                )
             else:
                 print(json.dumps(idx.compact()))
             return 0
@@ -437,6 +464,15 @@ def main(argv: list[str] | None = None) -> int:
                 df, stats = idx.probe(qids, qmat, k=args.k, nprobe=args.nprobe)
                 pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "rows": len(df), **stats}))
+            elif args.cmd == "ann-delete":
+                ids = pq.read_table(args.ids, columns=["vec_id"])["vec_id"]
+                print(
+                    json.dumps(
+                        idx.delete(
+                            ids.to_numpy(zero_copy_only=False), segment_id=args.segment
+                        )
+                    )
+                )
             else:
                 print(json.dumps(idx.compact()))
             return 0

@@ -900,6 +900,59 @@ def q_ann_index_pq_exhaustive(
     return df
 
 
+def q_ann_index_delete(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Exactness witness for CDC deletes propagated into the persisted
+    IVF index: vectors with ``vec_id % 7 == 0`` are tombstoned
+    (segment 2) after the two-segment build, then the ``% 14 == 0``
+    subset is RE-ADDED (segment 3) — delete-then-re-add resurrects,
+    because tombstones only kill rows from earlier segments.  An
+    all-cells probe then equals brute-force top-k over exactly the live
+    set (corpus minus the still-deleted ids), certified by a filtered
+    ``ann_bruteforce`` SQL oracle.  The witness also compacts the index
+    (physical removal: tombstones fold into the base and are dropped)
+    and requires the probe result to be IDENTICAL afterwards.
+
+    No reference analog (the reference has no vector surface); the
+    tombstone-segment shape is the standard LSM delete, motivated here
+    by retention/takedown propagation into derived indexes."""
+    idx = _build_ivf_index(
+        sf_dir,
+        fresh_tmp_root("/tmp/nyc_ray_q_ann_index_del"),
+        ncells=ncells,
+        sample_rows=sample_rows,
+    )
+    ids_all, _ = _vectors_where_id_below(sf_dir, np.iinfo(np.int64).max)
+    idx.delete(ids_all[ids_all % 7 == 0], segment_id=2)
+    replay = idx.delete(ids_all[ids_all % 7 == 0], segment_id=2)
+    if replay != {"segment": 2, "skipped": True}:
+        raise RuntimeError(f"tombstone replay not idempotent: {replay}")
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    def keep_readd(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 14 == 0))
+
+    readd = ds.map_batches(keep_readd, batch_format="pyarrow")
+    idx.add(readd, segment_id=3)
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
+    idx.compact()
+    df2, _ = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    if not df.reset_index(drop=True).equals(df2.reset_index(drop=True)):
+        raise RuntimeError("probe result changed across compact()")
+    return df
+
+
 def _fold_sem_dups(
     hits: pd.DataFrame, *, k: int, threshold: float, dup_map: dict[int, int]
 ) -> None:

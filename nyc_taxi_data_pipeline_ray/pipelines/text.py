@@ -704,6 +704,61 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     return out
 
 
+def q_dedup_index_delete(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """CDC deletes propagated into the persisted dedup index: after the
+    first half of documents is indexed (segment 0), docs with
+    ``doc_id % 5 == 0`` are tombstoned (segment 1) and the ``% 10 == 0``
+    subset is RE-ADDED (segment 2) — delete-then-re-add resurrects,
+    since tombstones only kill rows from earlier segments.  The second
+    half then probes; deleted docs must never appear as
+    ``indexed_doc``.  The witness also compacts (physical removal:
+    tombstones fold into the base and are dropped) and requires the
+    probe result to be IDENTICAL afterwards.  SQL-MIRRORED oracle: the
+    ``q_dedup_index_probe`` signature recompute with the live-set
+    filter ``b.doc_id % 5 != 0 or b.doc_id % 10 = 0`` on the index
+    side.  ORACLE COUPLING: mid=250, num_perm=64/bands=16, and the
+    modulo constants are hardcoded in the SQL."""
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = fresh_tmp_root("/tmp/nyc_ray_q_dedup_index_del")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_assert_minhash_sql_domain, batch_format="pyarrow")
+    mid = 250
+    base = ds.filter(expr=f"doc_id < {mid}")
+    arrivals = ds.filter(expr=f"doc_id >= {mid}")
+    idx = MinHashIndex(root)
+    idx.add(base, segment_id=0)
+
+    def indexed_ids(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % 5 == 0], pa.int64())})
+
+    dead = (
+        base.map_batches(indexed_ids, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    rep = idx.delete(dead, segment_id=1)
+    replay = idx.delete(dead, segment_id=1)
+    if replay != {"segment": 1, "skipped": True}:
+        raise RuntimeError(f"tombstone replay not idempotent: {rep, replay}")
+    def keep_readd(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    idx.add(base.map_batches(keep_readd, batch_format="pyarrow"), segment_id=2)
+    out = idx.probe(arrivals, threshold=threshold)
+    idx.compact()
+    out2 = idx.probe(arrivals, threshold=threshold)
+    if not out.reset_index(drop=True).equals(out2.reset_index(drop=True)):
+        raise RuntimeError("probe result changed across compact()")
+    # exact dyadic k/64, as in q_dedup_index_probe
+    out["est_jaccard"] = np.round(out["est_jaccard"] * 64) / 64
+    return out
+
+
 def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.DataFrame:
     """SQL exactness witness for the INCREMENTAL dedup index — the
     counterpart of :func:`q_minhash_rerank` for the persisted-segment

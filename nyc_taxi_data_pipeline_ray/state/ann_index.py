@@ -72,6 +72,24 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def _dead_mask(
+    ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
+) -> np.ndarray:
+    """Which of ``ids`` (stored rows from effective segment ``row_seg``)
+    are killed by a tombstone from a LATER segment.  Segment order is
+    the CDC order: delete-then-re-add resurrects (the re-added row's
+    segment is newer than the tombstone's), re-add-then-delete stays
+    dead.  ``tombs`` entries are (tombstone_segment, sorted ids)."""
+    dead = np.zeros(len(ids), bool)
+    for t_seg, t_ids in tombs:
+        if t_seg <= row_seg or not len(t_ids):
+            continue
+        idx = np.searchsorted(t_ids, ids)
+        idx[idx == len(t_ids)] = len(t_ids) - 1
+        dead |= t_ids[idx] == ids
+    return dead
+
+
 def _pq_encode_with(m: np.ndarray, books: np.ndarray, dtype: np.dtype) -> np.ndarray:
     """Nearest sub-centroid per subspace (L2, via the standard
     argmax(2<x,c> - |c|^2) identity).  Module-level so map_batches
@@ -218,6 +236,64 @@ class IvfIndex:
             for s in self.segments()
             if s > through
         ]
+
+    def _eff_seg(self, run_dir: str) -> int:
+        """Effective segment of a run dir for tombstone ordering: a live
+        segment is its own id; a base is its fold watermark (every row
+        in it was added at a segment <= through, and every live
+        tombstone has a segment > through, so `through` orders base
+        rows against live tombstones exactly)."""
+        name = os.path.basename(run_dir)
+        if name.startswith("seg-"):
+            return int(name[4:])
+        with open(run_dir + ".json") as f:
+            return int(json.load(f)["through_segment"])
+
+    def _tombstones_for(self, run_dirs: list[str]) -> list[tuple[int, np.ndarray]]:
+        """(segment, sorted vec_ids) per tombstone file among the run
+        dirs.  Tombstones live only in seg dirs — compact() applies and
+        drops them, so a base never carries one."""
+        out = []
+        for d in run_dirs:
+            p = os.path.join(d, "tombstones.parquet")
+            if os.path.exists(p):
+                ids = pq.read_table(p)["vec_id"].to_numpy(zero_copy_only=False)
+                out.append((self._eff_seg(d), np.sort(ids.astype(np.int64))))
+        return out
+
+    # ---------------------------------------------------------------- delete
+    def delete(self, vec_ids, segment_id: int) -> dict:
+        """Commit a tombstone segment: ``vec_ids`` disappear from every
+        probe against rows indexed at EARLIER segments (CDC delete /
+        retention propagated into the index).  A later ``add`` of the
+        same id resurrects it — segment order is the CDC order.
+        Idempotent on segment_id, same ledger as :meth:`add`; physical
+        removal happens at :meth:`compact`, which folds tombstones into
+        the base and drops them (safe: every future add's segment is
+        newer than any folded tombstone).  ``vec_ids`` is an id array,
+        not a Dataset — deletion lists are metadata-scale (retention
+        predicates, takedown lists), never corpus-scale."""
+        if segment_id in self.segments():
+            return {"segment": segment_id, "skipped": True}
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} is at or below base generation "
+                f"{base[0]}'s fold watermark ({base[1]}); its tombstones "
+                "would be invisible to readers"
+            )
+        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        ids = np.unique(np.asarray(vec_ids, np.int64))
+        p = os.path.join(seg_dir, "tombstones.parquet")
+        pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), p + ".tmp")
+        os.replace(p + ".tmp", p)
+        mf.atomic_write_json(
+            self._manifest_path(segment_id),
+            {"segment": segment_id, "tombstones": int(len(ids))},
+        )
+        return {"segment": segment_id, "skipped": False, "tombstones": int(len(ids))}
 
     # ------------------------------------------------------------------- add
     def add(self, vectors: rd.Dataset, segment_id: int) -> dict:
@@ -544,14 +620,18 @@ class IvfIndex:
             run_dirs = self._read_runs()
         needed = sorted(set(qcells.ravel().tolist()))
         files = [
-            (c, p)
+            (c, p, self._eff_seg(d))
             for c in needed
             for d in run_dirs
             for p in [os.path.join(d, f"cell={c:04d}.parquet")]
             if os.path.exists(p)
         ]
+        tombs = self._tombstones_for(run_dirs)
         files_total = sum(
-            1 for d in run_dirs for f in os.listdir(d) if f.endswith(".parquet")
+            1
+            for d in run_dirs
+            for f in os.listdir(d)
+            if f.startswith("cell=") and f.endswith(".parquet")
         )
         stats = {
             "cells_probed": len(needed),
@@ -563,16 +643,16 @@ class IvfIndex:
             return _empty_topk().to_pandas(), stats
 
         qtables = self._adc_tables(qmat) if self.pq_books is not None else None
-        qref = ray.put((qids, qmat, qcells, qtables))
+        qref = ray.put((qids, qmat, qcells, qtables, tombs))
         k_ = k
         refine = self.pq_refine
         refine_factor = 4
 
         def probe_file(t: pa.Table) -> pa.Table:
-            qids_l, qmat_l, qcells_l, qtables_l = ray.get(qref)
+            qids_l, qmat_l, qcells_l, qtables_l, tombs_l = ray.get(qref)
             out = []
-            for row in t.to_pylist():  # one row per (cell, path) descriptor
-                c, path = int(row["cell"]), row["path"]
+            for row in t.to_pylist():  # one row per (cell, path, seg) descriptor
+                c, path, seg = int(row["cell"]), row["path"], int(row["seg"])
                 # which queries probe THIS cell — one vectorized membership
                 # test, then a single matmul for all of them together
                 qrows = np.nonzero((qcells_l == c).any(axis=1))[0]
@@ -586,6 +666,18 @@ class IvfIndex:
                 if stored.num_rows == 0:
                     continue
                 ids = stored["vec_id"].to_numpy(zero_copy_only=False)
+                # tombstone exclusion: a LATER delete segment kills this
+                # file's rows (keep_idx also filters the refine column,
+                # which must stay row-aligned with the ADC shortlist)
+                keep_idx = None
+                if tombs_l:
+                    keep_idx = np.nonzero(~_dead_mask(ids, seg, tombs_l))[0]
+                    if len(keep_idx) == 0:
+                        continue
+                    if len(keep_idx) == len(ids):
+                        keep_idx = None
+                    else:
+                        ids = ids[keep_idx]
                 sel_qids = np.asarray(qids_l)[qrows]
                 n, nq_sel = len(ids), len(qrows)
                 if qtables_l is None:
@@ -594,11 +686,15 @@ class IvfIndex:
                             stored["embedding"].to_numpy(zero_copy_only=False)
                         ).astype(np.float64)
                     )
+                    if keep_idx is not None:
+                        m = m[keep_idx]
                     s = np.round(m @ qmat_l[qrows].T, 4)  # (n_stored, n_sel)
                 else:
                     codes = np.stack(
                         stored["codes"].to_numpy(zero_copy_only=False)
                     ).astype(np.int64)
+                    if keep_idx is not None:
+                        codes = codes[keep_idx]
                     qt = qtables_l[qrows]  # (n_sel, m_sub, k_codes)
                     acc = np.zeros((n, nq_sel))
                     for j in range(qt.shape[1]):
@@ -629,6 +725,8 @@ class IvfIndex:
                             ].to_numpy(zero_copy_only=False)
                         ).astype(np.float64)
                     )
+                    if keep_idx is not None:
+                        m_ref = m_ref[keep_idx]
                     s_exact = np.round(
                         np.einsum(
                             "ij,ij->i",
@@ -665,8 +763,9 @@ class IvfIndex:
 
         desc = pa.table(
             {
-                "cell": pa.array([c for c, _ in files], pa.int32()),
-                "path": pa.array([p for _, p in files], pa.string()),
+                "cell": pa.array([c for c, _, _ in files], pa.int32()),
+                "path": pa.array([p for _, p, _ in files], pa.string()),
+                "seg": pa.array([s for _, _, s in files], pa.int64()),
             }
         )
         partial = (
@@ -743,16 +842,33 @@ class IvfIndex:
             }
         )
         if cells:
+            # tombstones are APPLIED here (physical removal) and dropped:
+            # every future add's segment is newer than any folded
+            # tombstone, so a folded tombstone can never kill later rows
+            run_segs = [self._eff_seg(d) for d in runs]
+            tombs = self._tombstones_for(runs)
 
             def fold_cell(t: pa.Table) -> pa.Table:
                 out_c, out_n = [], []
                 for c in t["cell"].to_pylist():
                     c = int(c)
-                    parts = [
-                        pq.read_table(os.path.join(d, f"cell={c:04d}.parquet"))
-                        for d in runs
-                        if os.path.exists(os.path.join(d, f"cell={c:04d}.parquet"))
-                    ]
+                    parts = []
+                    for d, seg in zip(runs, run_segs):
+                        p = os.path.join(d, f"cell={c:04d}.parquet")
+                        if not os.path.exists(p):
+                            continue
+                        part = pq.read_table(p)
+                        if tombs:
+                            ids = part["vec_id"].to_numpy(zero_copy_only=False)
+                            dead = _dead_mask(ids, seg, tombs)
+                            if dead.any():
+                                part = part.filter(pa.array(~dead))
+                        if part.num_rows:
+                            parts.append(part)
+                    if not parts:
+                        out_c.append(c)
+                        out_n.append(0)
+                        continue
                     merged = pa.concat_tables(parts, promote_options="default")
                     merged = merged.sort_by([("vec_id", "ascending")])
                     path = os.path.join(out_dir, f"cell={c:04d}.parquet")

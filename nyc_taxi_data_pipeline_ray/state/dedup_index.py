@@ -47,6 +47,7 @@ from nyc_taxi_data_pipeline_ray.pipelines.text import (
     _ragged_pair_indices,
 )
 from nyc_taxi_data_pipeline_ray.state import manifest as mf
+from nyc_taxi_data_pipeline_ray.state.ann_index import _dead_mask
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -149,6 +150,62 @@ class MinHashIndex:
         live = [s for s in self.segments() if s > through]
         return os.path.join(self.path, f"base-{gen:06d}"), live
 
+    def _eff_seg(self, run_dir: str) -> int:
+        """Effective segment of a run dir for tombstone ordering (see
+        :meth:`IvfIndex._eff_seg`): a live segment is its own id; a base
+        is its fold watermark."""
+        name = os.path.basename(run_dir)
+        if name.startswith("seg-"):
+            return int(name[4:])
+        with open(run_dir + ".json") as f:
+            return int(json.load(f)["through_segment"])
+
+    def _tombstones_for(self, run_dirs: list[str]) -> list[tuple[int, np.ndarray]]:
+        """(segment, sorted doc_ids) per tombstone file among the run
+        dirs (compact() applies and drops them, so a base never carries
+        one)."""
+        out = []
+        for d in run_dirs:
+            p = os.path.join(d, "tombstones.parquet")
+            if os.path.exists(p):
+                ids = pq.read_table(p)["doc_id"].to_numpy(zero_copy_only=False)
+                out.append((self._eff_seg(d), np.sort(ids.astype(np.int64))))
+        return out
+
+    # ---------------------------------------------------------------- delete
+    def delete(self, doc_ids, segment_id: int) -> dict:
+        """Commit a tombstone segment: ``doc_ids`` stop appearing as
+        ``indexed_doc`` in probes against rows indexed at EARLIER
+        segments (CDC delete / retention / takedown propagated into the
+        dedup index).  A later ``add`` of the same doc resurrects it —
+        segment order is the CDC order.  Idempotent on segment_id, same
+        ledger as :meth:`add`; physical removal happens at
+        :meth:`compact`.  ``doc_ids`` is an id array, not a Dataset —
+        deletion lists are metadata-scale."""
+        if segment_id in self.segments():
+            return {"segment": segment_id, "skipped": True}
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} is at or below base generation "
+                f"{base[0]}'s fold watermark ({base[1]}); its tombstones "
+                "would be invisible to readers"
+            )
+        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        import shutil
+
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        ids = np.unique(np.asarray(doc_ids, np.int64))
+        p = os.path.join(seg_dir, "tombstones.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p + ".tmp")
+        os.replace(p + ".tmp", p)
+        mf.atomic_write_json(
+            self._manifest_path(segment_id),
+            {"segment": segment_id, "tombstones": int(len(ids))},
+        )
+        return {"segment": segment_id, "skipped": False, "tombstones": int(len(ids))}
+
     # --------------------------------------------------------------- compact
     def compact(self) -> dict:
         """Fold the base + all live segments into one new base
@@ -173,15 +230,29 @@ class MinHashIndex:
         seg_dirs = ([base_dir] if base_dir else []) + [
             os.path.join(index_path, f"seg-{s:06d}") for s in live
         ]
+        # tombstones are APPLIED here (physical removal) and dropped:
+        # every future add's segment is newer than any folded tombstone
+        seg_effs = [self._eff_seg(d) for d in seg_dirs]
+        tombs = self._tombstones_for(seg_dirs)
 
         def fold_bucket(batch: pa.Table) -> pa.Table:
             rows = []
             for b in batch["bucket"].to_pylist():
                 parts = []
-                for d in seg_dirs:
+                for d, seg in zip(seg_dirs, seg_effs):
                     p = os.path.join(d, f"bucket={int(b):02d}.parquet")
                     if os.path.exists(p):
-                        parts.append(pq.read_table(p))
+                        part = pq.read_table(p)
+                        if tombs:
+                            dead = _dead_mask(
+                                part["doc_id"].to_numpy(zero_copy_only=False),
+                                seg,
+                                tombs,
+                            )
+                            if dead.any():
+                                part = part.filter(pa.array(~dead))
+                        if part.num_rows:
+                            parts.append(part)
                 if not parts:
                     rows.append(0)
                     continue
@@ -471,13 +542,29 @@ class MinHashIndex:
     def _probe_band_rows(
         self, probe_rows: rd.Dataset, threshold: float, run_dirs: list[str]
     ) -> pd.DataFrame:
+        run_segs = [self._eff_seg(d) for d in run_dirs]
+        tombs = self._tombstones_for(run_dirs)
+
         def match_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())
             stored = []
-            for d in run_dirs:
+            for d, seg in zip(run_dirs, run_segs):
                 p = os.path.join(d, f"bucket={b:02d}.parquet")
                 if os.path.exists(p):
-                    stored.append(pq.read_table(p))
+                    part = pq.read_table(p)
+                    if tombs:
+                        # tombstone exclusion: a LATER delete segment
+                        # kills this run's rows (delete-then-re-add
+                        # resurrects; see MinHashIndex.delete)
+                        dead = _dead_mask(
+                            part["doc_id"].to_numpy(zero_copy_only=False),
+                            seg,
+                            tombs,
+                        )
+                        if dead.any():
+                            part = part.filter(pa.array(~dead))
+                    if part.num_rows:
+                        stored.append(part)
                 elif not os.path.isdir(d):
                     # a missing bucket FILE is normal (no rows hashed
                     # there); a missing run DIR means a concurrent

@@ -569,3 +569,84 @@ def test_fresh_tmp_root_reclaims_stale_siblings(tmp_path):
     assert os.path.exists(other)
     # the returned root is fresh (removed if it pre-existed) but not created
     assert not os.path.exists(root)
+
+
+# ---------------------------------------------------------------- deletes
+def test_delete_excludes_and_readd_resurrects(tmp_path):
+    """Tombstoned ids vanish from probes; a LATER re-add resurrects
+    (segment order is the CDC order).  Exhaustive probe must equal
+    brute force over exactly the live set."""
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)  # segments 0, 1
+    idx.delete(ids[ids % 7 == 0], segment_id=2)
+    m14 = ids % 14 == 0
+    idx.add(_ds(ids[m14], mat[m14]), segment_id=3)
+    qids, qmat = ids[:4], mat[:4]
+    df, stats = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    assert stats["cells_probed"] == stats["cells_total"]
+    live = (ids % 7 != 0) | (ids % 14 == 0)
+    exp = _brute(ids[live], mat[live], qids, qmat, k=5)
+    pd.testing.assert_frame_equal(df.reset_index(drop=True), exp)
+
+
+def test_delete_is_idempotent(tmp_path):
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    rep = idx.delete(ids[:10], segment_id=2)
+    assert rep == {"segment": 2, "skipped": False, "tombstones": 10}
+    assert idx.delete(ids[:10], segment_id=2) == {"segment": 2, "skipped": True}
+
+
+def test_readd_then_delete_stays_dead(tmp_path):
+    """delete -> re-add -> delete again: the newest tombstone wins."""
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    victim = ids[:5]
+    idx.delete(victim, segment_id=2)
+    idx.add(_ds(victim, mat[:5]), segment_id=3)  # resurrect
+    idx.delete(victim, segment_id=4)  # kill again
+    qids, qmat = ids[10:13], mat[10:13]
+    df, _ = idx.probe(qids, qmat, k=len(ids), nprobe=idx.ncells)
+    assert not set(victim.tolist()) & set(df["vec_id"].tolist())
+
+
+def test_compact_applies_tombstones_physically(tmp_path):
+    """compact() folds tombstones into the base: deleted rows are gone
+    from the cell files, tombstone files are dropped, and the probe
+    result is unchanged."""
+    import glob
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    idx.delete(ids[ids % 7 == 0], segment_id=2)
+    m14 = ids % 14 == 0
+    idx.add(_ds(ids[m14], mat[m14]), segment_id=3)
+    qids, qmat = ids[:4], mat[:4]
+    before, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    rep = idx.compact()
+    assert rep["skipped"] is False
+    after, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    stored = set()
+    for f in glob.glob(os.path.join(idx.path, "base-*", "cell=*.parquet")):
+        stored |= set(pq.read_table(f)["vec_id"].to_pylist())
+    live = {int(i) for i in ids if i % 7 != 0 or i % 14 == 0}
+    assert stored == live
+    assert not glob.glob(os.path.join(idx.path, "*", "tombstones.parquet"))
+
+
+def test_delete_below_fold_watermark_raises(tmp_path):
+    import pytest
+
+    ids, mat = _vectors()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf"), centroids=cent)
+    idx.add(_ds(ids[ids % 2 == 0], mat[ids % 2 == 0]), segment_id=0)
+    idx.add(_ds(ids[ids % 2 == 1], mat[ids % 2 == 1]), segment_id=2)
+    idx.compact()  # through_segment = 2
+    with pytest.raises(ValueError, match="fold watermark"):
+        idx.delete(ids[:3], segment_id=1)

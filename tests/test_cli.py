@@ -308,3 +308,71 @@ def test_cli_ann_replay_after_compact(tmp_path):
     # a segment ingested without --persist-hits has nothing to replay
     assert main(["ann-replay", "--index", idx, "--segment", "7",
                  "--out", str(tmp_path / "nope.parquet")]) == 1
+
+
+def test_cli_delete_verbs(tmp_path):
+    """index-delete / ann-delete: tombstoned ids vanish from probes and
+    from the compacted base."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    # --- dedup index: delete the exact-dup target, the hit disappears
+    texts = pq.read_table("/root/testdata/sf0.01/documents.parquet")[
+        "text"
+    ].to_pylist()[:25]
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    del_ids = str(tmp_path / "dead.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()), "text": texts[:20]}), d0
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([100], pa.int64()), "text": [texts[0]]}), d1
+    )
+    pq.write_table(pa.table({"doc_id": pa.array([0], pa.int64())}), del_ids)
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "pairs.parquet")
+    assert main(["index-add", "--index", idx, "--docs", d0, "--segment", "0"]) == 0
+    assert main(["index-probe", "--index", idx, "--docs", d1, "--out", out]) == 0
+    assert (100, 0) in set(
+        zip(*(pq.read_table(out)[c].to_pylist() for c in ("probe_doc", "indexed_doc")))
+    )
+    assert main(["index-delete", "--index", idx, "--ids", del_ids,
+                 "--segment", "1"]) == 0
+    assert main(["index-probe", "--index", idx, "--docs", d1, "--out", out]) == 0
+    assert 0 not in set(pq.read_table(out)["indexed_doc"].to_pylist())
+    assert main(["index-compact", "--index", idx]) == 0
+    assert main(["index-probe", "--index", idx, "--docs", d1, "--out", out]) == 0
+    assert 0 not in set(pq.read_table(out)["indexed_doc"].to_pylist())
+
+    # --- IVF index: deleted vec_ids never surface in top-k
+    rng = np.random.default_rng(29)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    ids = np.arange(60, dtype=np.int64)
+    v0 = str(tmp_path / "v0.parquet")
+    q = str(tmp_path / "q.parquet")
+    vdead = str(tmp_path / "vdead.parquet")
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(mat))}), v0
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids[:3]), "embedding": pa.array(list(mat[:3]))}),
+        q,
+    )
+    pq.write_table(pa.table({"vec_id": pa.array(ids[ids % 4 == 0])}), vdead)
+    aidx = str(tmp_path / "ivf")
+    aout = str(tmp_path / "topk.parquet")
+    assert main(["ann-add", "--index", aidx, "--vectors", v0, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-delete", "--index", aidx, "--ids", vdead, "--segment", "1"]) == 0
+    assert main(["ann-probe", "--index", aidx, "--queries", q, "--out", aout,
+                 "--k", "60", "--nprobe", "4"]) == 0
+    hit = set(pq.read_table(aout)["vec_id"].to_pylist())
+    assert not {int(i) for i in ids[ids % 4 == 0]} & hit
+    assert main(["ann-compact", "--index", aidx]) == 0
+    assert main(["ann-probe", "--index", aidx, "--queries", q, "--out", aout,
+                 "--k", "60", "--nprobe", "4"]) == 0
+    assert set(pq.read_table(aout)["vec_id"].to_pylist()) == hit

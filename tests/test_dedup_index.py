@@ -318,3 +318,44 @@ def test_probe_retries_on_compactor_race(tmp_path, corpus):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), expect.reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------- deletes
+def test_delete_excludes_readd_resurrects_and_compact_folds(tmp_path, corpus):
+    """Tombstoned docs stop appearing as indexed_doc; a later re-add
+    resurrects; compact() removes them physically (tombstones dropped)
+    without changing the probe result."""
+    import glob
+
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    # kill the exact-dup targets 0-4, resurrect 0 and 1
+    idx.delete([0, 1, 2, 3, 4], segment_id=1)
+    idx.add(rd.from_arrow(base.slice(0, 2)), segment_id=2)
+    pairs = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    hit = set(pairs["indexed_doc"])
+    assert not hit & {2, 3, 4}, "deleted docs leaked into probe hits"
+    assert {0, 1} <= hit, "re-added docs must match their exact dups"
+    rep = idx.compact()
+    assert rep["compacted"] is True
+    after = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert pairs.reset_index(drop=True).equals(after.reset_index(drop=True))
+    stored = set()
+    for f in glob.glob(os.path.join(idx.path, "base-*", "bucket=*.parquet")):
+        stored |= set(pq.read_table(f)["doc_id"].to_pylist())
+    assert not stored & {2, 3, 4}, "tombstoned docs survived the fold"
+    assert {0, 1} <= stored
+    assert not glob.glob(os.path.join(idx.path, "*", "tombstones.parquet"))
+
+
+def test_delete_is_idempotent_and_guards_watermark(tmp_path, corpus):
+    base, _ = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    rep = idx.delete([1, 2, 2], segment_id=2)  # dups collapse
+    assert rep == {"segment": 2, "skipped": False, "tombstones": 2}
+    assert idx.delete([1, 2], segment_id=2) == {"segment": 2, "skipped": True}
+    idx.compact()  # through_segment = 2
+    with pytest.raises(ValueError, match="fold watermark"):
+        idx.delete([3], segment_id=1)
