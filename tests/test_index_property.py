@@ -279,3 +279,160 @@ def test_ivf_ingest_any_schedule(
             got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
             assert rep == {"segment": e, "skipped": True}
             pd.testing.assert_frame_equal(_sorted_topk(got_e), live[e])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_ops=st.integers(min_value=3, max_value=7),
+)
+def test_ivf_delete_any_schedule(tmp_path_factory, seed, n_ops):
+    """Random interleavings of add / delete / compact against a
+    live-set model: the final exhaustive probe must equal brute force
+    over exactly the ids the model says are alive (resurrect chains
+    included), before AND after a final compact."""
+    rng = np.random.default_rng(seed)
+    n, d, ncells, k = 120, 10, 6, 4
+    ids = np.arange(n, dtype=np.int64)
+    mat = rng.normal(size=(n, d))
+    cent = _kmeans_lite(_normalize_rows(mat[:60].astype(np.float64)), ncells)
+    tmp = str(tmp_path_factory.mktemp(f"ivfdel{seed % 100000}"))
+    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent)
+
+    alive: set[int] = set()
+    seg = 0
+    # first op is always an add so later deletes have targets
+    idx.add(_vec_ds(ids[:60], mat[:60]), segment_id=seg)
+    alive |= set(range(60))
+    seg += 1
+    for _ in range(n_ops):
+        op = rng.choice(["add", "delete", "compact"], p=[0.4, 0.4, 0.2])
+        if op == "add":
+            # only ids not currently alive (re-add = resurrect; adding a
+            # live id twice would store it twice, which callers avoid)
+            dead_pool = np.array(sorted(set(ids.tolist()) - alive), np.int64)
+            if not len(dead_pool):
+                continue
+            pick = rng.choice(
+                dead_pool, size=rng.integers(1, len(dead_pool) + 1), replace=False
+            )
+            idx.add(_vec_ds(pick, mat[pick]), segment_id=seg)
+            alive |= {int(i) for i in pick}
+            seg += 1
+        elif op == "delete":
+            if not alive:
+                continue
+            pool = np.array(sorted(alive), np.int64)
+            pick = rng.choice(pool, size=rng.integers(1, len(pool) + 1), replace=False)
+            idx.delete(pick, segment_id=seg)
+            alive -= {int(i) for i in pick}
+            seg += 1
+        else:
+            idx.compact()
+
+    qids, qmat = ids[:5], _normalize_rows(mat[:5].astype(np.float64))
+    mfull = _normalize_rows(mat.astype(np.float64))
+
+    def brute() -> pd.DataFrame:
+        rows = []
+        live_arr = np.array(sorted(alive), np.int64)
+        for qi, qid in enumerate(qids):
+            cand = live_arr[live_arr != qid]
+            if not len(cand):
+                continue
+            s = mfull[cand] @ mfull[int(qid)]
+            order = cand[np.lexsort((cand, -np.round(s, 4)))][:k]
+            for j in order:
+                rows.append(
+                    (int(qid), int(j), round(float(mfull[j] @ mfull[int(qid)]), 4))
+                )
+        return _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
+
+    df, _ = idx.probe(qids, qmat, k=k, nprobe=ncells)
+    pd.testing.assert_frame_equal(_sorted_topk(df), brute())
+    idx.compact()
+    df2, _ = idx.probe(qids, qmat, k=k, nprobe=ncells)
+    pd.testing.assert_frame_equal(_sorted_topk(df2), brute())
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_ops=st.integers(min_value=3, max_value=6),
+)
+def test_minhash_delete_any_schedule(tmp_path_factory, seed, n_ops):
+    """Random add / delete / compact schedules for the LSH index: a
+    fixed probe batch must see candidates from exactly the live docs
+    (same band-hash collision + est math as the in-process oracle)."""
+    rng = np.random.default_rng(seed)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pick = np.sort(rng.choice(t.num_rows, size=50, replace=False))
+    t = t.take(pick)
+    doc_ids = np.array(t["doc_id"].to_pylist(), np.int64)
+    # probe batch: the same texts under shifted ids, so collisions exist
+    probe_tab = pa.table(
+        {
+            "doc_id": pa.array(doc_ids + 10_000_000, pa.int64()),
+            "text": t["text"],
+        }
+    )
+    threshold = 0.5
+
+    tmp = str(tmp_path_factory.mktemp(f"mhdel{seed % 100000}"))
+    idx = MinHashIndex(os.path.join(tmp, "idx"))
+    alive: set[int] = set()
+    seg = 0
+    first = doc_ids[: len(doc_ids) // 2]
+    idx.add(rd.from_arrow(t.filter(pa.array(np.isin(doc_ids, first)))), segment_id=seg)
+    alive |= {int(i) for i in first}
+    seg += 1
+    for _ in range(n_ops):
+        op = rng.choice(["add", "delete", "compact"], p=[0.4, 0.4, 0.2])
+        if op == "add":
+            dead_pool = np.array(
+                sorted(set(int(i) for i in doc_ids) - alive), np.int64
+            )
+            if not len(dead_pool):
+                continue
+            sel = rng.choice(
+                dead_pool, size=rng.integers(1, len(dead_pool) + 1), replace=False
+            )
+            idx.add(
+                rd.from_arrow(t.filter(pa.array(np.isin(doc_ids, sel)))),
+                segment_id=seg,
+            )
+            alive |= {int(i) for i in sel}
+            seg += 1
+        elif op == "delete":
+            if not alive:
+                continue
+            pool = np.array(sorted(alive), np.int64)
+            sel = rng.choice(pool, size=rng.integers(1, len(pool) + 1), replace=False)
+            idx.delete(sel, segment_id=seg)
+            alive -= {int(i) for i in sel}
+            seg += 1
+        else:
+            idx.compact()
+
+    # in-process oracle: probe rows vs ALIVE indexed rows sharing a band
+    both = pa.concat_tables(
+        [t.filter(pa.array(np.isin(doc_ids, np.array(sorted(alive), np.int64)))), probe_tab]
+    )
+    epoch_of = {
+        int(d): (0 if int(d) < 10_000_000 else 1) for d in both["doc_id"].to_pylist()
+    }
+    expected = _minhash_oracle(both, epoch_of, threshold)
+
+    got = _sorted_pairs(idx.probe(rd.from_arrow(probe_tab), threshold=threshold))
+    pd.testing.assert_frame_equal(got, expected)
+    idx.compact()
+    got2 = _sorted_pairs(idx.probe(rd.from_arrow(probe_tab), threshold=threshold))
+    pd.testing.assert_frame_equal(got2, expected)
