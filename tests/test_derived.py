@@ -377,3 +377,105 @@ def test_consumers_after_backfill_and_purge(tmp_path):
         st = idx.lookup_stats(tools)
         want = snap2.filter(pc.is_in(snap2["tool"], value_set=pa.array(tools))).num_rows
         assert st["hits"] == want
+
+
+def test_takedown_propagates_corpus_to_dedup_index(tmp_path):
+    """End-to-end takedown loop: a whole-conversation CDC delete drops
+    the corpus document (CorpusTable diff), and tombstoning the removed
+    doc ids out of the persisted dedup index (MinHashIndex.delete)
+    makes an exact-copy probe stop matching it — while live documents
+    keep matching.  This is the GDPR/retention path: lake -> corpus ->
+    derived index, every link incremental."""
+    import numpy as np
+    import ray.data as rd
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+    from nyc_taxi_data_pipeline_ray.state.derived import CorpusTable
+
+    wal, eng, _ = _build(str(tmp_path))
+    ct = CorpusTable(eng, os.path.join(str(tmp_path), "corpus"))
+    eng.apply(wal)
+    ct.refresh()
+    before = ct.table()
+    conv_ids = sorted(before["conv_id"].to_pylist())
+    doc_id_of = {c: i for i, c in enumerate(conv_ids)}
+
+    idx = MinHashIndex(os.path.join(str(tmp_path), "idx"))
+    idx.add(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [doc_id_of[c] for c in before["conv_id"].to_pylist()],
+                        pa.int64(),
+                    ),
+                    "text": before["doc"],
+                }
+            )
+        ),
+        segment_id=0,
+    )
+
+    # whole-conversation delete epoch for the last conversation
+    live = eng.snapshot_table()
+    del_conv = live["conv_id"][-1].as_py()
+    del_rows = live.filter(pc.equal(live["conv_id"], del_conv))
+    max_lsn = pc.max(live["lsn"]).as_py()
+    max_ts = pc.max(live["ts"]).as_py()
+    n_del = del_rows.num_rows
+    ep = pa.table(
+        {
+            "lsn": pa.array(
+                list(range(max_lsn + 1, max_lsn + 1 + n_del)), pa.int64()
+            ),
+            "op": pa.array(["delete"] * n_del),
+            "epoch": pa.array([SPEC.num_epochs] * n_del, pa.int32()),
+            "conv_id": pa.array([del_conv] * n_del),
+            "turn_idx": pa.array(del_rows["turn_idx"].to_pylist(), pa.int32()),
+            "role": pa.array([None] * n_del, pa.string()),
+            "text": pa.array([None] * n_del, pa.string()),
+            "tool": pa.array([None] * n_del, pa.string()),
+            "ts": pa.array([max_ts] * n_del, pa.timestamp("us")),
+        }
+    )
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ep, os.path.join(d, "part-0000.parquet"))
+    eng.apply(wal)
+    ct.refresh()
+    after = ct.table()
+
+    removed = set(before["conv_id"].to_pylist()) - set(after["conv_id"].to_pylist())
+    assert del_conv in removed
+    rep = idx.delete(
+        np.array(sorted(doc_id_of[c] for c in removed), np.int64), segment_id=1
+    )
+    assert rep["skipped"] is False
+
+    # probing the deleted conversation's ORIGINAL document text finds
+    # nothing pointing at it; a live document still matches itself
+    victim_doc = before.filter(pc.equal(before["conv_id"], del_conv))["doc"][0].as_py()
+    live_conv = after["conv_id"][0].as_py()
+    live_doc = after.filter(pc.equal(after["conv_id"], live_conv))["doc"][0].as_py()
+    pairs = idx.probe(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([10_000_000, 10_000_001], pa.int64()),
+                    "text": pa.array([victim_doc, live_doc]),
+                }
+            )
+        ),
+        threshold=0.5,
+    )
+    hit = set(pairs["indexed_doc"])
+    assert doc_id_of[del_conv] not in hit
+    assert doc_id_of[live_conv] in hit
+    # physical removal
+    idx.compact()
+    import glob
+
+    stored = set()
+    for f in glob.glob(os.path.join(idx.path, "base-*", "bucket=*.parquet")):
+        stored |= set(pq.read_table(f)["doc_id"].to_pylist())
+    assert doc_id_of[del_conv] not in stored
