@@ -168,6 +168,21 @@ def _sorted_topk(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _assert_topk_equal(got: pd.DataFrame, exp: pd.DataFrame) -> None:
+    """ids exact, sims within one 4-dp rounding step: the index's
+    per-cell-file dgemm and the oracle's matvec can differ by an ulp,
+    and when the true value sits on a .00005 boundary the two sides
+    round to values 1e-4 apart (seen in the wild at seed 54280) —
+    identical ids with a one-step sim wobble is correct behavior, not
+    a bug."""
+    pd.testing.assert_frame_equal(
+        got[["qid", "vec_id"]], exp[["qid", "vec_id"]]
+    )
+    pd.testing.assert_series_equal(
+        got["sim"], exp["sim"], rtol=0, atol=1.01e-4
+    )
+
+
 def _brute_earlier(ids, mat, epoch, e, k):
     """Brute-force cosine top-k of epoch-e vectors against all earlier
     epochs, with the index's tie-break (round-4 sim desc, id asc)."""
@@ -240,7 +255,7 @@ def test_ivf_ingest_any_schedule(
         )
         live[e] = _sorted_topk(got)
         # probe hits == brute force over strictly-earlier epochs
-        pd.testing.assert_frame_equal(live[e], _brute_earlier(ids, mat, epoch, e, k))
+        _assert_topk_equal(live[e], _brute_earlier(ids, mat, epoch, e, k))
         if compact_mask >> e & 1:
             if idx.compact()["skipped"] is False:
                 folded_through = e
@@ -257,9 +272,7 @@ def test_ivf_ingest_any_schedule(
         order = cand[np.lexsort((ids[cand], -np.round(s, 4)))][:k]
         for j in order:
             rows.append((int(qid), int(ids[j]), round(float(mfull[j] @ mfull[qi]), 4)))
-    pd.testing.assert_frame_equal(
-        _sorted_topk(df), _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
-    )
+    _assert_topk_equal(_sorted_topk(df), _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS)))
 
     # replay contract under the final fold state
     for e in range(n_epochs):
@@ -269,7 +282,7 @@ def test_ivf_ingest_any_schedule(
         if persisted:
             got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
             assert rep["skipped"] and rep["replayed_hits"]
-            pd.testing.assert_frame_equal(_sorted_topk(got_e), live[e])
+            _assert_topk_equal(_sorted_topk(got_e), live[e])
         elif e <= folded_through:
             with pytest.warns(RuntimeWarning, match="folded past"):
                 got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
@@ -278,7 +291,7 @@ def test_ivf_ingest_any_schedule(
         else:
             got_e, rep = idx.probe_and_add(sub, segment_id=e, k=k, nprobe=ncells)
             assert rep == {"segment": e, "skipped": True}
-            pd.testing.assert_frame_equal(_sorted_topk(got_e), live[e])
+            _assert_topk_equal(_sorted_topk(got_e), live[e])
 
 
 @settings(
@@ -353,10 +366,10 @@ def test_ivf_delete_any_schedule(tmp_path_factory, seed, n_ops):
         return _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
 
     df, _ = idx.probe(qids, qmat, k=k, nprobe=ncells)
-    pd.testing.assert_frame_equal(_sorted_topk(df), brute())
+    _assert_topk_equal(_sorted_topk(df), brute())
     idx.compact()
     df2, _ = idx.probe(qids, qmat, k=k, nprobe=ncells)
-    pd.testing.assert_frame_equal(_sorted_topk(df2), brute())
+    _assert_topk_equal(_sorted_topk(df2), brute())
 
 
 @settings(
