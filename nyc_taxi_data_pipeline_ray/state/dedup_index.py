@@ -207,6 +207,34 @@ class MinHashIndex:
         return {"segment": segment_id, "skipped": False, "tombstones": int(len(ids))}
 
     # --------------------------------------------------------------- compact
+    def vacuum(self) -> dict:
+        """Remove run DIRECTORIES already folded into the newest base.
+
+        A ``compact()`` crash between its base-marker write and the
+        rmtree sweep would otherwise orphan the folded dirs forever
+        (later compacts only list live segments > through).  Also
+        reclaims a partial ``base-*/`` dir whose marker never landed.
+        Single writer assumed, as everywhere in this ledger idiom —
+        mirrors :meth:`IvfIndex.vacuum`."""
+        import shutil
+
+        base = self._base()
+        if base is None:
+            return {"removed": 0}
+        gen, through = base
+        removed = 0
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if not os.path.isdir(full) or name == "_admissions":
+                continue
+            dead = (name.startswith("base-") and name != f"base-{gen:06d}") or (
+                name.startswith("seg-") and int(name[4:]) <= through
+            )
+            if dead:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return {"removed": removed}
+
     def compact(self) -> dict:
         """Fold the base + all live segments into one new base
         generation, bucket by bucket in parallel Ray tasks (the LSM
@@ -215,7 +243,9 @@ class MinHashIndex:
         keeps ``add()`` idempotent for folded ids; only their parquet
         is removed.  Idempotent: generation = prior + 1, committed by
         its marker, and a crash before the marker leaves the old runs
-        authoritative."""
+        authoritative.  Starts with a :meth:`vacuum` so a previously
+        crashed compact's orphans are reclaimed first."""
+        self.vacuum()
         base_dir, live = self._read_runs()
         if not live and base_dir is not None:
             return {"compacted": False, "reason": "single base, no live segments"}

@@ -359,3 +359,34 @@ def test_delete_is_idempotent_and_guards_watermark(tmp_path, corpus):
     idx.compact()  # through_segment = 2
     with pytest.raises(ValueError, match="fold watermark"):
         idx.delete([3], segment_id=1)
+
+
+def test_vacuum_reclaims_crashed_compact_orphans(tmp_path, corpus):
+    """Mirror of IvfIndex.vacuum: a compact() crash between the
+    base-marker write and the rmtree sweep must not orphan the folded
+    run dirs forever — the next compact's leading vacuum reclaims
+    them, and probes are unaffected."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base.slice(0, 20)), segment_id=0)
+    idx.add(rd.from_arrow(base.slice(20, 20)), segment_id=1)
+    before = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+
+    import shutil as _sh
+
+    base_dir, live = idx._read_runs()
+    folded = ([base_dir] if base_dir else []) + [
+        os.path.join(idx.path, f"seg-{s:06d}") for s in live
+    ]
+    real_rmtree = _sh.rmtree
+    try:
+        _sh.rmtree = lambda p, **k: None
+        idx.compact()
+    finally:
+        _sh.rmtree = real_rmtree
+    assert all(os.path.isdir(d) for d in folded)
+    res = idx.vacuum()
+    assert res["removed"] >= len(folded)
+    assert not any(os.path.isdir(d) for d in folded)
+    after = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
