@@ -72,6 +72,40 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def _ledger_vacuum(path: str, base: tuple[int, int] | None) -> dict:
+    """Shared crash-recovery sweep for the segment/marker/base ledger
+    idiom (IvfIndex and MinHashIndex): remove run DIRECTORIES already
+    folded into the newest base, stale non-newest base dirs, and — when
+    NO base marker exists — any partial ``base-*/`` dir a crashed FIRST
+    compact left behind.  That last case matters: without it a retried
+    compact would reuse the partial dir (makedirs exist_ok) and commit
+    its stale bucket/cell files under the new marker — files that may
+    hold rows a tombstone has since deleted, resurrecting them forever.
+    Single writer assumed, as everywhere in this ledger idiom."""
+    removed = 0
+    if base is None:
+        # no committed base: every base-*/ dir is markerless partial
+        # output of a crashed compact — reclaim before the retry folds
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if name.startswith("base-") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return {"removed": removed}
+    gen, through = base
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if not os.path.isdir(full):
+            continue
+        dead = (name.startswith("base-") and name != f"base-{gen:06d}") or (
+            name.startswith("seg-") and int(name[4:]) <= through
+        )
+        if dead:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+    return {"removed": removed}
+
+
 def _dead_mask(
     ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
 ) -> np.ndarray:
@@ -791,31 +825,10 @@ class IvfIndex:
 
     # --------------------------------------------------------------- compact
     def vacuum(self) -> dict:
-        """Remove run DIRECTORIES already folded into the newest base.
-
-        A ``compact()`` crash between its base-marker write and the
-        rmtree sweep would otherwise orphan the folded dirs forever
-        (the next compact sees one live run and skips).  Also reclaims
-        a partial ``base-*/`` dir whose marker never landed.  Single
-        writer assumed, as everywhere in this ledger idiom."""
-        import shutil
-
-        base = self._base()
-        if base is None:
-            return {"removed": 0}
-        gen, through = base
-        removed = 0
-        for name in os.listdir(self.path):
-            full = os.path.join(self.path, name)
-            if not os.path.isdir(full):
-                continue
-            dead = (name.startswith("base-") and name != f"base-{gen:06d}") or (
-                name.startswith("seg-") and int(name[4:]) <= through
-            )
-            if dead:
-                shutil.rmtree(full, ignore_errors=True)
-                removed += 1
-        return {"removed": removed}
+        """Remove run DIRECTORIES already folded into the newest base,
+        plus a crashed compact's partial output — see
+        :func:`_ledger_vacuum` (shared with MinHashIndex)."""
+        return _ledger_vacuum(self.path, self._base())
 
     def compact(self) -> dict:
         """Fold base + live segments into one new base generation (per

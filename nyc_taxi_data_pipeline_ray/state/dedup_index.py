@@ -208,32 +208,12 @@ class MinHashIndex:
 
     # --------------------------------------------------------------- compact
     def vacuum(self) -> dict:
-        """Remove run DIRECTORIES already folded into the newest base.
+        """Remove run DIRECTORIES already folded into the newest base,
+        plus a crashed compact's partial output — see
+        :func:`state.ann_index._ledger_vacuum` (shared with IvfIndex)."""
+        from nyc_taxi_data_pipeline_ray.state.ann_index import _ledger_vacuum
 
-        A ``compact()`` crash between its base-marker write and the
-        rmtree sweep would otherwise orphan the folded dirs forever
-        (later compacts only list live segments > through).  Also
-        reclaims a partial ``base-*/`` dir whose marker never landed.
-        Single writer assumed, as everywhere in this ledger idiom —
-        mirrors :meth:`IvfIndex.vacuum`."""
-        import shutil
-
-        base = self._base()
-        if base is None:
-            return {"removed": 0}
-        gen, through = base
-        removed = 0
-        for name in os.listdir(self.path):
-            full = os.path.join(self.path, name)
-            if not os.path.isdir(full) or name == "_admissions":
-                continue
-            dead = (name.startswith("base-") and name != f"base-{gen:06d}") or (
-                name.startswith("seg-") and int(name[4:]) <= through
-            )
-            if dead:
-                shutil.rmtree(full, ignore_errors=True)
-                removed += 1
-        return {"removed": removed}
+        return _ledger_vacuum(self.path, self._base())
 
     def compact(self) -> dict:
         """Fold the base + all live segments into one new base

@@ -45,12 +45,29 @@ def _brute(ids, mat, qids, qmat, k=5):
     )
 
 
+def _check_ranked(d):
+    """The per-query ranking contract: within each qid, sims
+    non-increasing and ties broken by vec_id ascending (re-sorting by
+    (qid, vec_id) for the tolerant compare below must not silently
+    drop this check — a probe returning correct rows in the wrong rank
+    order is still a bug)."""
+    for _, grp in d.reset_index(drop=True).groupby("qid", sort=False):
+        s = grp["sim"].to_numpy(float)
+        v = grp["vec_id"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all(), f"sims not ranked: {grp}"
+        ties = np.diff(s) == 0
+        assert (np.diff(v)[ties] > 0).all(), f"tie order wrong: {grp}"
+
+
 def _assert_topk(a, b):
     """ids exact, sims within one 4-dp rounding step: two score paths
     (per-cell-file dgemm vs matvec, or pre- vs post-compact file
     grouping) can produce doubles an ulp apart; when the true value
     sits on a .00005 boundary the sides round 1e-4 apart.  Identical
-    ids with a one-step sim wobble is correct behavior."""
+    ids with a one-step sim wobble is correct behavior.  Both frames
+    must still honor the per-query ranking contract."""
+    _check_ranked(a)
+    _check_ranked(b)
     a = a.reset_index(drop=True).sort_values(["qid", "vec_id"], ignore_index=True)
     b = b.reset_index(drop=True).sort_values(["qid", "vec_id"], ignore_index=True)
     pd.testing.assert_frame_equal(
@@ -649,3 +666,50 @@ def test_delete_below_fold_watermark_raises(tmp_path):
     idx.compact()  # through_segment = 2
     with pytest.raises(ValueError, match="fold watermark"):
         idx.delete(ids[:3], segment_id=1)
+
+
+def test_crashed_first_compact_cannot_resurrect_tombstoned_vectors(tmp_path):
+    """IVF mirror of the dedup-index test: a markerless partial
+    base-000001/ from a crashed FIRST compact must be reclaimed by the
+    retry's leading vacuum, not folded onto — stale cell files would
+    otherwise resurrect vectors tombstoned in between."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import nyc_taxi_data_pipeline_ray.state.manifest as mf
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    orig = mf.atomic_write_json
+
+    def crash_on_marker(path, obj):
+        if "base-" in os.path.basename(path):
+            raise RuntimeError("simulated crash before base marker")
+        return orig(path, obj)
+
+    mf.atomic_write_json = crash_on_marker
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            idx.compact()
+    finally:
+        mf.atomic_write_json = orig
+    partial = os.path.join(idx.path, "base-000001")
+    assert os.path.isdir(partial) and not os.path.exists(partial + ".json")
+
+    # tombstone EVERYTHING indexed: the leak only manifests for cells
+    # whose surviving parts are all empty (the retry's fold skips them,
+    # leaving the crashed attempt's stale file) — delete-all makes
+    # every cell that cell
+    idx.delete(ids, segment_id=2)
+    rep = idx.compact()
+    assert rep["skipped"] is False
+    qids, qmat = ids[10:13], mat[10:13]
+    df, _ = idx.probe(qids, qmat, k=len(ids), nprobe=idx.ncells)
+    assert df.empty, "crashed-compact leftovers resurrected tombstoned vectors"
+    stored = set()
+    for f in glob.glob(os.path.join(idx.path, "base-*", "cell=*.parquet")):
+        stored |= set(pq.read_table(f)["vec_id"].to_pylist())
+    assert not stored, f"stale cell files survived: {sorted(stored)[:5]}..."

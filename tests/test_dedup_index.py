@@ -390,3 +390,52 @@ def test_vacuum_reclaims_crashed_compact_orphans(tmp_path, corpus):
     assert not any(os.path.isdir(d) for d in folded)
     after = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
     assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_crashed_first_compact_cannot_resurrect_tombstoned_docs(tmp_path, corpus):
+    """A FIRST compact() that crashes after writing bucket files but
+    before its base marker leaves a markerless partial base-000001/.
+    The retried compact must not fold onto those stale files: if a
+    tombstone arrives in between and empties a bucket, a stale file
+    from the crashed attempt would resurrect the deleted doc forever.
+    vacuum()'s base-None sweep reclaims the partial first."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+
+    # crash the first compact right before its marker write
+    real = type(idx).__mro__[0]  # noqa: F841 (clarity)
+    import nyc_taxi_data_pipeline_ray.state.manifest as mf
+
+    orig = mf.atomic_write_json
+
+    def crash_on_marker(path, obj):
+        if "base-" in os.path.basename(path):
+            raise RuntimeError("simulated crash before base marker")
+        return orig(path, obj)
+
+    mf.atomic_write_json = crash_on_marker
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            idx.compact()
+    finally:
+        mf.atomic_write_json = orig
+    partial = os.path.join(idx.path, "base-000001")
+    assert os.path.isdir(partial) and not os.path.exists(partial + ".json")
+
+    # tombstone EVERYTHING indexed, then retry the compact: the leak
+    # only manifests for buckets whose surviving parts are all empty
+    # (the retry's fold skips them, leaving the crashed attempt's stale
+    # file) — delete-all makes every bucket that bucket.  With the old
+    # early-return vacuum this resurrected all 40 docs.
+    idx.delete(list(range(40)), segment_id=1)
+    rep = idx.compact()
+    assert rep["compacted"] is True
+    pairs = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert pairs.empty, "crashed-compact leftovers resurrected tombstoned docs"
+    import glob
+
+    stored = set()
+    for f in glob.glob(os.path.join(idx.path, "base-*", "bucket=*.parquet")):
+        stored |= set(pq.read_table(f)["doc_id"].to_pylist())
+    assert not stored, f"stale bucket files survived: {sorted(stored)[:5]}..."

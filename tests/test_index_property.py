@@ -169,18 +169,31 @@ def _sorted_topk(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _assert_topk_equal(got: pd.DataFrame, exp: pd.DataFrame) -> None:
-    """ids exact, sims within one 4-dp rounding step: the index's
+    """Tolerant top-k equality for randomized inputs: the index's
     per-cell-file dgemm and the oracle's matvec can differ by an ulp,
     and when the true value sits on a .00005 boundary the two sides
-    round to values 1e-4 apart (seen in the wild at seed 54280) —
-    identical ids with a one-step sim wobble is correct behavior, not
-    a bug."""
-    pd.testing.assert_frame_equal(
-        got[["qid", "vec_id"]], exp[["qid", "vec_id"]]
-    )
-    pd.testing.assert_series_equal(
-        got["sim"], exp["sim"], rtol=0, atol=1.01e-4
-    )
+    round to values 1e-4 apart (seen in the wild at seed 54280).  Two
+    manifestations: (a) identical ids with a one-step sim wobble, and
+    (b) a rank-k boundary swap — the wobble flips which of two
+    near-tied candidates makes the per-query cut.  For (b) every
+    disagreeing id must sit within ~two rounding steps of that query's
+    k-th (cutoff) sim; anything further off is a real bug."""
+    got = got.reset_index(drop=True)
+    exp = exp.reset_index(drop=True)
+    assert sorted(set(got["qid"])) == sorted(set(exp["qid"]))
+    for qid in sorted(set(exp["qid"])):
+        g = got[got["qid"] == qid].set_index("vec_id")["sim"].astype(float)
+        e = exp[exp["qid"] == qid].set_index("vec_id")["sim"].astype(float)
+        assert len(g) == len(e), (qid, len(g), len(e))
+        common = g.index.intersection(e.index)
+        bad = (g[common] - e[common]).abs() > 1.01e-4
+        assert not bad.any(), (qid, g[common][bad], e[common][bad])
+        diff = g.index.symmetric_difference(e.index)
+        if len(diff):
+            cutoff = float(e.min())
+            for vid in diff:
+                s = float(g[vid]) if vid in g.index else float(e[vid])
+                assert abs(s - cutoff) <= 2.02e-4, (qid, vid, s, cutoff)
 
 
 def _brute_earlier(ids, mat, epoch, e, k):
