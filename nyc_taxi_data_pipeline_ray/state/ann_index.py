@@ -106,6 +106,89 @@ def _ledger_vacuum(path: str, base: tuple[int, int] | None) -> dict:
     return {"removed": removed}
 
 
+def _eff_seg(run_dir: str) -> int:
+    """Effective segment of a run dir for tombstone ordering: a live
+    segment is its own id; a base is its fold watermark (every row in
+    it was added at a segment <= through, and every live tombstone has
+    a segment > through, so `through` orders base rows against live
+    tombstones exactly).  Shared by IvfIndex and MinHashIndex — the
+    ledger layout (``seg-NNNNNN/`` dirs, ``base-GGGGGG.json`` markers)
+    is identical."""
+    name = os.path.basename(run_dir)
+    if name.startswith("seg-"):
+        return int(name[4:])
+    with open(run_dir + ".json") as f:
+        return int(json.load(f)["through_segment"])
+
+
+def _tombstones_for(
+    run_dirs: list[str], id_col: str, eff: dict[str, int] | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """(effective segment, sorted ids) per ``tombstones.parquet`` among
+    the run dirs.  Tombstones live only in seg dirs — compact() applies
+    and drops them, so a base never carries one.  ``id_col`` is the
+    index's id column (``vec_id`` / ``doc_id``); ``eff`` is an optional
+    precomputed run_dir -> effective-segment map so hot paths don't
+    re-read base markers."""
+    out = []
+    for d in run_dirs:
+        p = os.path.join(d, "tombstones.parquet")
+        if os.path.exists(p):
+            ids = pq.read_table(p)[id_col].to_numpy(zero_copy_only=False)
+            seg = eff[d] if eff is not None else _eff_seg(d)
+            out.append((seg, np.sort(ids.astype(np.int64))))
+    return out
+
+
+def _check_tombstone_replay(
+    path: str, manifest_path: str, segment_id: int, ids: np.ndarray, id_col: str
+) -> None:
+    """Validate that replaying ``delete(ids, segment_id)`` against an
+    already-committed segment really is a replay of the SAME tombstone
+    set — not a collision with a prior add or a different delete.
+    Raises ValueError on mismatch.  After a compact the seg dir (and
+    its exact id list) is gone, so the check degrades to the manifest's
+    recorded kind + count; before it, ids are compared exactly."""
+    with open(manifest_path) as f:
+        man = json.load(f)
+    if "tombstones" not in man:
+        raise ValueError(
+            f"segment {segment_id} was already committed as an ADD "
+            f"({man}); refusing to treat delete({id_col}s, {segment_id}) "
+            "as a replay — use a fresh segment id for the tombstones"
+        )
+    if int(man["tombstones"]) != len(ids):
+        raise ValueError(
+            f"segment {segment_id} was committed with "
+            f"{man['tombstones']} tombstones, but this delete carries "
+            f"{len(ids)} — not a replay; use a fresh segment id"
+        )
+    p = os.path.join(path, f"seg-{segment_id:06d}", "tombstones.parquet")
+    if os.path.exists(p):
+        committed = pq.read_table(p)[id_col].to_numpy(zero_copy_only=False)
+        if not np.array_equal(np.sort(committed.astype(np.int64)), ids):
+            raise ValueError(
+                f"segment {segment_id}'s committed tombstone ids differ "
+                "from this delete's — not a replay; use a fresh segment id"
+            )
+
+
+def _check_add_replay(manifest_path: str, segment_id: int) -> None:
+    """Validate that replaying ``add(..., segment_id)`` against an
+    already-committed segment collides with a prior ADD (a benign
+    replay under the idempotency contract) and not with a TOMBSTONE
+    segment — skipping the latter would silently drop the new vectors
+    while reporting success."""
+    with open(manifest_path) as f:
+        man = json.load(f)
+    if "tombstones" in man:
+        raise ValueError(
+            f"segment {segment_id} was already committed as a DELETE "
+            f"({man}); refusing to skip this add as a replay — use a "
+            "fresh segment id so CDC order stays explicit"
+        )
+
+
 def _dead_mask(
     ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
 ) -> np.ndarray:
@@ -272,28 +355,14 @@ class IvfIndex:
         ]
 
     def _eff_seg(self, run_dir: str) -> int:
-        """Effective segment of a run dir for tombstone ordering: a live
-        segment is its own id; a base is its fold watermark (every row
-        in it was added at a segment <= through, and every live
-        tombstone has a segment > through, so `through` orders base
-        rows against live tombstones exactly)."""
-        name = os.path.basename(run_dir)
-        if name.startswith("seg-"):
-            return int(name[4:])
-        with open(run_dir + ".json") as f:
-            return int(json.load(f)["through_segment"])
+        """See module-level :func:`_eff_seg` (shared with MinHashIndex)."""
+        return _eff_seg(run_dir)
 
-    def _tombstones_for(self, run_dirs: list[str]) -> list[tuple[int, np.ndarray]]:
-        """(segment, sorted vec_ids) per tombstone file among the run
-        dirs.  Tombstones live only in seg dirs — compact() applies and
-        drops them, so a base never carries one."""
-        out = []
-        for d in run_dirs:
-            p = os.path.join(d, "tombstones.parquet")
-            if os.path.exists(p):
-                ids = pq.read_table(p)["vec_id"].to_numpy(zero_copy_only=False)
-                out.append((self._eff_seg(d), np.sort(ids.astype(np.int64))))
-        return out
+    def _tombstones_for(
+        self, run_dirs: list[str], eff: dict[str, int] | None = None
+    ) -> list[tuple[int, np.ndarray]]:
+        """See module-level :func:`_tombstones_for`."""
+        return _tombstones_for(run_dirs, "vec_id", eff)
 
     # ---------------------------------------------------------------- delete
     def delete(self, vec_ids, segment_id: int) -> dict:
@@ -306,8 +375,18 @@ class IvfIndex:
         the base and drops them (safe: every future add's segment is
         newer than any folded tombstone).  ``vec_ids`` is an id array,
         not a Dataset — deletion lists are metadata-scale (retention
-        predicates, takedown lists), never corpus-scale."""
+        predicates, takedown lists), never corpus-scale.
+
+        A replay is only skipped when ``segment_id`` was committed as
+        the SAME tombstone set; a collision with a prior ADD (or a
+        delete of different ids) raises instead of silently reporting
+        ``skipped`` — otherwise a CDC epoch that mapped both upserts
+        and deletes to one segment id would drop the takedown forever."""
+        ids = np.unique(np.asarray(vec_ids, np.int64))
         if segment_id in self.segments():
+            _check_tombstone_replay(
+                self.path, self._manifest_path(segment_id), segment_id, ids, "vec_id"
+            )
             return {"segment": segment_id, "skipped": True}
         base = self._base()
         if base is not None and base[1] >= segment_id:
@@ -319,7 +398,6 @@ class IvfIndex:
         seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
         shutil.rmtree(seg_dir, ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
-        ids = np.unique(np.asarray(vec_ids, np.int64))
         p = os.path.join(seg_dir, "tombstones.parquet")
         pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), p + ".tmp")
         os.replace(p + ".tmp", p)
@@ -335,9 +413,22 @@ class IvfIndex:
         segment.  Idempotent on segment_id (replay-safe for WAL-epoch-
         driven callers).  One bounded exchange: cell assignment happens
         map-side against the broadcast quantizer; each cell's rows land
-        in one parquet file."""
+        in one parquet file.  A replayed id committed as a TOMBSTONE
+        segment raises (a skip would silently drop the vectors; a
+        fresh id keeps CDC segment order intact), as does an
+        uncommitted id at or below the fold watermark (its dir would be
+        invisible to every reader — ``_read_runs`` lists only
+        ``s > through``)."""
         if segment_id in self.segments():
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
             return {"segment": segment_id, "skipped": True}
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} was never committed and is at or "
+                f"below base generation {base[0]}'s fold watermark "
+                f"({base[1]}); adding it now would be invisible to readers"
+            )
         seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
         # wipe, don't reuse: a crashed add may have left cell files for a
         # DIFFERENT batch; a retry that routes to a different cell set
@@ -652,15 +743,20 @@ class IvfIndex:
         )[:, :np_]
         if run_dirs is None:
             run_dirs = self._read_runs()
+        # hoist effective segments once per probe: _eff_seg on a base
+        # dir opens+parses its marker JSON, and this loop would
+        # otherwise re-run it per (cell, run_dir) file pair on the
+        # ingest hot path (probe_and_add calls _probe_once per chunk)
+        eff = {d: _eff_seg(d) for d in run_dirs}
         needed = sorted(set(qcells.ravel().tolist()))
         files = [
-            (c, p, self._eff_seg(d))
+            (c, p, eff[d])
             for c in needed
             for d in run_dirs
             for p in [os.path.join(d, f"cell={c:04d}.parquet")]
             if os.path.exists(p)
         ]
-        tombs = self._tombstones_for(run_dirs)
+        tombs = self._tombstones_for(run_dirs, eff)
         files_total = sum(
             1
             for d in run_dirs
@@ -858,8 +954,9 @@ class IvfIndex:
             # tombstones are APPLIED here (physical removal) and dropped:
             # every future add's segment is newer than any folded
             # tombstone, so a folded tombstone can never kill later rows
-            run_segs = [self._eff_seg(d) for d in runs]
-            tombs = self._tombstones_for(runs)
+            eff = {d: _eff_seg(d) for d in runs}
+            run_segs = [eff[d] for d in runs]
+            tombs = self._tombstones_for(runs, eff)
 
             def fold_cell(t: pa.Table) -> pa.Table:
                 out_c, out_n = [], []
@@ -905,8 +1002,6 @@ class IvfIndex:
             {"generation": gen, "through_segment": through, "cells": len(cells)},
         )
         # reclaim the folded runs (markers stay: they are the add ledger)
-        import shutil
-
         for d in runs:
             shutil.rmtree(d, ignore_errors=True)
         return {"skipped": False, "generation": gen, "cells": len(cells)}

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -47,7 +48,14 @@ from nyc_taxi_data_pipeline_ray.pipelines.text import (
     _ragged_pair_indices,
 )
 from nyc_taxi_data_pipeline_ray.state import manifest as mf
-from nyc_taxi_data_pipeline_ray.state.ann_index import _dead_mask
+from nyc_taxi_data_pipeline_ray.state.ann_index import (
+    _check_add_replay,
+    _check_tombstone_replay,
+    _dead_mask,
+    _eff_seg,
+    _ledger_vacuum,
+    _tombstones_for,
+)
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -151,26 +159,14 @@ class MinHashIndex:
         return os.path.join(self.path, f"base-{gen:06d}"), live
 
     def _eff_seg(self, run_dir: str) -> int:
-        """Effective segment of a run dir for tombstone ordering (see
-        :meth:`IvfIndex._eff_seg`): a live segment is its own id; a base
-        is its fold watermark."""
-        name = os.path.basename(run_dir)
-        if name.startswith("seg-"):
-            return int(name[4:])
-        with open(run_dir + ".json") as f:
-            return int(json.load(f)["through_segment"])
+        """See :func:`state.ann_index._eff_seg` (shared ledger layout)."""
+        return _eff_seg(run_dir)
 
-    def _tombstones_for(self, run_dirs: list[str]) -> list[tuple[int, np.ndarray]]:
-        """(segment, sorted doc_ids) per tombstone file among the run
-        dirs (compact() applies and drops them, so a base never carries
-        one)."""
-        out = []
-        for d in run_dirs:
-            p = os.path.join(d, "tombstones.parquet")
-            if os.path.exists(p):
-                ids = pq.read_table(p)["doc_id"].to_numpy(zero_copy_only=False)
-                out.append((self._eff_seg(d), np.sort(ids.astype(np.int64))))
-        return out
+    def _tombstones_for(
+        self, run_dirs: list[str], eff: dict[str, int] | None = None
+    ) -> list[tuple[int, np.ndarray]]:
+        """See :func:`state.ann_index._tombstones_for`."""
+        return _tombstones_for(run_dirs, "doc_id", eff)
 
     # ---------------------------------------------------------------- delete
     def delete(self, doc_ids, segment_id: int) -> dict:
@@ -181,8 +177,17 @@ class MinHashIndex:
         segment order is the CDC order.  Idempotent on segment_id, same
         ledger as :meth:`add`; physical removal happens at
         :meth:`compact`.  ``doc_ids`` is an id array, not a Dataset —
-        deletion lists are metadata-scale."""
+        deletion lists are metadata-scale.
+
+        A replay is only skipped when ``segment_id`` was committed as
+        the SAME tombstone set; a collision with a prior ADD (or a
+        delete of different ids) raises instead of silently reporting
+        ``skipped`` (see :func:`state.ann_index._check_tombstone_replay`)."""
+        ids = np.unique(np.asarray(doc_ids, np.int64))
         if segment_id in self.segments():
+            _check_tombstone_replay(
+                self.path, self._manifest_path(segment_id), segment_id, ids, "doc_id"
+            )
             return {"segment": segment_id, "skipped": True}
         base = self._base()
         if base is not None and base[1] >= segment_id:
@@ -192,11 +197,8 @@ class MinHashIndex:
                 "would be invisible to readers"
             )
         seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
-        import shutil
-
         shutil.rmtree(seg_dir, ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
-        ids = np.unique(np.asarray(doc_ids, np.int64))
         p = os.path.join(seg_dir, "tombstones.parquet")
         pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p + ".tmp")
         os.replace(p + ".tmp", p)
@@ -211,8 +213,6 @@ class MinHashIndex:
         """Remove run DIRECTORIES already folded into the newest base,
         plus a crashed compact's partial output — see
         :func:`state.ann_index._ledger_vacuum` (shared with IvfIndex)."""
-        from nyc_taxi_data_pipeline_ray.state.ann_index import _ledger_vacuum
-
         return _ledger_vacuum(self.path, self._base())
 
     def compact(self) -> dict:
@@ -242,8 +242,9 @@ class MinHashIndex:
         ]
         # tombstones are APPLIED here (physical removal) and dropped:
         # every future add's segment is newer than any folded tombstone
-        seg_effs = [self._eff_seg(d) for d in seg_dirs]
-        tombs = self._tombstones_for(seg_dirs)
+        eff = {d: _eff_seg(d) for d in seg_dirs}
+        seg_effs = [eff[d] for d in seg_dirs]
+        tombs = self._tombstones_for(seg_dirs, eff)
 
         def fold_bucket(batch: pa.Table) -> pa.Table:
             rows = []
@@ -288,8 +289,6 @@ class MinHashIndex:
             {"generation": gen, "through_segment": through},
         )
         # best-effort cleanup of folded runs (manifests stay)
-        import shutil
-
         for d in seg_dirs:
             shutil.rmtree(d, ignore_errors=True)
         return {"compacted": True, "generation": gen, "through_segment": through}
@@ -304,9 +303,21 @@ class MinHashIndex:
 
     def add(self, docs: rd.Dataset, segment_id: int) -> dict:
         """Index a new document batch as one committed segment.
-        Idempotent on segment_id (replay-safe for epoch-driven callers)."""
+        Idempotent on segment_id (replay-safe for epoch-driven callers).
+        A replayed id committed as a TOMBSTONE segment raises (a skip
+        would silently drop the documents), as does an uncommitted id
+        at or below the fold watermark (its dir would be invisible to
+        every reader — live runs are ``s > through``)."""
         if segment_id in self.segments():
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
             return {"segment": segment_id, "skipped": True}
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} was never committed and is at or "
+                f"below base generation {base[0]}'s fold watermark "
+                f"({base[1]}); adding it now would be invisible to readers"
+            )
         return self._commit_rows(self._band_rows_of(docs), segment_id)
 
     def _commit_rows(self, rows: rd.Dataset, segment_id: int) -> dict:
@@ -315,8 +326,6 @@ class MinHashIndex:
         # a DIFFERENT batch; a retry whose docs hash to other buckets
         # would otherwise commit those phantom rows under its manifest
         # (invisible until the manifest lands, so the wipe is safe)
-        import shutil
-
         shutil.rmtree(seg_dir, ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
 
@@ -552,8 +561,9 @@ class MinHashIndex:
     def _probe_band_rows(
         self, probe_rows: rd.Dataset, threshold: float, run_dirs: list[str]
     ) -> pd.DataFrame:
-        run_segs = [self._eff_seg(d) for d in run_dirs]
-        tombs = self._tombstones_for(run_dirs)
+        eff = {d: _eff_seg(d) for d in run_dirs}
+        run_segs = [eff[d] for d in run_dirs]
+        tombs = self._tombstones_for(run_dirs, eff)
 
         def match_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())

@@ -713,3 +713,66 @@ def test_crashed_first_compact_cannot_resurrect_tombstoned_vectors(tmp_path):
     for f in glob.glob(os.path.join(idx.path, "base-*", "cell=*.parquet")):
         stored |= set(pq.read_table(f)["vec_id"].to_pylist())
     assert not stored, f"stale cell files survived: {sorted(stored)[:5]}..."
+
+
+def test_segment_kind_collisions_raise(tmp_path):
+    """A segment id is one ledger entry: replaying delete() against an
+    id committed as an ADD (or vice versa) must raise, not report the
+    same ``skipped: True`` as a benign replay — a CDC epoch mapping
+    both upserts and takedowns to one id would otherwise drop the
+    takedown forever."""
+    import pytest
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)  # segments 0, 1 are adds
+    with pytest.raises(ValueError, match="committed as an ADD"):
+        idx.delete(ids[:3], segment_id=1)
+    idx.delete(ids[:3], segment_id=2)
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.add(_ds(ids[:3], mat[:3]), segment_id=2)
+    # a delete replay with a DIFFERENT id set is not a replay either
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete(ids[:4], segment_id=2)
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete(ids[3:6], segment_id=2)  # same count, different ids
+    # the genuine replay still skips
+    assert idx.delete(ids[:3], segment_id=2) == {"segment": 2, "skipped": True}
+
+
+def test_delete_replay_checks_survive_compaction(tmp_path):
+    """After compact() the tombstone parquet is gone; the replay check
+    degrades to the manifest's kind + count but still catches a
+    different-sized delete and an add collision."""
+    import pytest
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    idx.delete(ids[:3], segment_id=2)
+    idx.compact()
+    assert idx.delete(ids[:3], segment_id=2) == {"segment": 2, "skipped": True}
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete(ids[:5], segment_id=2)
+    with pytest.raises(ValueError, match="committed as an ADD"):
+        idx.delete(ids[:3], segment_id=1)
+
+
+def test_add_below_fold_watermark_raises(tmp_path):
+    """plain add() now has probe_and_add's guard: an UNcommitted
+    segment at or below the fold watermark would be invisible to every
+    reader (``_read_runs`` lists only ``s > through``) — silently lost
+    data, so it raises instead."""
+    import pytest
+
+    ids, mat = _vectors()
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(os.path.join(str(tmp_path), "ivf"), centroids=cent)
+    idx.add(_ds(ids[ids % 2 == 0], mat[ids % 2 == 0]), segment_id=0)
+    idx.add(_ds(ids[ids % 2 == 1], mat[ids % 2 == 1]), segment_id=2)
+    idx.compact()  # through_segment = 2
+    with pytest.raises(ValueError, match="fold watermark"):
+        idx.add(_ds(ids[:3], mat[:3]), segment_id=1)
+    # committed ids still replay-skip (the idempotency contract)
+    assert idx.add(_ds(ids[:3], mat[:3]), segment_id=2) == {
+        "segment": 2,
+        "skipped": True,
+    }

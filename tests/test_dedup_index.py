@@ -439,3 +439,30 @@ def test_crashed_first_compact_cannot_resurrect_tombstoned_docs(tmp_path, corpus
     for f in glob.glob(os.path.join(idx.path, "base-*", "bucket=*.parquet")):
         stored |= set(pq.read_table(f)["doc_id"].to_pylist())
     assert not stored, f"stale bucket files survived: {sorted(stored)[:5]}..."
+
+
+def test_segment_kind_collisions_raise(tmp_path, corpus):
+    """MinHash mirror of the IVF test: delete() replayed against an id
+    committed as an ADD raises (and vice versa), a delete replay with
+    different ids raises, the genuine replay skips — and plain add()
+    now guards the fold watermark like probe_and_add."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    with pytest.raises(ValueError, match="committed as an ADD"):
+        idx.delete([1, 2], segment_id=0)
+    idx.delete([1, 2], segment_id=2)
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.add(rd.from_arrow(arrivals), segment_id=2)
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete([1, 2, 3], segment_id=2)
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete([3, 4], segment_id=2)
+    assert idx.delete([1, 2], segment_id=2) == {"segment": 2, "skipped": True}
+    idx.compact()  # through_segment = 2
+    with pytest.raises(ValueError, match="fold watermark"):
+        idx.add(rd.from_arrow(arrivals), segment_id=1)
+    # post-compact the exact ids are gone; kind + count still guard
+    with pytest.raises(ValueError, match="not a replay"):
+        idx.delete([1, 2, 3], segment_id=2)
+    assert idx.delete([1, 2], segment_id=2) == {"segment": 2, "skipped": True}
