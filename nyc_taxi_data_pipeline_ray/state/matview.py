@@ -242,6 +242,22 @@ ROLE_STATS_SCHEMA = pa.schema(
 )
 
 
+_ROLE_AGG_RENAME = {
+    "role": "role",
+    "n_turns_sum": "n_turns",
+    "total_chars_sum": "total_chars",
+}
+
+
+def _rename_role_agg(out: pa.Table) -> pa.Table:
+    """Rename group_by output BY NAME, not position — pyarrow's
+    key-column placement in aggregate output has differed across
+    majors, and a positional rename would silently mislabel the sums
+    (same reason aggregate_state uses its name map)."""
+    out = out.rename_columns([_ROLE_AGG_RENAME[c] for c in out.schema.names])
+    return out.select([f.name for f in ROLE_STATS_SCHEMA]).cast(ROLE_STATS_SCHEMA)
+
+
 def _fold_diff_batch(t: pa.Table) -> pa.Table:
     """One diff batch -> partial per-role deltas: every before-image is
     a retraction (-1 turn, -chars), every after-image an addition."""
@@ -272,7 +288,7 @@ def _fold_diff_batch(t: pa.Table) -> pa.Table:
         }
     )
     out = part.group_by("role").aggregate([("n_turns", "sum"), ("total_chars", "sum")])
-    return out.rename_columns(["role", "n_turns", "total_chars"]).cast(ROLE_STATS_SCHEMA)
+    return _rename_role_agg(out)
 
 
 class DeltaAggregate:
@@ -329,8 +345,16 @@ class DeltaAggregate:
         groups: dict[str, list[int]] = {}
         if state is not None:
             try:
+                # pin the fold to the watermark being RECORDED: a group
+                # committed between the _watermark_now() read and this
+                # diff would otherwise be folded now AND re-folded by
+                # the next refresh (which diffs from wm_now) — additive
+                # state double-counts forever, unlike the recompute
+                # consumers which self-heal
                 deltas = self._fold(
-                    self.engine.diff(from_epoch=int(state["watermark"]))
+                    self.engine.diff(
+                        from_epoch=int(state["watermark"]), to_epoch=wm_now
+                    )
                 )
                 groups = {r: list(v) for r, v in state["groups"].items()}
                 for role, d_turns, d_chars in deltas:
@@ -343,7 +367,14 @@ class DeltaAggregate:
                 # edge): re-sync from the current snapshot
                 groups = {}
         if mode == "full":
-            snap = self.engine.snapshot(columns=["role", "text"])
+            # same race: snapshot the watermark being recorded, not
+            # whatever has committed since (wm_now == -1 means no
+            # committed group yet — current state IS that, and
+            # as_of_epoch=-1 has no ledger entry to anchor to)
+            snap = self.engine.snapshot(
+                columns=["role", "text"],
+                as_of_epoch=wm_now if wm_now >= 0 else None,
+            )
 
             def partial(t: pa.Table) -> pa.Table:
                 p = pa.table(
@@ -358,7 +389,7 @@ class DeltaAggregate:
                 out = p.group_by("role").aggregate(
                     [("n_turns", "sum"), ("total_chars", "sum")]
                 )
-                return out.rename_columns(["role", "n_turns", "total_chars"])
+                return _rename_role_agg(out)
 
             for role, n, c in self._collect_partials(
                 snap.map_batches(partial, batch_format="pyarrow")

@@ -42,6 +42,20 @@ import ray.data as rd
 from nyc_taxi_data_pipeline_ray.state import manifest as mf
 
 
+def _canon_probe_values(values) -> list[str]:
+    """Render probe values exactly as :meth:`SecondaryIndex.refresh`
+    stores them — through the SAME Arrow string cast.  Python ``str()``
+    disagrees with Arrow's rendering for non-string types (timestamps:
+    ``'2024-01-01 00:00:00'`` vs ``'2024-01-01 00:00:00.000000'``;
+    booleans: ``'True'`` vs ``'true'``), which would silently return
+    zero hits for matching rows.  Nulls are dropped (the index stores
+    no null values)."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return []
+    return sorted(set(pc.cast(pa.array(vals), pa.string()).to_pylist()))
+
+
 def _index_schema(value_type: pa.DataType = pa.string()) -> pa.Schema:
     return pa.schema(
         [
@@ -177,7 +191,7 @@ class SecondaryIndex:
         tasks."""
         from nyc_taxi_data_pipeline_ray.engine import _read_run_pruned
 
-        vals = sorted({str(v) for v in values})
+        vals = _canon_probe_values(values)
         view_path = self.path
         pids = [
             pid
@@ -209,7 +223,7 @@ class SecondaryIndex:
         partitions for a probe (tests assert read < total)."""
         from nyc_taxi_data_pipeline_ray.engine import _read_run_pruned
 
-        vals = sorted({str(v) for v in values})
+        vals = _canon_probe_values(values)
         read = total = hits = 0
         for pid in self.engine._live_pids():
             if self._stored_watermark(pid) is None:

@@ -308,3 +308,32 @@ def test_matview_survives_compaction(tmp_path):
     rep = mv.refresh()
     assert rep["refreshed"] == 0 and rep["reused"] == 4
     _assert_view_equals(mv, _expected(gen.events_table()))
+
+
+def test_delta_aggregate_pins_fold_to_recorded_watermark(tmp_path, monkeypatch):
+    """A commit group landing between the watermark read and the
+    diff/snapshot read must NOT be folded into the stored groups —
+    the next refresh diffs from the recorded watermark and would fold
+    it AGAIN, and additive state double-counts forever (unlike the
+    recompute consumers, which self-heal).  Simulate the race by
+    pinning ``_watermark_now`` below the lake's true watermark."""
+    from nyc_taxi_data_pipeline_ray.state.matview import DeltaAggregate
+
+    gen, wal, eng, _ = _build(str(tmp_path))
+    da = DeltaAggregate(eng, os.path.join(str(tmp_path), "role_stats.json"))
+    eng.apply(wal, max_epochs=1)  # group 0 committed (epoch 0)
+    eng.apply(wal, max_epochs=1)  # group 1 committed (epoch 1)
+    # full-mode race: the reader's watermark scan finished at group 0,
+    # then group 1 committed before the snapshot read
+    monkeypatch.setattr(DeltaAggregate, "_watermark_now", lambda self: 0)
+    assert da.refresh()["mode"] == "full"  # must snapshot as_of_epoch=0
+    monkeypatch.undo()
+    eng.apply(wal)  # group 2 committed
+    # incremental race: reader saw group 1, group 2 landed mid-refresh
+    monkeypatch.setattr(DeltaAggregate, "_watermark_now", lambda self: 1)
+    assert da.refresh()["mode"] == "incremental"  # folds ONLY group 1
+    monkeypatch.undo()
+    assert da.refresh()["mode"] == "incremental"  # folds group 2
+    got = da.table().to_pandas()
+    exp = _expected_role_stats(gen.events_table())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -183,3 +183,54 @@ def test_index_tracks_value_moves(tmp_path):
         zip(old_hits["conv_id"].to_pylist(), old_hits["turn_idx"].to_pylist())
     )
     assert (conv, ti) not in keys
+
+
+def test_nonstring_probe_values_match_stored_rendering(tmp_path):
+    """The index stores values via Arrow's string cast; probes must be
+    rendered the SAME way.  ``str(datetime)`` omits the ``.000000``
+    Arrow prints for whole-second timestamps, so a datetime probe used
+    to return zero hits silently."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from nyc_taxi_data_pipeline_ray import schemas
+    from nyc_taxi_data_pipeline_ray.state.secondary_index import (
+        _canon_probe_values,
+    )
+
+    assert _canon_probe_values([datetime(2031, 1, 1)]) == [
+        "2031-01-01 00:00:00.000000"
+    ]
+    assert str(datetime(2031, 1, 1)) == "2031-01-01 00:00:00"  # why str() lost
+    assert _canon_probe_values([True, None]) == ["true"]
+    assert _canon_probe_values(["a", "a"]) == ["a"]
+
+    gen, wal, eng, _ = _build(str(tmp_path))
+    eng.apply(wal)
+    # a turn at a whole-second timestamp (microsecond == 0)
+    ev = pa.table(
+        {
+            "lsn": pa.array([30_000_000], pa.int64()),
+            "op": pa.array(["insert"]),
+            "epoch": pa.array([SPEC.num_epochs], pa.int32()),
+            "conv_id": pa.array(["conv-ts-probe"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["system"]),
+            "text": pa.array(["whole-second ts"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([pd.Timestamp("2031-01-01").to_datetime64()]),
+        }
+    ).cast(schemas.EVENT_SCHEMA)
+    d = os.path.join(str(tmp_path), "wal", f"epoch={SPEC.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ev, os.path.join(d, "part-0000.parquet"))
+    eng.apply(os.path.join(str(tmp_path), "wal"))
+
+    idx = SecondaryIndex(eng, os.path.join(str(tmp_path), "tsidx"), "ts")
+    idx.refresh()
+    got = _collect(idx.lookup([datetime(2031, 1, 1)]))
+    assert got.num_rows == 1
+    assert got["conv_id"][0].as_py() == "conv-ts-probe"
+    stats = idx.lookup_stats([datetime(2031, 1, 1)])
+    assert stats["hits"] == 1
