@@ -82,7 +82,27 @@ def _key_of(t: pa.Table) -> pa.Array:
 
 class DerivedTable:
     """Keyed derived table kept in sync with the lake by row-level
-    incremental transform (see module docstring)."""
+    incremental transform (see module docstring).
+
+    :class:`CorpusTable` shares this implementation; the granularity
+    knobs are class attributes — ``_changed_keys`` (diff rows -> the
+    key values to re-derive), ``_match_key`` (a table -> the column the
+    patch filters on), ``_SORT_KEYS`` (deterministic output order),
+    ``_COUNT_OUTPUT`` (witness counts transform OUTPUT rows instead of
+    input rows) and the witness field/report names."""
+
+    _SORT_KEYS = (("conv_id", "ascending"), ("turn_idx", "ascending"))
+    _WITNESS_FIELD = "transformed"
+    _REPORT_KEY = "transformed_rows"
+    _COUNT_OUTPUT = False
+
+    @staticmethod
+    def _changed_keys(d: pa.Table) -> pa.Array:
+        return _key_of(d) if d.num_rows else pa.array([], pa.string())
+
+    @staticmethod
+    def _match_key(t: pa.Table):
+        return _key_of(t)
 
     def __init__(self, engine, path: str, transform, name: str = "derived"):
         self.engine = engine
@@ -92,37 +112,28 @@ class DerivedTable:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ watermarks
+    # shared consumer-ledger helpers (manifest.py): every incremental
+    # consumer must agree on the state-changing staleness rule
     def _lake_watermark(self, pid: int) -> int:
-        """Latest commit group that changed this partition's state
-        (same state-changing rule as MaterializedView: rejects-only or
-        empty groups must not invalidate the cache)."""
-        wm = -1
-        for m in mf.read_manifests(self.engine.cfg.path, pid):
-            c = m.get("counters", {})
-            if c.get("upserts", 0) or c.get("deletes", 0):
-                wm = max(wm, int(m["group_id"]))
-        return wm
+        return mf.state_changing_watermark(self.engine.cfg.path, pid)
 
     def _manifest_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.json")
+        return mf.consumer_manifest_path(self.path, pid)
 
     def _data_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.parquet")
+        return mf.consumer_data_path(self.path, pid)
 
     def _stored_watermark(self, pid: int) -> int | None:
-        try:
-            with open(self._manifest_path(pid)) as f:
-                return int(json.load(f)["watermark"])
-        except (OSError, ValueError, KeyError):
-            return None
+        return mf.consumer_stored_watermark(self.path, pid)
 
     # --------------------------------------------------------------- refresh
     def refresh(self) -> dict:
         """Bring the derived table up to the lake ledger.  Returns
-        ``{"refreshed", "reused", "transformed_rows", "rows"}`` —
-        ``transformed_rows`` is the incrementality witness: on a second
-        refresh after a small epoch it counts only the changed rows,
-        not the table size."""
+        ``{"refreshed", "reused", <witness>, "rows"}`` where the
+        witness (``transformed_rows`` here, ``rendered_convs`` for
+        :class:`CorpusTable`) is the incrementality guarantee: on a
+        second refresh after a small epoch it counts only the changed
+        work, not the table size."""
         from nyc_taxi_data_pipeline_ray.engine import (
             _atomic_write_parquet,
             _diff_states,
@@ -132,6 +143,13 @@ class DerivedTable:
         lake_path = self.engine.cfg.path
         view_path = self.path
         transform = self.transform
+        # granularity knobs as locals: the Ray closure must not capture
+        # self (it would drag the engine along into every task)
+        changed_keys = type(self)._changed_keys
+        match_key = type(self)._match_key
+        sort_keys = list(type(self)._SORT_KEYS)
+        count_output = type(self)._COUNT_OUTPUT
+        witness_field = type(self)._WITNESS_FIELD
         pids = self.engine._live_pids()
         stale: list[tuple[int, int, int | None]] = []
         reused = 0
@@ -143,7 +161,7 @@ class DerivedTable:
             else:
                 stale.append((pid, wm, old))
 
-        transformed_total = 0
+        witness_total = 0
         if stale:
 
             def refresh_one(batch: pa.Table) -> pa.Table:
@@ -168,23 +186,21 @@ class DerivedTable:
                         old = None  # full rebuild fallback
                     if old is None:
                         derived = transform(now)
-                        n_trans = now.num_rows
+                        n_work = derived.num_rows if count_output else now.num_rows
                     else:
                         d = _diff_states(before, now)
-                        changed = _key_of(d) if d.num_rows else pa.array([], pa.string())
+                        changed = changed_keys(d)
                         prev = pq.read_table(data_path)
                         keep = prev.filter(
-                            pc.invert(pc.is_in(_key_of(prev), value_set=changed))
+                            pc.invert(pc.is_in(match_key(prev), value_set=changed))
                         )
-                        hit = now.filter(pc.is_in(_key_of(now), value_set=changed))
-                        n_trans = hit.num_rows
+                        hit = now.filter(pc.is_in(match_key(now), value_set=changed))
                         patch = transform(hit)
+                        n_work = patch.num_rows if count_output else hit.num_rows
                         derived = pa.concat_tables(
                             [keep, patch], promote_options="default"
                         )
-                    derived = derived.sort_by(
-                        [("conv_id", "ascending"), ("turn_idx", "ascending")]
-                    ).combine_chunks()
+                    derived = derived.sort_by(sort_keys).combine_chunks()
                     _atomic_write_parquet(data_path, derived)
                     mf.atomic_write_json(
                         os.path.join(view_path, f"p={pid:04d}.json"),
@@ -192,15 +208,15 @@ class DerivedTable:
                             "pid": pid,
                             "watermark": int(wm),
                             "rows": derived.num_rows,
-                            "transformed": int(n_trans),
+                            witness_field: int(n_work),
                         },
                     )
                     out_pid.append(pid)
-                    out_n.append(int(n_trans))
+                    out_n.append(int(n_work))
                 return pa.table(
                     {
                         "pid": pa.array(out_pid, pa.int32()),
-                        "transformed": pa.array(out_n, pa.int64()),
+                        "work": pa.array(out_n, pa.int64()),
                     }
                 )
 
@@ -217,7 +233,7 @@ class DerivedTable:
                 .map_batches(refresh_one, batch_format="pyarrow", batch_size=None)
                 .to_pandas()
             )
-            transformed_total = int(res["transformed"].sum())
+            witness_total = int(res["work"].sum())
 
         rows = 0
         for pid in pids:
@@ -229,7 +245,7 @@ class DerivedTable:
         return {
             "refreshed": len(stale),
             "reused": reused,
-            "transformed_rows": transformed_total,
+            type(self)._REPORT_KEY: witness_total,
             "rows": rows,
         }
 
@@ -256,9 +272,7 @@ class DerivedTable:
         if not batches:
             batches = [self.transform(_empty_state())]
         t = pa.concat_tables(batches, promote_options="default")
-        return t.sort_by(
-            [("conv_id", "ascending"), ("turn_idx", "ascending")]
-        ).combine_chunks()
+        return t.sort_by(list(type(self)._SORT_KEYS)).combine_chunks()
 
 
 def enrich_turns(state: pa.Table) -> pa.Table:
@@ -325,169 +339,36 @@ def render_conversations(state: pa.Table) -> pa.Table:
     )
 
 
-class CorpusTable:
+class CorpusTable(DerivedTable):
     """GROUP-granular incremental derived table: one output row per
     CONVERSATION, re-rendered only for conversations whose turn set
     changed — the incremental corpus-refresh bridge (continuous
     pretraining-data maintenance: an epoch that touches 0.1% of
     conversations re-renders 0.1% of documents, not the corpus).
 
-    Same machinery as :class:`DerivedTable` (diff-driven staleness,
+    The machinery IS :class:`DerivedTable` (diff-driven staleness,
     partition-local work, idempotent tmp+rename patch, full-rebuild
-    fallback below the compaction watermark) at conversation
-    granularity: the changed-key set from the diff is projected to
+    fallback below the compaction watermark) with the granularity
+    knobs retuned: the changed-key set from the diff is projected to
     distinct ``conv_id``s, ALL current rows of those conversations are
     re-read (a group transform needs the whole group, not just changed
-    turns), and the per-partition corpus file is patched by conv_id.
-    ``transform`` maps a state subset to one row per conv_id present.
-    """
+    turns), the per-partition corpus file is patched by conv_id, and
+    the witness (``rendered_convs``) counts transform OUTPUT rows —
+    documents rendered, not turns read.  ``transform`` maps a state
+    subset to one row per conv_id present."""
+
+    _SORT_KEYS = (("conv_id", "ascending"),)
+    _WITNESS_FIELD = "rendered"
+    _REPORT_KEY = "rendered_convs"
+    _COUNT_OUTPUT = True
+
+    @staticmethod
+    def _changed_keys(d: pa.Table) -> pa.Array:
+        return pc.unique(d["conv_id"]) if d.num_rows else pa.array([], pa.string())
+
+    @staticmethod
+    def _match_key(t: pa.Table):
+        return t["conv_id"]
 
     def __init__(self, engine, path: str, transform=render_conversations):
-        self.engine = engine
-        self.path = path
-        self.transform = transform
-        os.makedirs(path, exist_ok=True)
-
-    _lake_watermark = DerivedTable._lake_watermark
-    _manifest_path = DerivedTable._manifest_path
-    _data_path = DerivedTable._data_path
-    _stored_watermark = DerivedTable._stored_watermark
-
-    def refresh(self) -> dict:
-        """Returns ``{"refreshed", "reused", "rendered_convs", "rows"}``
-        — ``rendered_convs`` is the group-level incrementality
-        witness."""
-        from nyc_taxi_data_pipeline_ray.engine import (
-            _atomic_write_parquet,
-            _diff_states,
-            _read_partition_state,
-        )
-
-        lake_path = self.engine.cfg.path
-        view_path = self.path
-        transform = self.transform
-        pids = self.engine._live_pids()
-        stale: list[tuple[int, int, int | None]] = []
-        reused = 0
-        for pid in pids:
-            wm = self._lake_watermark(pid)
-            old = self._stored_watermark(pid)
-            if old == wm:
-                reused += 1
-            else:
-                stale.append((pid, wm, old))
-
-        rendered_total = 0
-        if stale:
-
-            def refresh_one(batch: pa.Table) -> pa.Table:
-                out_pid, out_n = [], []
-                for pid, wm, old in zip(
-                    batch["pid"].to_pylist(),
-                    batch["wm"].to_pylist(),
-                    batch["old"].to_pylist(),
-                ):
-                    pid = int(pid)
-                    now = _read_partition_state(lake_path, pid)
-                    if now is None:
-                        now = _empty_state()
-                    before = None
-                    if old is not None:
-                        try:
-                            before = _read_partition_state(lake_path, pid, int(old))
-                        except Exception:
-                            before = None
-                    data_path = os.path.join(view_path, f"p={pid:04d}.parquet")
-                    if before is None and old is not None:
-                        old = None
-                    if old is None:
-                        derived = transform(now)
-                        n_rend = derived.num_rows
-                    else:
-                        d = _diff_states(before, now)
-                        changed = (
-                            pc.unique(d["conv_id"])
-                            if d.num_rows
-                            else pa.array([], pa.string())
-                        )
-                        prev = pq.read_table(data_path)
-                        keep = prev.filter(
-                            pc.invert(pc.is_in(prev["conv_id"], value_set=changed))
-                        )
-                        hit = now.filter(pc.is_in(now["conv_id"], value_set=changed))
-                        patch = transform(hit)
-                        n_rend = patch.num_rows
-                        derived = pa.concat_tables(
-                            [keep, patch], promote_options="default"
-                        )
-                    derived = derived.sort_by(
-                        [("conv_id", "ascending")]
-                    ).combine_chunks()
-                    _atomic_write_parquet(data_path, derived)
-                    mf.atomic_write_json(
-                        os.path.join(view_path, f"p={pid:04d}.json"),
-                        {
-                            "pid": pid,
-                            "watermark": int(wm),
-                            "rows": derived.num_rows,
-                            "rendered": int(n_rend),
-                        },
-                    )
-                    out_pid.append(pid)
-                    out_n.append(int(n_rend))
-                return pa.table(
-                    {
-                        "pid": pa.array(out_pid, pa.int32()),
-                        "rendered": pa.array(out_n, pa.int64()),
-                    }
-                )
-
-            work = pa.table(
-                {
-                    "pid": pa.array([p for p, _, _ in stale], pa.int32()),
-                    "wm": pa.array([w for _, w, _ in stale], pa.int64()),
-                    "old": pa.array([o for _, _, o in stale], pa.int64()),
-                }
-            )
-            res = (
-                rd.from_arrow(work)
-                .repartition(len(stale))
-                .map_batches(refresh_one, batch_format="pyarrow", batch_size=None)
-                .to_pandas()
-            )
-            rendered_total = int(res["rendered"].sum())
-
-        rows = 0
-        for pid in pids:
-            try:
-                with open(self._manifest_path(pid)) as f:
-                    rows += int(json.load(f)["rows"])
-            except (OSError, ValueError, KeyError):
-                pass
-        return {
-            "refreshed": len(stale),
-            "reused": reused,
-            "rendered_convs": rendered_total,
-            "rows": rows,
-        }
-
-    def read(self) -> rd.Dataset:
-        paths = [
-            self._data_path(pid)
-            for pid in self.engine._live_pids()
-            if self._stored_watermark(pid) is not None
-            and os.path.exists(self._data_path(pid))
-        ]
-        if not paths:
-            return rd.from_arrow(self.transform(_empty_state()))
-        return rd.read_parquet(paths)
-
-    def table(self) -> pa.Table:
-        batches = [
-            b if isinstance(b, pa.Table) else pa.table(b)
-            for b in self.read().iter_batches(batch_format="pyarrow")
-        ]
-        if not batches:
-            batches = [self.transform(_empty_state())]
-        t = pa.concat_tables(batches, promote_options="default")
-        return t.sort_by([("conv_id", "ascending")]).combine_chunks()
+        super().__init__(engine, path, transform, name="corpus")

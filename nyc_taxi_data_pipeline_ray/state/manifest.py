@@ -107,6 +107,45 @@ def read_manifests(lake_path: str, pid: int) -> list[dict]:
     return out
 
 
+def state_changing_watermark(lake_path: str, pid: int) -> int:
+    """Latest commit group that CHANGED a partition's merged state.
+
+    The engine writes a manifest for every partition in every commit
+    group (the exactly-once ledger needs that), but a group that
+    delivered no upserts/deletes there (empty slice, or rejects-only)
+    leaves the merged state untouched, so it must not invalidate an
+    incremental consumer's cached partition.  Shared by every
+    incremental consumer (MaterializedView, DerivedTable/CorpusTable,
+    SecondaryIndex) — they must agree on the staleness rule or reuse
+    witnesses silently diverge."""
+    wm = -1
+    for m in read_manifests(lake_path, pid):
+        c = m.get("counters", {})
+        if c.get("upserts", 0) or c.get("deletes", 0):
+            wm = max(wm, int(m["group_id"]))
+    return wm
+
+
+def consumer_manifest_path(view_path: str, pid: int) -> str:
+    """Per-partition manifest of an incremental consumer's own output
+    (records the lake watermark the partition's file reflects)."""
+    return os.path.join(view_path, f"p={pid:04d}.json")
+
+
+def consumer_data_path(view_path: str, pid: int) -> str:
+    return os.path.join(view_path, f"p={pid:04d}.parquet")
+
+
+def consumer_stored_watermark(view_path: str, pid: int) -> int | None:
+    """Watermark recorded by a consumer's committed partition manifest,
+    or None when missing/corrupt (treated as stale)."""
+    try:
+        with open(consumer_manifest_path(view_path, pid)) as f:
+            return int(json.load(f)["watermark"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def delta_runs(lake_path: str, pid: int) -> list[tuple[int, str]]:
     """Committed delta runs, oldest first: [(epoch, path)].
 

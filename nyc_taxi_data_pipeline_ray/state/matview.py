@@ -116,34 +116,19 @@ class MaterializedView:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ watermarks
+    # shared consumer-ledger helpers (manifest.py): every incremental
+    # consumer must agree on the state-changing staleness rule
     def _lake_watermark(self, pid: int) -> int:
-        """Latest commit group that CHANGED this partition's state.
-
-        The engine writes a manifest for every partition in every
-        commit group (the exactly-once ledger needs that), but a group
-        that delivered no upserts/deletes here (empty slice, or
-        rejects-only) leaves the merged state — and therefore the view
-        — untouched, so it must not invalidate the cached partition.
-        """
-        wm = -1
-        for m in mf.read_manifests(self.engine.cfg.path, pid):
-            c = m.get("counters", {})
-            if c.get("upserts", 0) or c.get("deletes", 0):
-                wm = max(wm, int(m["group_id"]))
-        return wm
+        return mf.state_changing_watermark(self.engine.cfg.path, pid)
 
     def _view_manifest_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.json")
+        return mf.consumer_manifest_path(self.path, pid)
 
     def _view_data_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.parquet")
+        return mf.consumer_data_path(self.path, pid)
 
     def _view_watermark(self, pid: int) -> int | None:
-        try:
-            with open(self._view_manifest_path(pid)) as f:
-                return int(json.load(f)["watermark"])
-        except (OSError, ValueError, KeyError):
-            return None
+        return mf.consumer_stored_watermark(self.path, pid)
 
     # --------------------------------------------------------------- refresh
     def refresh(self) -> dict:

@@ -77,26 +77,19 @@ class SecondaryIndex:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ watermarks
+    # shared consumer-ledger helpers (manifest.py): every incremental
+    # consumer must agree on the state-changing staleness rule
     def _lake_watermark(self, pid: int) -> int:
-        wm = -1
-        for m in mf.read_manifests(self.engine.cfg.path, pid):
-            c = m.get("counters", {})
-            if c.get("upserts", 0) or c.get("deletes", 0):
-                wm = max(wm, int(m["group_id"]))
-        return wm
+        return mf.state_changing_watermark(self.engine.cfg.path, pid)
 
     def _manifest_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.json")
+        return mf.consumer_manifest_path(self.path, pid)
 
     def _data_path(self, pid: int) -> str:
-        return os.path.join(self.path, f"p={pid:04d}.parquet")
+        return mf.consumer_data_path(self.path, pid)
 
     def _stored_watermark(self, pid: int) -> int | None:
-        try:
-            with open(self._manifest_path(pid)) as f:
-                return int(json.load(f)["watermark"])
-        except (OSError, ValueError, KeyError):
-            return None
+        return mf.consumer_stored_watermark(self.path, pid)
 
     # --------------------------------------------------------------- refresh
     def refresh(self) -> dict:
