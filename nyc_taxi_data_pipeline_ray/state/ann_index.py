@@ -902,7 +902,16 @@ class IvfIndex:
             rd.from_arrow(desc)
             .repartition(len(files))
             .map_batches(probe_file, batch_format="pyarrow", batch_size=None)
+            # materialize before the groupby: it is top-k-per-file-sized
+            # (<= files x nq x k rows), and when EVERY file task returns
+            # empty (all probed rows tombstoned, or every candidate is a
+            # self-match) the all-empty blocks lose their schema and
+            # groupby("qid") would raise KeyError instead of returning
+            # the empty result
+            .materialize()
         )
+        if partial.count() == 0:
+            return _empty_topk().to_pandas(), stats
 
         def final_topk(g: pd.DataFrame) -> pd.DataFrame:
             return g.sort_values(

@@ -776,3 +776,18 @@ def test_add_below_fold_watermark_raises(tmp_path):
         "segment": 2,
         "skipped": True,
     }
+
+
+def test_probe_after_deleting_everything_returns_empty(tmp_path):
+    """Probing an index whose probed rows are ALL tombstoned must
+    return the empty top-k, not crash: every probe_file task returns
+    an empty table, the all-empty blocks lose their schema, and the
+    final groupby("qid") used to raise KeyError."""
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    idx.delete(ids, segment_id=2)
+    df, _ = idx.probe(ids[:4], mat[:4], k=5, nprobe=idx.ncells)
+    assert df.empty and list(df.columns) == ["qid", "vec_id", "sim"]
+    idx.compact()  # physical removal: the no-files path must agree
+    df2, _ = idx.probe(ids[:4], mat[:4], k=5, nprobe=idx.ncells)
+    assert df2.empty
