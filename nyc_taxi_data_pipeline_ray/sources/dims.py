@@ -49,14 +49,16 @@ def dim_tools() -> pa.Table:
     )
 
 
-def date_spine(start: str = "2025-01-01", end: str = "2025-12-31") -> pa.Table:
+def date_spine(start: str = "2025-01-01", end: str = "2026-01-01") -> pa.Table:
     """Generated calendar dimension at full reference parity (the
     dim_date analog, ``nyc_taxi_dbt/models/marts/core/dim_date.sql:6-82``:
     date parts, names, period starts/ends, business-day + holiday flags,
     special events, and an era label — the reference's COVID-period
     column re-flavored as a transcript platform era).  Vectorized via
-    pandas DatetimeIndex kernels, no recursive CTE; ``[start, end)``.
-    """
+    pandas DatetimeIndex kernels, no recursive CTE; ``[start, end)``
+    half-open, so the defaults cover all of 2025 INCLUDING Dec 31 (an
+    end of 12-31 would silently drop New Year's Eve — facts on that day
+    would join to null flags)."""
     import numpy as np
     import pandas as pd
 

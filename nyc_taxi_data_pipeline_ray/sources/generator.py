@@ -25,6 +25,7 @@ no wall clock, no global RNG state.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -147,8 +148,11 @@ class WalGenerator:
         conv_id = np.char.mod("c%08d", conv).astype(object)
 
         is_del = op == "delete"
-        valid_mask = np.ones(n, dtype=bool)
         if sp.invalid_fraction > 0:
+            # expected validity is NOT emitted as a column: the oracle
+            # and stages.validate re-derive it from the corrupted values
+            # themselves, so the generator can't accidentally agree with
+            # the validator by construction
             bad = rng.random(n) < sp.invalid_fraction
             kind = rng.integers(0, 3, n)
             conv_id = conv_id.astype(object)
@@ -157,7 +161,6 @@ class WalGenerator:
             turn[bad & (kind == 1)] = -1
             role = role.astype(object)
             role[bad & (kind == 2) & ~is_del] = "robot"
-            valid_mask = ~bad | (is_del & (kind == 2))
 
         # per-write-unique payload: " #<lsn>" suffix catches any wrong LWW
         # winner in the text-equality oracle.  Concat in Arrow (var-length)
@@ -215,6 +218,12 @@ class WalGenerator:
     def write_epoch(self, wal_dir: str, epoch: int) -> str:
         t = self._epoch_table(epoch)
         d = os.path.join(wal_dir, f"epoch={epoch:06d}")
+        # wipe, don't layer: a previous run with a different spec (e.g.
+        # smaller rows_per_file) may have left MORE part files than this
+        # write produces; a glob reader would ingest those stale events
+        # alongside the fresh ones.  Rewriting from scratch is what
+        # "idempotent" promises.
+        shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         rpf = self.spec.rows_per_file
         for i, start in enumerate(range(0, t.num_rows, rpf)):

@@ -5,11 +5,12 @@ derivation (``nyc_taxi_dbt/models/marts/core/dim_zones.sql:5-8``:
 airport/manhattan flags from name patterns): a reusable first-match
 rule engine over a string column.
 
-Ray-Data shape: a callable CLASS for ``map_batches`` — substring
-matchers (or compiled RE2 regexes via ``match_substring_regex``) are
-prepared ONCE per actor in ``__init__``; each batch is one vectorized
-Arrow ``match_substring`` per rule + a single ``np.select``.  No per-row
-Python.
+Ray-Data shape: a callable CLASS for ``map_batches`` — the rule list is
+validated and frozen once per actor in ``__init__``; each batch is one
+vectorized Arrow ``match_substring``/``match_substring_regex`` per rule
++ a single ``np.select``.  (Arrow's RE2 compile happens inside the
+kernel per call — there is no precompiled-pattern handle to hold — but
+it is a rounding error next to the match itself.)  No per-row Python.
 """
 
 from __future__ import annotations
@@ -17,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from nyc_taxi_data_pipeline_ray.stages import replace_column
 
 
 class PatternCategorizer:
@@ -47,6 +50,11 @@ class PatternCategorizer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         col = t[self.column]
+        if not self.rules:
+            # np.select rejects an empty condition list; no rules means
+            # everything takes the default label
+            labels = np.full(t.num_rows, self.default, object)
+            return replace_column(t, self.out_col, pa.array(labels, pa.string()))
         match = pc.match_substring_regex if self.regex else pc.match_substring
         masks = [
             pc.fill_null(match(col, pat, ignore_case=self.ignore_case), False).to_numpy(
@@ -55,6 +63,6 @@ class PatternCategorizer:
             for pat, _ in self.rules
         ]
         labels = np.select(masks, [lab for _, lab in self.rules], default=self.default)
-        if self.out_col in t.schema.names:
-            t = t.drop_columns([self.out_col])
-        return t.append_column(self.out_col, pa.array(labels.astype(object), pa.string()))
+        return replace_column(
+            t, self.out_col, pa.array(labels.astype(object), pa.string())
+        )

@@ -134,8 +134,23 @@ def transcript_checks() -> list[Check]:
 
 def run_checks(ds: rd.Dataset, checks: list[Check]) -> dict:
     """Run every check in ONE distributed pass; returns
-    ``{check_name: violation_count}`` plus ``rows`` and ``passed``."""
+    ``{check_name: violation_count}`` plus ``rows`` and ``passed``.
+
+    Check names must be unique (generated names encode only the column,
+    so e.g. two ``in_range('v', ...)`` checks collide): the per-batch
+    counts are keyed by name, and a silent overwrite would let the
+    quality gate report ``passed`` while the clobbered check has
+    violations — so duplicates (and the reserved ``_rows``/``rows``/
+    ``passed`` keys) raise instead."""
     names = [c.name for c in checks]
+    reserved = {"_rows", "rows", "passed"}
+    dupes = {n for n in names if names.count(n) > 1} | (set(names) & reserved)
+    if dupes:
+        raise ValueError(
+            f"duplicate or reserved check names {sorted(dupes)}: give each "
+            "check a distinct name (Check(name=...)) so no count is "
+            "silently overwritten"
+        )
 
     def count_violations(t: pa.Table) -> pa.Table:
         row = {"_rows": [t.num_rows]}

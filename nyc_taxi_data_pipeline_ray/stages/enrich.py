@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from nyc_taxi_data_pipeline_ray.stages import replace_column
+
 
 def derive_turn_features(batch: pa.Table) -> pa.Table:
     """Vectorized per-turn derived columns (P7/P8/P10/P11 analogs):
@@ -35,7 +37,11 @@ def derive_turn_features(batch: pa.Table) -> pa.Table:
     dow = pc.day_of_week(ts)  # 0=Mon
     text = pc.fill_null(batch["text"], "")
     n_chars = pc.utf8_length(text)
-    n_words = pc.list_value_length(pc.ascii_split_whitespace(text))
+    # count non-space runs: ascii_split_whitespace emits boundary empty
+    # tokens (1 for "", 3 for "a b "), which inflated word counts for
+    # empty/whitespace-edged text — the regex count is 0 for "" and
+    # matches str.split() semantics exactly
+    n_words = pc.count_substring_regex(text, r"\S+")
 
     h = hour.combine_chunks().to_numpy(zero_copy_only=False)
     bucket = np.select(
@@ -54,9 +60,7 @@ def derive_turn_features(batch: pa.Table) -> pa.Table:
         ("n_words", pc.cast(n_words, pa.int64())),
         ("is_tool_call", batch["tool"].is_valid()),
     ]:
-        if name in out.schema.names:
-            out = out.drop_columns([name])
-        out = out.append_column(name, col)
+        out = replace_column(out, name, col)
     return out
 
 
@@ -76,10 +80,7 @@ class BroadcastEnrich:
             dim_key = dim.column_names[0]
             idx = pc.index_in(batch[key], value_set=dim[dim_key])
             for name in dim.column_names[1:]:
-                col = pc.take(dim[name], idx)
-                if name in batch.schema.names:
-                    batch = batch.drop_columns([name])
-                batch = batch.append_column(name, col)
+                batch = replace_column(batch, name, pc.take(dim[name], idx))
         return batch
 
 

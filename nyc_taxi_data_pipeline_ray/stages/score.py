@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nyc_taxi_data_pipeline_ray.stages import replace_column
+
 #: (flag name, points) — rule weights; masks computed in score_batch
 RULES = [
     ("empty_text", 25),
@@ -77,10 +79,5 @@ def score_batch(batch: pa.Table) -> pa.Table:
         pa.array(offsets, pa.int32()), pa.array(names[rule_nz], pa.string())
     )
 
-    out = batch
-    for col in (SCORE_COL, FLAGS_COL):
-        if col in out.schema.names:
-            out = out.drop_columns([col])
-    out = out.append_column(SCORE_COL, pa.array(score, pa.int32()))
-    out = out.append_column(FLAGS_COL, flag_col)
-    return out
+    out = replace_column(batch, SCORE_COL, pa.array(score, pa.int32()))
+    return replace_column(out, FLAGS_COL, flag_col)

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 from nyc_taxi_data_pipeline_ray import schemas
 
+from nyc_taxi_data_pipeline_ray.stages import replace_column
+
 VALID_COL = "_valid"
 
 
@@ -70,9 +72,7 @@ def reject_reasons(batch: pa.Table) -> list[str]:
 
 def tag_valid(batch: pa.Table) -> pa.Table:
     """map_batches stage: appends the ``_valid`` boolean column."""
-    if VALID_COL in batch.schema.names:
-        batch = batch.drop_columns([VALID_COL])
-    return batch.append_column(VALID_COL, validity_mask(batch))
+    return replace_column(batch, VALID_COL, validity_mask(batch))
 
 
 def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
