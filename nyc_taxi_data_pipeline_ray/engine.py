@@ -1510,7 +1510,11 @@ class CdcEngine:
                     state = pa.table(
                         {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
                     )
-                keep = [c for c in state.schema.names if c not in ("op", "epoch", mg.NSRC)]
+                keep = [
+                    c
+                    for c in state.schema.names
+                    if c not in (*schemas.INTERNAL_COLUMNS, mg.NSRC)
+                ]
                 _atomic_write_parquet(
                     os.path.join(out_dir, f"part-p{pid:04d}.parquet"),
                     state.select(keep),
@@ -2565,7 +2569,9 @@ def _read_partition_state(
     if not runs:
         return None
     merged = mg.merge_runs(runs, drop_tombstones=True)
-    return merged.drop_columns([c for c in ("op", "epoch") if c in merged.schema.names])
+    return merged.drop_columns(
+        [c for c in schemas.INTERNAL_COLUMNS if c in merged.schema.names]
+    )
 
 
 def _partition_run_paths(lake_path: str, pid: int) -> list[str]:
@@ -2712,7 +2718,9 @@ def _read_keys_pruned_once(
         return None, read, total
     merged = mg.merge_runs(runs, drop_tombstones=True)
     return (
-        merged.drop_columns([c for c in ("op", "epoch") if c in merged.schema.names]),
+        merged.drop_columns(
+            [c for c in schemas.INTERNAL_COLUMNS if c in merged.schema.names]
+        ),
         read,
         total,
     )

@@ -46,7 +46,14 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
 
 
 def read_parquet_clean(path: str, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
-    if isinstance(path, str) and path.endswith(".parquet") and "schema" not in kwargs:
+    if (
+        isinstance(path, str)
+        and path.endswith(".parquet")
+        and "schema" not in kwargs
+        # a DIRECTORY named *.parquet (Spark-style output layout) would
+        # crash pq.read_schema; the strip-stage fallback reads it fine
+        and os.path.isfile(path)
+    ):
         # pass the (column-pruned) file schema with the pandas key-value
         # metadata stripped (driver-side footer read): read tasks then
         # emit metadata-free blocks directly and no strip stage is needed

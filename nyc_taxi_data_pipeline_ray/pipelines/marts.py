@@ -37,7 +37,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from nyc_taxi_data_pipeline_ray.sources import dims as dims_mod
-from nyc_taxi_data_pipeline_ray.stages import enrich, score
+from nyc_taxi_data_pipeline_ray.stages import enrich, replace_column, score
 
 
 def _with_features(ds: rd.Dataset) -> rd.Dataset:
@@ -54,11 +54,10 @@ def conversation_rollup(ds: rd.Dataset) -> rd.Dataset:
         batch = enrich.derive_turn_features(batch)
         is_asst = pc.equal(pc.fill_null(batch["role"], ""), "assistant")
         asst_chars = pc.if_else(is_asst, batch["n_chars"], pa.scalar(0, pa.int64()))
-        batch = batch.append_column("asst_chars", asst_chars)
-        batch = batch.append_column(
-            "is_tool_i", pc.cast(batch["is_tool_call"], pa.int64())
+        batch = replace_column(batch, "asst_chars", asst_chars)
+        return replace_column(
+            batch, "is_tool_i", pc.cast(batch["is_tool_call"], pa.int64())
         )
-        return batch
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -81,9 +80,21 @@ def daily_rollup(ds: rd.Dataset) -> pd.DataFrame:
     ``count(distinct pickup_date)`` analog, ``agg_monthly.sql:9``) —
     distinct via a two-level groupby cascade (partial/final pattern,
     ``agg_yearly.sql:14``)."""
-    feat = _with_features(ds)
+    # project to exactly the two columns the aggregate needs — running
+    # the full feature stage (regex word count, day buckets) here would
+    # burn CPU and widen every row entering the shuffle
+    def day_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts_date": pc.floor_temporal(t["ts"], unit="day"),
+                "conv_id": t["conv_id"],
+            }
+        )
+
     per_day_conv = (
-        feat.groupby(["ts_date", "conv_id"]).aggregate(Count(alias_name="turns"))
+        ds.map_batches(day_key, batch_format="pyarrow")
+        .groupby(["ts_date", "conv_id"])
+        .aggregate(Count(alias_name="turns"))
     )
     out = (
         per_day_conv.groupby("ts_date")
@@ -114,7 +125,9 @@ def top_conversations(ds: rd.Dataset, *, min_turns: int = 2, k: int = 100) -> pd
             lambda t: t.filter(pc.greater_equal(t["n_turns"], min_turns)),
             batch_format="pyarrow",
         )
-        .sort("total_chars", descending=True)
+        # conv_id tiebreak: a bare total_chars sort leaves tie order (and
+        # the k-boundary membership) nondeterministic across runs
+        .sort(["total_chars", "conv_id"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
@@ -124,9 +137,20 @@ def top_conversations(ds: rd.Dataset, *, min_turns: int = 2, k: int = 100) -> pd
 def role_activity(ds: rd.Dataset) -> pd.DataFrame:
     """Per-role activity + percent_rank (``insight_zone_heatmap.sql:3-42``);
     4 groups -> driver-side rank/n."""
-    feat = _with_features(ds)
+    # same projection discipline as daily_rollup: only role + n_chars
+    def role_chars(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": t["role"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()
+                ),
+            }
+        )
+
     df = (
-        feat.groupby("role")
+        ds.map_batches(role_chars, batch_format="pyarrow")
+        .groupby("role")
         .aggregate(Count(alias_name="n_turns"), Sum("n_chars", alias_name="total_chars"))
         .to_pandas()
     )

@@ -30,6 +30,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from nyc_taxi_data_pipeline_ray.stages import replace_column
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -131,14 +133,15 @@ def synthetic_media_table(n: int = 200, seed: int = 42) -> pa.Table:
     is_img = kinds == "image"
     return pa.table(
         {
-            "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "kind": pa.array(kinds.astype(object), pa.string()),
-            "payload": pa.array(payload, pa.binary()),
-            "width": pa.array(np.where(is_img, width, None), pa.int32()),
-            "height": pa.array(np.where(is_img, height, None), pa.int32()),
-            "sample_rate": pa.array(np.where(~is_img, sr_arr, None), pa.int32()),
-            "duration_ms": pa.array(np.where(~is_img, dur, None), pa.int32()),
-        }
+            "media_id": np.arange(n, dtype=np.int64),
+            "kind": kinds.astype(object),
+            "payload": payload,
+            "width": np.where(is_img, width, None),
+            "height": np.where(is_img, height, None),
+            "sample_rate": np.where(~is_img, sr_arr, None),
+            "duration_ms": np.where(~is_img, dur, None),
+        },
+        schema=MEDIA_SCHEMA,
     )
 
 
@@ -213,9 +216,15 @@ class DecodeMedia:
             else:
                 feats[i] = self._stub_features(b)
         out = t.drop_columns(["payload"])
-        out = out.append_column("payload_bytes", pa.array(sizes))
-        out = out.append_column("real_decode", pa.array(real))
-        out = out.append_column("features", pa.array(list(feats)))
+        out = replace_column(out, "payload_bytes", pa.array(sizes))
+        out = replace_column(out, "real_decode", pa.array(real))
+        # type-stable even for a 0-row batch: pa.array([]) would infer
+        # NULL type and break schema unification across blocks
+        out = replace_column(
+            out,
+            "features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), 16),
+        )
         return out
 
 
@@ -225,10 +234,13 @@ def resize_spec(t: pa.Table, *, max_dim: int = 224) -> pa.Table:
     w = t["width"].to_numpy(zero_copy_only=False).astype(np.float64)
     h = t["height"].to_numpy(zero_copy_only=False).astype(np.float64)
     scale = np.minimum(1.0, max_dim / np.maximum(np.maximum(w, h), 1))
-    tw = np.where(np.isnan(w), np.nan, np.round(w * scale))
-    th = np.where(np.isnan(h), np.nan, np.round(h * scale))
-    t = t.append_column("target_w", pa.array(tw, pa.float64()))
-    t = t.append_column("target_h", pa.array(th, pa.float64()))
+    # same >=1 clamp as DecodeMedia._image_features: the plan must agree
+    # with execution (a 1x500 image at max_dim=224 would otherwise plan
+    # a 0-pixel width the decode path never produces)
+    tw = np.where(np.isnan(w), np.nan, np.maximum(np.round(w * scale), 1))
+    th = np.where(np.isnan(h), np.nan, np.maximum(np.round(h * scale), 1))
+    t = replace_column(t, "target_w", pa.array(tw, pa.float64()))
+    t = replace_column(t, "target_h", pa.array(th, pa.float64()))
     return t
 
 
@@ -236,7 +248,7 @@ def frame_sample_spec(t: pa.Table, *, every_ms: int = 1000) -> pa.Table:
     """Frame/segment sampling plan for audio/video rows."""
     dur = t["duration_ms"].to_numpy(zero_copy_only=False).astype(np.float64)
     n_frames = np.where(np.isnan(dur), np.nan, np.ceil(dur / every_ms))
-    return t.append_column("n_samples", pa.array(n_frames, pa.float64()))
+    return replace_column(t, "n_samples", pa.array(n_frames, pa.float64()))
 
 
 def media_pipeline(ds: rd.Dataset, *, batch_size: int = 256, concurrency: int = 2) -> rd.Dataset:

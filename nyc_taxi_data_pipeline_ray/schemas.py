@@ -45,31 +45,19 @@ EVENT_SCHEMA = pa.schema(
     + list(TRANSCRIPT_SCHEMA)
 )
 
-#: Schema-evolution v2: adds a nullable ``model`` column (F4 add-column).
-TRANSCRIPT_SCHEMA_V2 = TRANSCRIPT_SCHEMA.append(pa.field("model", pa.string()))
-
-EVENT_SCHEMA_V2 = pa.schema(
-    [
-        ("lsn", pa.int64()),
-        ("op", pa.string()),
-        ("epoch", pa.int32()),
-    ]
-    + list(TRANSCRIPT_SCHEMA_V2)
-)
-
-#: Key columns of the lake (merge key of the upsert).
+#: Key columns of the lake (merge key of the upsert); consumed by
+#: ``state.merge`` for the LWW sort/winner selection.
 KEY_COLUMNS = ("conv_id", "turn_idx")
 
-#: Last-writer-wins ordering columns (later wins; ``lsn`` breaks ``ts`` ties).
+#: Last-writer-wins ordering columns (later wins; ``lsn`` breaks ``ts``
+#: ties); consumed by ``state.merge``.
 LWW_COLUMNS = ("ts", "lsn")
 
-#: Columns internal to the engine, excluded from the public snapshot by default.
-INTERNAL_COLUMNS = ("lsn", "op", "epoch")
-
-
-def payload_columns(schema: pa.Schema) -> list[str]:
-    """Columns of an event schema that belong to the transcript payload."""
-    return [name for name in schema.names if name not in INTERNAL_COLUMNS]
+#: Envelope columns dropped from the public snapshot (``lsn`` is NOT
+#: internal: snapshots retain it as the winner's provenance and the
+#: equality oracle compares it); consumed by the engine's merged-state
+#: readers.
+INTERNAL_COLUMNS = ("op", "epoch")
 
 
 def unify(*schemas: pa.Schema) -> pa.Schema:

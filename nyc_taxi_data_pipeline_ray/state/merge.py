@@ -29,12 +29,10 @@ RUN_SEQ = "_run_seq"
 #: (kept exact across combiner stages so manifest counters reconcile).
 NSRC = "_nsrc"
 
+# merge key, then LWW order, then run order — the last row per key wins
 _SORT_KEYS = [
-    ("conv_id", "ascending"),
-    ("turn_idx", "ascending"),
-    ("ts", "ascending"),
-    ("lsn", "ascending"),
-    (RUN_SEQ, "ascending"),
+    (c, "ascending")
+    for c in (*schemas.KEY_COLUMNS, *schemas.LWW_COLUMNS, RUN_SEQ)
 ]
 
 
@@ -136,6 +134,6 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
 def sort_by_key(table: pa.Table) -> pa.Table:
     return table.take(
         pc.sort_indices(
-            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            table, sort_keys=[(c, "ascending") for c in schemas.KEY_COLUMNS]
         )
     )

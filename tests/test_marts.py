@@ -96,7 +96,7 @@ def test_top_conversations(lake):
             """
         select conv_id, count(*) n_turns, sum(length(coalesce(text,''))) total_chars
         from turns group by conv_id having count(*) >= 2
-        order by total_chars desc limit 10
+        order by total_chars desc, conv_id limit 10
         """
         )
         .fetchdf()
