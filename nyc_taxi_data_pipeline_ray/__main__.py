@@ -45,8 +45,6 @@ def _ray_session():
     if owns:
         # honor an ambient cluster (`ray job submit` sets RAY_ADDRESS
         # in the job's env); fall back to a throwaway local session
-        import os
-
         ray.init(
             address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
@@ -174,6 +172,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--column", default="tool")
     sp.add_argument("--value", required=True, action="append")
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--stats",
+        action="store_true",
+        help="also report row-group pruning stats (a second, serial read)",
+    )
 
     sp = sub.add_parser(
         "antientropy",
@@ -419,6 +422,16 @@ def main(argv: list[str] | None = None) -> int:
                 sample = pq.read_table(
                     args.vectors, columns=["embedding"]
                 )["embedding"].to_numpy(zero_copy_only=False)[:2000]
+                if not len(sample):
+                    print(
+                        json.dumps(
+                            {
+                                "error": f"{args.vectors} has no rows: cannot "
+                                "train the coarse quantizer for a new index"
+                            }
+                        )
+                    )
+                    return 1
                 cent = _kmeans_lite(
                     _normalize_rows(np.stack(sample).astype(np.float64)), args.ncells
                 )
@@ -440,7 +453,7 @@ def main(argv: list[str] | None = None) -> int:
                 pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
                 print(json.dumps({**rep, "out": args.out, "hits": len(df)}))
             elif args.cmd == "ann-replay":
-                df = idx._load_hits(args.segment)
+                df = idx.load_hits(args.segment)
                 if df is None:
                     print(
                         json.dumps(
@@ -599,20 +612,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.cmd == "sidx-refresh":
                 print(json.dumps(sidx.refresh()))
             else:
-                sidx.lookup(args.value).write_parquet(args.out)
-                print(
-                    json.dumps({"out": args.out} | sidx.lookup_stats(args.value))
-                )
+                # materialize once (lookup results are hit-sized): the
+                # write and the hit count share one distributed read
+                # instead of lookup() + a full serial lookup_stats() re-scan
+                hits = sidx.lookup(args.value).materialize()
+                hits.write_parquet(args.out)
+                rep = {"out": args.out, "hits": hits.count()}
+                if args.stats:
+                    rep |= sidx.lookup_stats(args.value)
+                print(json.dumps(rep))
         elif args.cmd == "antientropy":
             other = CdcEngine(LakeConfig.load(args.other))
             d = eng.antientropy_diff(other)
             if args.out:
-                import os as _os
-
                 import pyarrow.parquet as _pq
 
-                _os.makedirs(args.out, exist_ok=True)
-                _pq.write_table(d, _os.path.join(args.out, "diff.parquet"))
+                os.makedirs(args.out, exist_ok=True)
+                _pq.write_table(d, os.path.join(args.out, "diff.parquet"))
             print(
                 json.dumps(
                     {

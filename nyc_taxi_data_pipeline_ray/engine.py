@@ -1024,7 +1024,7 @@ class CdcEngine:
         lake_path = self.cfg.path
         if not pids:
             return rd.from_arrow(
-                pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+                schemas.empty_state()
             )
 
         def read_one(batch: pa.Table) -> pa.Table:
@@ -1034,9 +1034,7 @@ class CdcEngine:
             ]
             parts = [p for p in parts if p is not None and p.num_rows]
             if not parts:
-                return pa.table(
-                    {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
-                )
+                return schemas.empty_state()
             out = mg.concat_unified(parts)
             if columns:
                 out = out.select([c for c in columns if c in out.schema.names])
@@ -1059,7 +1057,7 @@ class CdcEngine:
             if b.num_rows
         ]
         if not batches:
-            return pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+            return schemas.empty_state()
         t = mg.concat_unified([pa.table(b) if isinstance(b, dict) else b for b in batches])
         return mg.sort_by_key(t)
 
@@ -1507,9 +1505,7 @@ class CdcEngine:
                 pid = int(pid)
                 state = _read_partition_state(lake_path, pid, as_of_epoch)
                 if state is None:
-                    state = pa.table(
-                        {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
-                    )
+                    state = schemas.empty_state()
                 keep = [
                     c
                     for c in state.schema.names
@@ -1894,9 +1890,7 @@ class CdcEngine:
         )
         out, _, _ = _read_keys_pruned(self.cfg.path, pid, [conv_id])
         if out is None:
-            return pa.table(
-                {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
-            )
+            return schemas.empty_state()
         return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
 
     def get_conversations(self, conv_ids) -> rd.Dataset:
@@ -1915,7 +1909,7 @@ class CdcEngine:
         lake_path = self.cfg.path
         if not ids:
             return rd.from_arrow(
-                pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+                schemas.empty_state()
             )
         pids = hash_partition_ids(pa.array(ids, pa.string()), self.cfg.num_partitions)
         live = set(self._live_pids())
@@ -1925,7 +1919,7 @@ class CdcEngine:
                 by_pid.setdefault(int(pid), []).append(cid)
         if not by_pid:
             return rd.from_arrow(
-                pa.table({f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA})
+                schemas.empty_state()
             )
 
         def read_keys(batch: pa.Table) -> pa.Table:
@@ -1935,9 +1929,7 @@ class CdcEngine:
                 if hit is not None and hit.num_rows:
                     outs.append(hit)
             if not outs:
-                return pa.table(
-                    {f.name: pa.array([], f.type) for f in schemas.TRANSCRIPT_SCHEMA}
-                )
+                return schemas.empty_state()
             return mg.concat_unified(outs)
 
         work = pa.table(

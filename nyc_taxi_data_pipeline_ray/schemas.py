@@ -59,6 +59,20 @@ LWW_COLUMNS = ("ts", "lsn")
 #: readers.
 INTERNAL_COLUMNS = ("op", "epoch")
 
+#: Merged lake state as readers see it: the transcript payload plus the
+#: winning ``lsn`` — EVENT_SCHEMA minus INTERNAL_COLUMNS, same column
+#: order as the engine's merged output.  Empty reads must use THIS (not
+#: TRANSCRIPT_SCHEMA, which lacks ``lsn``) or an empty partition's
+#: schema diverges from a populated one.
+STATE_SCHEMA = pa.schema(
+    [f for f in EVENT_SCHEMA if f.name not in INTERNAL_COLUMNS]
+)
+
+
+def empty_state() -> pa.Table:
+    """A 0-row merged-state table (see :data:`STATE_SCHEMA`)."""
+    return pa.table({f.name: pa.array([], f.type) for f in STATE_SCHEMA})
+
 
 def unify(*schemas: pa.Schema) -> pa.Schema:
     """Widening unification (add-column + int32->int64 etc.).

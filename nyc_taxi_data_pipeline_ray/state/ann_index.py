@@ -494,6 +494,14 @@ class IvfIndex:
     def _hits_path(self, segment_id: int) -> str:
         return os.path.join(self.path, "_admissions", f"epoch-{segment_id:06d}.parquet")
 
+    def load_hits(self, segment_id: int) -> pd.DataFrame | None:
+        """Public read of a persisted admission-hits sidecar (written by
+        ``probe_and_add(persist_hits=True)``): the epoch's original
+        probe decision, or None if no sidecar exists.  This is the
+        replay contract external callers (the ``ann-replay`` CLI verb)
+        depend on."""
+        return self._load_hits(segment_id)
+
     def _load_hits(self, segment_id: int) -> pd.DataFrame | None:
         p = self._hits_path(segment_id)
         return pq.read_table(p).to_pandas() if os.path.exists(p) else None

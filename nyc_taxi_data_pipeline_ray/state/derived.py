@@ -59,11 +59,7 @@ from nyc_taxi_data_pipeline_ray.state import manifest as mf
 KEY = ("conv_id", "turn_idx")
 
 #: Input schema the transform sees when a partition is empty.
-_STATE_SCHEMA = pa.schema(list(schemas.TRANSCRIPT_SCHEMA) + [("lsn", pa.int64())])
-
-
-def _empty_state() -> pa.Table:
-    return pa.table({f.name: pa.array([], f.type) for f in _STATE_SCHEMA})
+_empty_state = schemas.empty_state
 
 
 def _key_of(t: pa.Table) -> pa.Array:

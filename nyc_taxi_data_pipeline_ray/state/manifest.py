@@ -33,9 +33,13 @@ import os
 import re
 from typing import Iterable
 
-_MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
-_DELTA_RE = re.compile(r"delta-(\d{6})\.parquet$")
-_BASE_RE = re.compile(r"base-(\d{6})\.parquet$")
+# {6,} not {6}: the writers format with :06d, which GROWS past six
+# digits at epoch/generation 1,000,000 — an exact-width match would
+# silently drop those commits from every merge (data loss at the scale
+# this lake is designed for)
+_MANIFEST_RE = re.compile(r"manifest-(\d{6,})\.json$")
+_DELTA_RE = re.compile(r"delta-(\d{6,})\.parquet$")
+_BASE_RE = re.compile(r"base-(\d{6,})\.parquet$")
 
 
 def partition_dir(lake_path: str, pid: int) -> str:
@@ -142,7 +146,9 @@ def consumer_stored_watermark(view_path: str, pid: int) -> int | None:
     try:
         with open(consumer_manifest_path(view_path, pid)) as f:
             return int(json.load(f)["watermark"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: valid JSON of the wrong shape (null, a list,
+        # {"watermark": null}) — corrupt means stale, never a crash
         return None
 
 

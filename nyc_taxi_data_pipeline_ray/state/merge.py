@@ -47,7 +47,9 @@ def _last_per_key_mask(table: pa.Table) -> np.ndarray:
     # row i is last of its key iff key[i] != key[i+1]
     same_conv = pc.equal(conv.slice(0, n - 1), conv.slice(1)).to_numpy(zero_copy_only=False)
     same_turn = pc.equal(turn.slice(0, n - 1), turn.slice(1)).to_numpy(zero_copy_only=False)
-    same = np.nan_to_num(same_conv.astype(bool) & same_turn.astype(bool))
+    # astype(bool) maps null-comparison Nones to False (a null key is
+    # never "the same" as its neighbour)
+    same = same_conv.astype(bool) & same_turn.astype(bool)
     mask = np.empty(n, dtype=bool)
     mask[-1] = True
     mask[:-1] = ~same

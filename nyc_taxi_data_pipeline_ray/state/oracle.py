@@ -34,8 +34,14 @@ def is_valid_event(row: dict) -> bool:
 
 def replay(events: pa.Table) -> pa.Table:
     """Apply the change log with explicit LWW(ts, lsn); return the final
-    transcript table sorted by (conv_id, turn_idx)."""
-    payload_cols = [n for n in events.schema.names if n not in ("op", "epoch")]
+    transcript table sorted by (conv_id, turn_idx).  On an exact
+    (ts, lsn) tie the LATER arrival wins — the same rule as the
+    engine's stable sort + last-per-key winner selection (ties only
+    arise from duplicate delivery or cross-lake re-application, but the
+    oracle must not diverge even then)."""
+    payload_cols = [
+        n for n in events.schema.names if n not in schemas.INTERNAL_COLUMNS
+    ]
     state: dict[tuple, dict] = {}
     for row in events.to_pylist():
         if not is_valid_event(row):
@@ -43,7 +49,7 @@ def replay(events: pa.Table) -> pa.Table:
         key = (row["conv_id"], row["turn_idx"])
         stamp = (row["ts"], row["lsn"])
         cur = state.get(key)
-        if cur is not None and (cur["ts"], cur["lsn"]) >= stamp:
+        if cur is not None and (cur["ts"], cur["lsn"]) > stamp:
             continue
         state[key] = {c: row.get(c) for c in payload_cols} | {"op": row["op"]}
     rows = [
@@ -51,12 +57,12 @@ def replay(events: pa.Table) -> pa.Table:
         for r in state.values()
         if r["op"] != "delete"
     ]
+    schema = pa.schema([events.schema.field(c) for c in payload_cols])
     if not rows:
-        return pa.table({c: [] for c in payload_cols})
+        # typed empty: pa.table({c: []}) would infer NULL-typed columns
+        # and an all-deleted lake would spuriously mismatch the engine's
+        # TRANSCRIPT_SCHEMA-typed empty snapshot
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
     cols = {c: [r.get(c) for r in rows] for c in payload_cols}
-    schema_fields = []
-    for c in payload_cols:
-        f = events.schema.field(c)
-        schema_fields.append(f)
-    t = pa.table(cols, schema=pa.schema(schema_fields))
+    t = pa.table(cols, schema=schema)
     return merge_mod.sort_by_key(t)

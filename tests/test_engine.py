@@ -1479,3 +1479,46 @@ def test_apply_retry_discards_stale_staging(tmp_path):
     eng.apply(wal)
     assert not os.path.exists(poison)  # wiped before staging, not merged
     _assert_equal_state(eng, gen)
+
+
+def test_all_deleted_lake_stays_oracle_equal(tmp_path):
+    """Delete EVERY live key: the engine's empty snapshot and the
+    oracle's empty replay must still compare equal (both sides must
+    return the TYPED merged-state schema incl. lsn — a NULL-typed or
+    TRANSCRIPT-only empty on either side is a spurious mismatch), and
+    compaction of the empty lake must preserve that."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray import schemas
+
+    spec = WalSpec(seed=13, num_conversations=30, num_epochs=2, events_per_epoch=400)
+    gen, wal, eng = _build(str(tmp_path), spec)
+    eng.apply(wal)
+    live = eng.snapshot_table().select(["conv_id", "turn_idx"]).to_pandas()
+    n = len(live)
+    ev = pa.table(
+        {
+            "lsn": pa.array(range(10_000_000, 10_000_000 + n), pa.int64()),
+            "op": pa.array(["delete"] * n),
+            "epoch": pa.array([spec.num_epochs] * n, pa.int32()),
+            "conv_id": pa.array(live["conv_id"], pa.string()),
+            "turn_idx": pa.array(live["turn_idx"], pa.int32()),
+            "role": pa.array([None] * n, pa.string()),
+            "text": pa.array([None] * n, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([pd.Timestamp("2032-01-01").to_datetime64()] * n),
+        }
+    ).cast(schemas.EVENT_SCHEMA)
+    d = os.path.join(wal, f"epoch={spec.num_epochs:06d}")
+    os.makedirs(d)
+    pq.write_table(ev, os.path.join(d, "part-0000.parquet"))
+    eng.apply(wal)
+    exp = oracle.replay(pa.concat_tables([gen.events_table(), ev]))
+    assert exp.num_rows == 0 and exp.schema.field("lsn").type == pa.int64()
+    cols = sorted(exp.schema.names)
+    snap = eng.snapshot_table()
+    assert snap.num_rows == 0
+    assert snap.select(cols).equals(exp.select(cols))
+    eng.compact()
+    assert eng.snapshot_table().select(cols).equals(exp.select(cols))
