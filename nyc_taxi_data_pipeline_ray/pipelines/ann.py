@@ -1036,6 +1036,12 @@ def q_ann_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
+    from nyc_taxi_data_pipeline_ray.pipelines.text import (
+        _check_compaction_schedule,
+        _check_epoch_coverage,
+    )
+
+    _check_compaction_schedule(compact_every, n_epochs)
     root = fresh_tmp_root(
         f"/tmp/nyc_ray_q_ann_index_release_c{compact_every or 0}"
         f"{'_pq' if pq_saturated else ''}"
@@ -1090,8 +1096,11 @@ def q_ann_index_release(
     dup_ref = ray.put(dup_of)
 
     def decide(t: pa.Table) -> pa.Table:
+        from nyc_taxi_data_pipeline_ray.pipelines.text import _check_epoch_coverage
+
         m = ray.get(dup_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        _check_epoch_coverage(ids, per, n_epochs, "vec_id")
         dup = (
             pd.Series(ids, dtype="int64").map(m).fillna(-1).to_numpy(dtype=np.int64)
         )

@@ -507,12 +507,10 @@ def _assert_minhash_sql_domain(t: pa.Table) -> pa.Table:
     outside that domain instead of silently diverging from the
     certified oracle.  Pass-through (zero-copy), fused into the caller's
     signature stage."""
-    import pyarrow.compute as pc
-
     col = t["text"]
-    if col.null_count or bool(
-        pc.any(pc.less(pc.utf8_length(col), 5)).as_py() or False
-    ):
+    # pc.any() over a ZERO-ROW batch returns null; bool(None) is False,
+    # so an empty block passes through
+    if col.null_count or bool(pc.any(pc.less(pc.utf8_length(col), 5)).as_py()):
         raise ValueError(
             "SQL-mirrored MinHash oracle requires non-null text with "
             ">= 5 chars (the DuckDB mirror emits no signature for "
@@ -695,7 +693,9 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     idx = MinHashIndex(root)
     rep = idx.add(base, segment_id=0)
     replay = idx.add(base, segment_id=0)
-    assert replay == {"segment": 0, "skipped": True}, (rep, replay)
+    if replay != {"segment": 0, "skipped": True}:
+        # witness-critical: a real raise, not an assert (python -O)
+        raise RuntimeError(f"add replay not idempotent: {rep} then {replay}")
     out = idx.probe(arrivals, threshold=threshold)
     # recover k (match count) from the 4-dp display rounding and emit
     # the exact dyadic k/64 the SQL oracle computes (1/64 spacing >>
@@ -846,6 +846,7 @@ def q_dedup_index_release(
 
     # per-variant root: the plain and `_compacted` registry entries (and
     # any concurrent sweep) must not rmtree each other's live index
+    _check_compaction_schedule(compact_every, n_epochs)
     root = fresh_tmp_root(f"/tmp/nyc_ray_q_dedup_index_release_c{compact_every or 0}")
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     per = math.ceil(ds.count() / n_epochs)
@@ -867,7 +868,13 @@ def q_dedup_index_release(
         # BEFORE the segment marker, so the keep/dup_of decision below
         # survives any later compact() (crash-resume contract)
         c, _rep = idx.probe_and_add(
-            batch, segment_id=e, threshold=0.5, persist_hits=True
+            # same ASCII/length domain guard as the other SQL-mirrored
+            # MinHash oracles: byte-vs-char shingles silently diverge
+            # off-domain, and this loop's keep/dup_of IS oracle-certified
+            batch.map_batches(_assert_minhash_sql_domain, batch_format="pyarrow"),
+            segment_id=e,
+            threshold=0.5,
+            persist_hits=True,
         )
         if len(c):
             cands.append(
@@ -877,8 +884,9 @@ def q_dedup_index_release(
             )
         if compact_every and (e + 1) % compact_every == 0 and e + 1 < n_epochs:
             idx.compact()
-    if compact_every:
-        assert idx._base() is not None, "compaction witness never compacted"
+    if compact_every and idx._base() is None:
+        # witness-critical: a real raise, not an assert (python -O)
+        raise RuntimeError("compaction witness never compacted")
 
     cand = (
         pd.concat(cands, ignore_index=True)
@@ -899,6 +907,7 @@ def q_dedup_index_release(
     def decide(t: pa.Table) -> pa.Table:
         m = ray.get(dup_ref)
         ids = t["doc_id"].to_numpy()
+        _check_epoch_coverage(ids, per, n_epochs, "doc_id")
         dup = (
             pd.Series(ids, dtype="int64")
             .map(m)
@@ -920,6 +929,40 @@ def q_dedup_index_release(
         .to_pandas()
     )
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def _check_epoch_coverage(ids, per: int, n_epochs: int, id_col: str) -> None:
+    """The release/admission loops split the corpus into epochs by
+    id-range row filters (``[e*per, (e+1)*per)``), which covers every
+    row ONLY for dense 0-based ids (true of the generated corpus).  An
+    id outside ``[0, n_epochs*per)`` would be silently skipped by every
+    epoch read — never indexed, never dedup-checked — yet still emitted
+    ``keep=True`` by the decide pass.  Raise loudly instead."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= n_epochs * per):
+        raise ValueError(
+            f"{id_col} range [{ids.min()}, {ids.max()}] exceeds the "
+            f"epoch partitioning [0, {n_epochs * per}): the id-range "
+            "epoch reads would silently skip rows — this witness "
+            "requires dense 0-based ids"
+        )
+
+
+def _check_compaction_schedule(compact_every: int | None, n_epochs: int) -> None:
+    """A ``compact_every`` that never fires mid-loop (e.g. >= n_epochs)
+    would crash the post-loop compaction witness with a confusing
+    message; reject the configuration up front."""
+    if compact_every and not any(
+        (e + 1) % compact_every == 0 and e + 1 < n_epochs
+        for e in range(n_epochs)
+    ):
+        raise ValueError(
+            f"compact_every={compact_every} never compacts within "
+            f"n_epochs={n_epochs} (the final epoch is excluded so later "
+            "probes still read live segments); use compact_every < n_epochs"
+        )
 
 
 def q_minhash_rerank(
@@ -3820,7 +3863,10 @@ def q_corpus_admission(
             )
             tfut = pool.submit(
                 tidx.probe_and_add,
-                dbatch,
+                # domain guard: see q_dedup_index_release
+                dbatch.map_batches(
+                    _assert_minhash_sql_domain, batch_format="pyarrow"
+                ),
                 segment_id=e,
                 threshold=0.5,
                 persist_hits=True,
@@ -3861,6 +3907,7 @@ def q_corpus_admission(
     def decide(t: pa.Table) -> pa.Table:
         tmap, smap = ray.get(dup_ref)
         ids = t["doc_id"].to_numpy()
+        _check_epoch_coverage(ids, per_docs, n_epochs, "doc_id")
         tdup = pd.Series(ids, dtype="int64").map(tmap).fillna(-1).to_numpy(np.int64)
         sdup = pd.Series(ids, dtype="int64").map(smap).fillna(-1).to_numpy(np.int64)
         return pa.table(

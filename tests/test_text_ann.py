@@ -486,3 +486,23 @@ def test_minhash_sql_domain_guard_passes_empty_batch():
     )
     out = text._assert_minhash_sql_domain(empty)
     assert out.num_rows == 0
+
+
+def test_release_loop_guards():
+    """The release/admission loops' preconditions fail LOUDLY: ids
+    outside the dense epoch partitioning (which the id-range epoch
+    reads would silently skip) and a compact_every that never fires
+    mid-loop both raise instead of producing a wrong or confusing
+    result."""
+    text._check_epoch_coverage(np.arange(500), 125, 4, "doc_id")  # dense: ok
+    with pytest.raises(ValueError, match="dense 0-based ids"):
+        text._check_epoch_coverage(np.array([0, 1000]), 125, 4, "doc_id")
+    with pytest.raises(ValueError, match="dense 0-based ids"):
+        text._check_epoch_coverage(np.array([-1, 3]), 125, 4, "doc_id")
+    text._check_epoch_coverage(np.array([], np.int64), 125, 4, "doc_id")  # empty ok
+    text._check_compaction_schedule(2, 4)  # fires at e=1: ok
+    text._check_compaction_schedule(None, 4)  # no compaction requested: ok
+    with pytest.raises(ValueError, match="never compacts"):
+        text._check_compaction_schedule(4, 4)
+    with pytest.raises(ValueError, match="never compacts"):
+        text.q_dedup_index_release("/root/testdata/sf0.001", compact_every=7)
