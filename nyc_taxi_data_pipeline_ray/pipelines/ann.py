@@ -1205,8 +1205,13 @@ def q_admission_replay(
     dup_ref = ray.put(replay_dup)
 
     def decide(t: pa.Table) -> pa.Table:
+        from nyc_taxi_data_pipeline_ray.pipelines.text import _check_epoch_coverage
+
         m = ray.get(dup_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        # an id outside [0, n_epochs*per) was read by no epoch_batch and
+        # would silently surface as keep=True — same guard as siblings
+        _check_epoch_coverage(ids, per, n_epochs, "vec_id")
         dup = (
             pd.Series(ids, dtype="int64").map(m).fillna(-1).to_numpy(dtype=np.int64)
         )

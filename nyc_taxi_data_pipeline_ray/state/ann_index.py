@@ -137,6 +137,20 @@ def _tombstones_for(
             ids = pq.read_table(p)[id_col].to_numpy(zero_copy_only=False)
             seg = eff[d] if eff is not None else _eff_seg(d)
             out.append((seg, np.sort(ids.astype(np.int64))))
+        elif os.path.basename(d).startswith("seg-"):
+            # Distinguish "add segment — never had tombstones" (normal)
+            # from "a concurrent compact() rmtree'd this DELETE segment
+            # mid-probe" (its exclusion set would silently vanish and
+            # deleted rows would resurface as live hits).  The ledger
+            # manifest (run_dir + ".json", never removed) records the
+            # kind; a delete segment whose file is gone must surface as
+            # FileNotFoundError so the caller's one-retry re-lists.
+            with open(d + ".json") as f:
+                man = json.load(f)
+            if "tombstones" in man:
+                raise FileNotFoundError(
+                    f"tombstone file vanished mid-probe (compact race): {p}"
+                )
     return out
 
 
@@ -242,11 +256,11 @@ class IvfIndex:
             with open(meta_path) as f:
                 meta = json.load(f)
             self.centroids = _normalize_rows(np.asarray(meta["centroids"], np.float64))
-            pq = meta.get("pq")
+            pq_meta = meta.get("pq")  # local name must not shadow pyarrow.parquet
             self.pq_books = (
-                np.asarray(pq["books"], np.float64) if pq is not None else None
+                np.asarray(pq_meta["books"], np.float64) if pq_meta is not None else None
             )
-            self.pq_refine = bool(pq["refine"]) if pq is not None else False
+            self.pq_refine = bool(pq_meta["refine"]) if pq_meta is not None else False
         else:
             if centroids is None:
                 # read-only open of a path that was never created: fail
@@ -614,6 +628,13 @@ class IvfIndex:
         fold watermark raises: its segment dir would be invisible to
         every reader (``_read_runs`` lists only ``s > through``),
         silently losing the vectors."""
+        if segment_id in self.segments():
+            # a collision with a TOMBSTONE segment is never a benign
+            # replay: every committed-replay skip path below would
+            # silently drop the batch's vectors (and a persist_hits
+            # backfill would cement a sidecar for the delete) — the
+            # same guard add() applies on its direct path
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
         base = self._base()
         if base is not None and base[1] >= segment_id:
             if segment_id in self.segments():

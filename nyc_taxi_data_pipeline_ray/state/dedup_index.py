@@ -469,6 +469,13 @@ class MinHashIndex:
         ``segment_id`` at or below the fold watermark raises: its
         segment dir would be invisible to every reader (live runs are
         ``s > through``), silently losing the documents."""
+        if segment_id in self.segments():
+            # a collision with a TOMBSTONE segment is never a benign
+            # replay: every committed-replay skip path below would
+            # silently drop the batch's documents (and a persist_hits
+            # backfill would cement a sidecar for the delete) — the
+            # same guard _commit_rows applies on its direct path
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
         base = self._base()
         if base is not None and base[1] >= segment_id:
             if segment_id in self.segments():

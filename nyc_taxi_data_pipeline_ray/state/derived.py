@@ -177,7 +177,7 @@ class DerivedTable:
                             before = _read_partition_state(lake_path, pid, int(old))
                         except Exception:
                             before = None  # below compaction watermark
-                    data_path = os.path.join(view_path, f"p={pid:04d}.parquet")
+                    data_path = mf.consumer_data_path(view_path, pid)
                     if before is None and old is not None:
                         old = None  # full rebuild fallback
                     if old is None:
@@ -199,7 +199,7 @@ class DerivedTable:
                     derived = derived.sort_by(sort_keys).combine_chunks()
                     _atomic_write_parquet(data_path, derived)
                     mf.atomic_write_json(
-                        os.path.join(view_path, f"p={pid:04d}.json"),
+                        mf.consumer_manifest_path(view_path, pid),
                         {
                             "pid": pid,
                             "watermark": int(wm),

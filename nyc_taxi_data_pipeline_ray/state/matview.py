@@ -164,10 +164,10 @@ class MaterializedView:
                 ):
                     view = aggregate_state(_read_partition_state(lake_path, pid))
                     _atomic_write_parquet(
-                        os.path.join(view_path, f"p={pid:04d}.parquet"), view
+                        mf.consumer_data_path(view_path, pid), view
                     )
                     mf.atomic_write_json(
-                        os.path.join(view_path, f"p={pid:04d}.json"),
+                        mf.consumer_manifest_path(view_path, pid),
                         {"pid": pid, "watermark": wm, "rows": view.num_rows},
                     )
                     rows.append(view.num_rows)

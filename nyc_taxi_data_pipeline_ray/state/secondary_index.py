@@ -142,12 +142,12 @@ class SecondaryIndex:
                             ]
                         ).combine_chunks()
                     _atomic_write_parquet(
-                        os.path.join(view_path, f"p={pid:04d}.parquet"),
+                        mf.consumer_data_path(view_path, pid),
                         idx,
                         row_group_rows=row_group_rows,
                     )
                     mf.atomic_write_json(
-                        os.path.join(view_path, f"p={pid:04d}.json"),
+                        mf.consumer_manifest_path(view_path, pid),
                         {"pid": pid, "watermark": int(wm), "rows": idx.num_rows},
                     )
                     rows.append(idx.num_rows)
@@ -198,7 +198,7 @@ class SecondaryIndex:
         def read_one(batch: pa.Table) -> pa.Table:
             outs = []
             for pid in batch["pid"].to_pylist():
-                path = os.path.join(view_path, f"p={int(pid):04d}.parquet")
+                path = mf.consumer_data_path(view_path, int(pid))
                 t, _, _ = _read_run_pruned(path, vals, column="value")
                 if t is not None:
                     outs.append(t)

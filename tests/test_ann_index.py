@@ -791,3 +791,39 @@ def test_probe_after_deleting_everything_returns_empty(tmp_path):
     idx.compact()  # physical removal: the no-files path must agree
     df2, _ = idx.probe(ids[:4], mat[:4], k=5, nprobe=idx.ncells)
     assert df2.empty
+
+
+def test_probe_and_add_refuses_tombstone_segment_collision(tmp_path):
+    """probe_and_add's committed-replay skip paths run the same kind
+    check as add(): a segment_id committed as a DELETE is never a
+    benign replay — the skip would silently drop the batch's vectors,
+    and a persist_hits backfill would cement an admission sidecar for
+    the delete.  Must raise both before AND after a compact folds the
+    segment (manifests are the ledger either way)."""
+    import pytest
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)  # segments 0, 1 are adds
+    idx.delete(ids[:3], segment_id=2)
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.probe_and_add(_ds(ids[:3], mat[:3]), segment_id=2, persist_hits=True)
+    assert idx.load_hits(2) is None, "sidecar cemented for a delete segment"
+    idx.compact()
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.probe_and_add(_ds(ids[:3], mat[:3]), segment_id=2)
+
+
+def test_vanished_tombstone_file_raises_not_resurrects(tmp_path):
+    """A missing tombstones.parquet for a DELETE segment (the window
+    inside compact()'s rmtree, or a corrupted ledger) must surface as
+    FileNotFoundError — os.path.exists returning False is otherwise
+    indistinguishable from 'segment has no deletes', and tombstoned
+    rows would silently resurface as live probe hits."""
+    import pytest
+
+    ids, mat = _vectors()
+    idx = _build(tmp_path, ids, mat)
+    idx.delete(ids[:5], segment_id=2)
+    os.remove(os.path.join(idx.path, "seg-000002", "tombstones.parquet"))
+    with pytest.raises(FileNotFoundError, match="tombstone file vanished"):
+        idx.probe(ids[10:12], mat[10:12], k=5, nprobe=idx.ncells)

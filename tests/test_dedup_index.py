@@ -466,3 +466,33 @@ def test_segment_kind_collisions_raise(tmp_path, corpus):
     with pytest.raises(ValueError, match="not a replay"):
         idx.delete([1, 2, 3], segment_id=2)
     assert idx.delete([1, 2], segment_id=2) == {"segment": 2, "skipped": True}
+
+
+def test_probe_and_add_refuses_tombstone_segment_collision(tmp_path, corpus):
+    """MinHash mirror of the IVF test: probe_and_add replayed against a
+    segment_id committed as a DELETE raises instead of silently
+    skipping the commit (and never cements an admission sidecar for the
+    delete) — before and after the fold."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.delete([1, 2], segment_id=1)
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1, persist_hits=True)
+    assert idx._load_hits(1) is None, "sidecar cemented for a delete segment"
+    idx.compact()
+    with pytest.raises(ValueError, match="committed as a DELETE"):
+        idx.probe_and_add(rd.from_arrow(arrivals), segment_id=1)
+
+
+def test_vanished_tombstone_file_raises_not_resurrects(tmp_path, corpus):
+    """A missing tombstones.parquet for a DELETE segment whose dir is
+    still listed (compact()'s rmtree window) raises FileNotFoundError
+    instead of silently dropping the exclusion set."""
+    base, arrivals = corpus
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.delete([0, 1, 2, 3, 4], segment_id=1)
+    os.remove(os.path.join(idx.path, "seg-000001", "tombstones.parquet"))
+    with pytest.raises(FileNotFoundError, match="tombstone file vanished"):
+        idx.probe(rd.from_arrow(arrivals), threshold=0.5)
