@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ storage tier: cell files hold uint8/16 codes; saturated
         # codebooks make the ADC read path exactly brute force
         "ann_index_pq_exhaustive": A.q_ann_index_pq_exhaustive,
+        # FILTERED vector search: metadata attr stored in the cell files,
+        # predicate applied before scoring (top-k within a label slice);
+        # all-cells probe == brute force over the slice
+        "ann_index_filtered": A.q_ann_index_filtered,
         # CDC delete/resurrect propagated into the persisted IVF index:
         # tombstone segment -> probe exclusion -> physical removal at
         # compact (filtered brute-force oracle over the live set)
@@ -581,6 +585,19 @@ def oracle_sql() -> dict[str, str]:
             s as (select qid, vec_id,
                          round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
                   from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # filtered search witness: candidates restricted to label = 3
+        # BEFORE scoring, all cells probed, so brute force over the
+        # matching slice is its oracle (ann.py q_ann_index_filtered)
+        "ann_index_filtered": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid and label = 3),
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id

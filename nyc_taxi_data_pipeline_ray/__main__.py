@@ -294,6 +294,12 @@ def main(argv: list[str] | None = None) -> int:
         help="coarse-quantizer cells (used only when creating a new index; "
         "centroids are trained on the batch and frozen into meta.json)",
     )
+    sp.add_argument(
+        "--attr-col", default=None,
+        help="filterable metadata column to store in every cell file (used "
+        "only when creating a new index; frozen into meta.json; enables "
+        "ann-probe --where)",
+    )
 
     sp = sub.add_parser(
         "ann-probe", help="top-k cosine neighbours from the persisted IVF index"
@@ -303,6 +309,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument(
+        "--where",
+        default=None,
+        metavar="COL=VALUE",
+        help="restrict candidates to rows whose stored attr column equals "
+        "VALUE (filtered vector search; COL must be the index's attr_col; "
+        "VALUE is parsed as int when it looks like one)",
+    )
 
     sp = sub.add_parser(
         "ann-ingest",
@@ -435,14 +449,23 @@ def main(argv: list[str] | None = None) -> int:
                 cent = _kmeans_lite(
                     _normalize_rows(np.stack(sample).astype(np.float64)), args.ncells
                 )
-                idx = IvfIndex(args.index, centroids=cent)
+                idx = IvfIndex(
+                    args.index,
+                    centroids=cent,
+                    attr_col=getattr(args, "attr_col", None),
+                )
             else:
                 idx = IvfIndex(args.index)
+            # an attr-declared index stores its metadata column in every
+            # cell file — the read must not prune it away
+            vec_cols = ["vec_id", "embedding"] + (
+                [idx.attr_col] if idx.attr_col else []
+            )
             if args.cmd == "ann-add":
-                vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
+                vecs = rd.read_parquet(args.vectors, columns=vec_cols)
                 print(json.dumps(idx.add(vecs, segment_id=args.segment)))
             elif args.cmd == "ann-ingest":
-                vecs = rd.read_parquet(args.vectors, columns=["vec_id", "embedding"])
+                vecs = rd.read_parquet(args.vectors, columns=vec_cols)
                 df, rep = idx.probe_and_add(
                     vecs,
                     segment_id=args.segment,
@@ -474,7 +497,18 @@ def main(argv: list[str] | None = None) -> int:
                         np.float64
                     )
                 )
-                df, stats = idx.probe(qids, qmat, k=args.k, nprobe=args.nprobe)
+                where = None
+                if args.where:
+                    col, _, raw = args.where.partition("=")
+                    val: object = raw
+                    try:
+                        val = int(raw)
+                    except ValueError:
+                        pass
+                    where = (col, val)
+                df, stats = idx.probe(
+                    qids, qmat, k=args.k, nprobe=args.nprobe, where=where
+                )
                 pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "rows": len(df), **stats}))
             elif args.cmd == "ann-delete":

@@ -756,7 +756,8 @@ def _build_ivf_index(
     """Fresh persisted IVF index over the embeddings table, built
     INCREMENTALLY in two segments (even / odd vec_id halves) to exercise
     the O(new vectors) add path the index exists for.  Extra kwargs
-    (``pq_books`` / ``pq_refine``) select the IVF-PQ storage tier."""
+    (``pq_books`` / ``pq_refine`` / ``attr_col``) select the IVF-PQ
+    storage tier and the filterable-metadata column."""
     import shutil
 
     from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
@@ -765,8 +766,10 @@ def _build_ivf_index(
     _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
     cent = _kmeans_lite(_normalize_rows(sample_mat), ncells)
     idx = IvfIndex(root, centroids=cent, **idx_kwargs)
+    attr = idx_kwargs.get("attr_col")
     ds = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"] + ([attr] if attr else []),
     )
 
     def half(parity: int):
@@ -895,6 +898,40 @@ def q_ann_index_pq_exhaustive(
     )
     qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
     df, stats = idx.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
+    return df
+
+
+def q_ann_index_filtered(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    label: int = 3,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """FILTERED vector search on the persisted IVF index: the index is
+    built with ``attr_col='label'`` (the metadata column rides in every
+    cell file), and the probe restricts candidates to ``label == 3``
+    BEFORE scoring, so top-k is over the matching slice — the
+    training-data-curation shape ("nearest neighbours within one
+    language/domain") that a post-filter of an unfiltered top-k would
+    under-fill.  Probing all cells makes it exact: the SQL oracle is
+    brute-force top-k cosine over ``where label = 3``.  Pruned filtered
+    probes (``nprobe < ncells``) are pinned in pytest."""
+    idx = _build_ivf_index(
+        sf_dir,
+        fresh_tmp_root("/tmp/nyc_ray_q_ann_index_flt"),
+        ncells=ncells,
+        sample_rows=sample_rows,
+        attr_col="label",
+    )
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(
+        qids, _normalize_rows(qmat), k=k, nprobe=ncells, where=("label", label)
+    )
     if stats["cells_probed"] != stats["cells_total"]:
         raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
     return df

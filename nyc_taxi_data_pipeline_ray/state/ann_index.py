@@ -249,6 +249,7 @@ class IvfIndex:
         centroids: np.ndarray | None = None,
         pq_books: np.ndarray | None = None,
         pq_refine: bool = False,
+        attr_col: str | None = None,
     ):
         self.path = path
         meta_path = os.path.join(path, "meta.json")
@@ -261,6 +262,7 @@ class IvfIndex:
                 np.asarray(pq_meta["books"], np.float64) if pq_meta is not None else None
             )
             self.pq_refine = bool(pq_meta["refine"]) if pq_meta is not None else False
+            self.attr_col = meta.get("attr")
         else:
             if centroids is None:
                 # read-only open of a path that was never created: fail
@@ -275,6 +277,7 @@ class IvfIndex:
                 np.asarray(pq_books, np.float64) if pq_books is not None else None
             )
             self.pq_refine = bool(pq_refine) and self.pq_books is not None
+            self.attr_col = attr_col
             if self.pq_books is not None:
                 msub, _kc, dsub = self.pq_books.shape
                 if msub * dsub != self.centroids.shape[1]:
@@ -300,6 +303,10 @@ class IvfIndex:
                             "refine": self.pq_refine,
                         }
                     ),
+                    # optional filterable metadata column: stored verbatim
+                    # in every cell file so probes can predicate-push
+                    # (filtered vector search, e.g. per-language top-k)
+                    "attr": self.attr_col,
                 },
             )
 
@@ -454,6 +461,7 @@ class IvfIndex:
         cent = self.centroids
         books = self.pq_books
         refine = self.pq_refine
+        attr = self.attr_col
         code_dtype = self._code_dtype() if books is not None else None
 
         def assign(t: pa.Table) -> pa.Table:
@@ -464,6 +472,15 @@ class IvfIndex:
             )
             cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
             cols = {"cell": pa.array(cells), "vec_id": t["vec_id"]}
+            if attr is not None:
+                # filterable metadata rides in the same cell file; parquet
+                # is columnar so unfiltered probes never read it
+                if attr not in t.column_names:
+                    raise KeyError(
+                        f"index declares attr_col={attr!r} but the add "
+                        f"batch has columns {t.column_names}"
+                    )
+                cols[attr] = t[attr]
             if books is None:
                 cols["embedding"] = t["embedding"]
             else:
@@ -566,6 +583,7 @@ class IvfIndex:
         *,
         k: int = 5,
         nprobe: int = 4,
+        where: tuple[str, object] | None = None,
     ) -> tuple[pd.DataFrame, dict]:
         """Top-k cosine neighbours of each query among the INDEXED
         vectors, reading only each query's ``nprobe`` nearest cells.
@@ -575,16 +593,24 @@ class IvfIndex:
         (same 4-dp rounding and (sim desc, vec_id asc) tie order as
         ``q_ann_bruteforce``).
 
+        ``where=(col, value)`` restricts candidates to rows whose stored
+        metadata attribute equals ``value`` (filtered vector search —
+        e.g. top-k within one language/domain slice).  ``col`` must be
+        the index's declared ``attr_col``; the equality test runs inside
+        each cell-file task against the column stored at ``add`` time,
+        BEFORE scoring, so top-k is over the matching slice (post-filter
+        of an unfiltered top-k would under-fill instead).
+
         Reader-vs-compactor: a concurrent ``compact()`` removes folded
         run dirs only AFTER the new base marker lands, so a probe that
         raced it re-lists once and reads a consistent newer view (the
         same one-retry idiom as the engine's pruned key readers)."""
         try:
-            return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
+            return self._probe_once(qids, qmat, k=k, nprobe=nprobe, where=where)
         except Exception as e:
             if not mf.is_file_not_found(e):
                 raise
-            return self._probe_once(qids, qmat, k=k, nprobe=nprobe)
+            return self._probe_once(qids, qmat, k=k, nprobe=nprobe, where=where)
 
     def probe_and_add(
         self,
@@ -760,9 +786,17 @@ class IvfIndex:
         k: int,
         nprobe: int,
         run_dirs: list[str] | None = None,
+        where: tuple[str, object] | None = None,
     ) -> tuple[pd.DataFrame, dict]:
         import ray
 
+        if where is not None and where[0] != self.attr_col:
+            # only the column stored in the cell files at add() time is
+            # filterable; anything else would silently match nothing
+            raise ValueError(
+                f"where={where[0]!r} is not this index's attr_col "
+                f"({self.attr_col!r})"
+            )
         qmat = _normalize_rows(np.asarray(qmat, np.float64))
         # top-nprobe cells per query; downstream only tests membership
         # ((qcells == c).any(axis=1)), so unordered argpartition suffices
@@ -802,13 +836,13 @@ class IvfIndex:
             return _empty_topk().to_pandas(), stats
 
         qtables = self._adc_tables(qmat) if self.pq_books is not None else None
-        qref = ray.put((qids, qmat, qcells, qtables, tombs))
+        qref = ray.put((qids, qmat, qcells, qtables, tombs, where))
         k_ = k
         refine = self.pq_refine
         refine_factor = 4
 
         def probe_file(t: pa.Table) -> pa.Table:
-            qids_l, qmat_l, qcells_l, qtables_l, tombs_l = ray.get(qref)
+            qids_l, qmat_l, qcells_l, qtables_l, tombs_l, where_l = ray.get(qref)
             out = []
             for row in t.to_pylist():  # one row per (cell, path, seg) descriptor
                 c, path, seg = int(row["cell"]), row["path"], int(row["seg"])
@@ -821,16 +855,31 @@ class IvfIndex:
                     stored = pq.read_table(path)
                 else:
                     # PQ tier: the ADC pass touches only the code column
-                    stored = pq.read_table(path, columns=["vec_id", "codes"])
+                    # (plus the attr column when a filter needs it)
+                    stored = pq.read_table(
+                        path,
+                        columns=["vec_id", "codes"]
+                        + ([where_l[0]] if where_l is not None else []),
+                    )
                 if stored.num_rows == 0:
                     continue
                 ids = stored["vec_id"].to_numpy(zero_copy_only=False)
-                # tombstone exclusion: a LATER delete segment kills this
-                # file's rows (keep_idx also filters the refine column,
-                # which must stay row-aligned with the ADC shortlist)
-                keep_idx = None
+                # exclusion happens BEFORE scoring so filtered top-k is
+                # over the matching slice: a LATER delete segment kills
+                # this file's rows, and a where=(col, value) predicate
+                # keeps only matching metadata (keep_idx also filters the
+                # refine column, which must stay row-aligned with the ADC
+                # shortlist)
+                keep_mask = None
                 if tombs_l:
-                    keep_idx = np.nonzero(~_dead_mask(ids, seg, tombs_l))[0]
+                    keep_mask = ~_dead_mask(ids, seg, tombs_l)
+                if where_l is not None:
+                    av = stored[where_l[0]].to_numpy(zero_copy_only=False)
+                    wmask = av == where_l[1]
+                    keep_mask = wmask if keep_mask is None else keep_mask & wmask
+                keep_idx = None
+                if keep_mask is not None:
+                    keep_idx = np.nonzero(keep_mask)[0]
                     if len(keep_idx) == 0:
                         continue
                     if len(keep_idx) == len(ids):

@@ -827,3 +827,129 @@ def test_vanished_tombstone_file_raises_not_resurrects(tmp_path):
     os.remove(os.path.join(idx.path, "seg-000002", "tombstones.parquet"))
     with pytest.raises(FileNotFoundError, match="tombstone file vanished"):
         idx.probe(ids[10:12], mat[10:12], k=5, nprobe=idx.ncells)
+
+
+# --------------------------------------------------------- filtered search
+def _ds_attr(ids, mat, labels):
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.astype(np.float32) for r in mat]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def _build_attr(tmp_path, ids, mat, labels, *, name="ivf_attr", ncells=8, **kw):
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), ncells)
+    idx = IvfIndex(
+        os.path.join(str(tmp_path), name), centroids=cent, attr_col="label", **kw
+    )
+    for s in range(2):
+        m = ids % 2 == s
+        idx.add(_ds_attr(ids[m], mat[m], labels[m]), segment_id=s)
+    return idx
+
+
+def test_filtered_exhaustive_equals_brute_force_over_slice(tmp_path):
+    """where=(attr, value) restricts candidates BEFORE scoring, so the
+    all-cells filtered probe equals brute force over exactly the
+    matching slice (a post-filter of unfiltered top-k would under-fill
+    whenever fewer than k of the global top-k match)."""
+    ids, mat = _vectors(seed=41)
+    labels = (ids % 4).astype(np.int32)
+    idx = _build_attr(tmp_path, ids, mat, labels)
+    qids, qmat = ids[:4], mat[:4]
+    got, stats = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, where=("label", 2))
+    assert stats["cells_probed"] == stats["cells_total"]
+    keep = labels == 2
+    _assert_topk(got, _brute(ids[keep], mat[keep], qids, qmat))
+
+
+def test_filtered_probe_composes_with_tombstones(tmp_path):
+    """Delete exclusion and the attr predicate apply jointly: the live
+    AND matching slice is the candidate set."""
+    ids, mat = _vectors(seed=43)
+    labels = (ids % 4).astype(np.int32)
+    idx = _build_attr(tmp_path, ids, mat, labels)
+    idx.delete(ids[ids % 5 == 0], segment_id=2)
+    qids, qmat = ids[:4], mat[:4]
+    got, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, where=("label", 1))
+    keep = (labels == 1) & (ids % 5 != 0)
+    _assert_topk(got, _brute(ids[keep], mat[keep], qids, qmat))
+
+
+def test_filtered_pq_refine_equals_brute_force_over_slice(tmp_path):
+    """The attr column rides in PQ-tier cell files too; with saturated
+    books + exact refine the filtered probe is exact over the slice —
+    the keep mask must stay row-aligned across the codes column, the
+    ADC shortlist, and the separately-read refine column."""
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(seed=47)
+    labels = (ids % 3).astype(np.int32)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    idx = _build_attr(
+        tmp_path, ids, mat, labels, name="pq_attr", pq_books=books, pq_refine=True
+    )
+    qids, qmat = ids[:4], mat[:4]
+    got, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, where=("label", 0))
+    keep = labels == 0
+    _assert_topk(got, _brute(ids[keep], mat[keep], qids, qmat))
+
+
+def test_filtered_probe_survives_compact_and_reopen(tmp_path):
+    """compact() folds cell files by whole-table concat, so the attr
+    column must survive; reopen restores attr_col from meta.json."""
+    ids, mat = _vectors(seed=53)
+    labels = (ids % 4).astype(np.int32)
+    idx = _build_attr(tmp_path, ids, mat, labels)
+    qids, qmat = ids[:4], mat[:4]
+    before, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, where=("label", 3))
+    rep = idx.compact()
+    assert not rep["skipped"]
+    reopened = IvfIndex(idx.path)
+    assert reopened.attr_col == "label"
+    after, _ = reopened.probe(qids, qmat, k=5, nprobe=idx.ncells, where=("label", 3))
+    _assert_topk(before, after)
+
+
+def test_filtered_pruned_probe_returns_only_matching_rows(tmp_path):
+    """A pruned (nprobe < ncells) filtered probe is approximate in
+    recall but every returned candidate must satisfy the predicate."""
+    ids, mat = _vectors(seed=59)
+    labels = (ids % 4).astype(np.int32)
+    idx = _build_attr(tmp_path, ids, mat, labels)
+    qids, qmat = ids[:6], mat[:6]
+    got, stats = idx.probe(qids, qmat, k=5, nprobe=2, where=("label", 2))
+    assert stats["cells_probed"] < stats["cells_total"]
+    lab_of = dict(zip(ids.tolist(), labels.tolist()))
+    assert len(got) and all(lab_of[v] == 2 for v in got["vec_id"])
+
+
+def test_where_on_undeclared_attr_raises(tmp_path):
+    ids, mat = _vectors(seed=61)
+    labels = (ids % 4).astype(np.int32)
+    idx = _build_attr(tmp_path, ids, mat, labels)
+    import pytest
+
+    with pytest.raises(ValueError, match="attr_col"):
+        idx.probe(ids[:2], mat[:2], k=5, nprobe=2, where=("lang", "en"))
+    plain = _build(tmp_path, ids, mat)  # no attr_col declared
+    with pytest.raises(ValueError, match="attr_col"):
+        plain.probe(ids[:2], mat[:2], k=5, nprobe=2, where=("label", 1))
+
+
+def test_add_without_declared_attr_column_raises(tmp_path):
+    """An add batch missing the declared attr column fails loudly
+    instead of committing cell files the filter could not read."""
+    import pytest
+
+    ids, mat = _vectors(seed=67)
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    idx = IvfIndex(
+        os.path.join(str(tmp_path), "ivf_noattr"), centroids=cent, attr_col="label"
+    )
+    with pytest.raises(Exception, match="attr_col"):
+        idx.add(_ds(ids, mat), segment_id=0)

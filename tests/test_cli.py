@@ -223,6 +223,46 @@ def test_cli_ann_index_lifecycle(tmp_path):
     assert pq.read_table(out).equals(t)  # compaction preserves results
 
 
+def test_cli_ann_filtered_probe(tmp_path):
+    """ann-add --attr-col + ann-probe --where: the filtered-vector-search
+    loop; every returned candidate must satisfy the predicate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(29)
+    mat = rng.normal(size=(90, 8)).astype(np.float32)
+    ids = np.arange(90, dtype=np.int64)
+    v = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([r for r in mat]),
+                "label": pa.array((ids % 3).astype(np.int32)),
+            }
+        ),
+        v,
+    )
+    q = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(ids[:3]), "embedding": pa.array([r for r in mat[:3]])}
+        ),
+        q,
+    )
+    idx = str(tmp_path / "ivf")
+    out = str(tmp_path / "topk.parquet")
+    assert main(["ann-add", "--index", idx, "--vectors", v, "--segment", "0",
+                 "--ncells", "4", "--attr-col", "label"]) == 0
+    assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out,
+                 "--k", "3", "--nprobe", "4", "--where", "label=1"]) == 0
+    t = pq.read_table(out).to_pandas()
+    assert len(t) == 9 and (t["vec_id"] % 3 == 1).all()
+
+
 def test_cli_ann_ingest(tmp_path):
     """ann-ingest (fused probe+add): hits come from strictly-earlier
     segments only, and the epoch is committed in the same verb."""
