@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "minhash_near_dups": T.q_minhash_near_dups,  # SQL-mirrored banded LSH
         "dedup_index_probe": T.q_dedup_index_probe,  # SQL-mirrored incremental LSH probe
+        # scoped dedup: candidate pairs must agree on the lang column
+        # (per-language dedup) — same SQL mirror + lang-equality predicate
+        "dedup_index_scoped": T.q_dedup_index_scoped,
         # CDC delete/resurrect propagated into the persisted dedup
         # index: tombstone segment -> probe exclusion -> physical
         # removal at compact (SQL-mirrored, live-set-filtered oracle)
@@ -2981,6 +2984,29 @@ def oracle_sql() -> dict[str, str]:
                          a.sig as sa, b.sig as sb
                   from sig a, sig b
                   where a.doc_id >= 250 and b.doc_id < 250),
+        scored as (select probe_doc, indexed_doc,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select probe_doc, indexed_doc, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by probe_doc, indexed_doc
+    """
+    # Scoped dedup over the persisted LSH index: the identical signature
+    # recompute with pairs additionally restricted to equal lang (the
+    # scope column declared at index creation; text.py
+    # q_dedup_index_scoped docstring).
+    sql["dedup_index_scoped"] = _sig_ctes + """,
+        pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b, documents da, documents db
+                  where da.doc_id = a.doc_id and db.doc_id = b.doc_id
+                    and a.doc_id >= 250 and b.doc_id < 250
+                    and da.lang = db.lang),
         scored as (select probe_doc, indexed_doc,
                           len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
                           len(list_filter(range(16), g ->

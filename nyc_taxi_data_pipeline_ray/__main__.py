@@ -250,6 +250,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
     sp.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     sp.add_argument("--segment", type=int, required=True)
+    sp.add_argument(
+        "--scope-col", default=None,
+        help="scoped dedup: candidate pairs must AGREE on this column "
+        "(e.g. lang; used only when creating a new index, frozen into "
+        "meta.json)",
+    )
 
     sp = sub.add_parser(
         "index-probe", help="near-dup candidates of a batch vs the dedup index"
@@ -388,17 +394,24 @@ def main(argv: list[str] | None = None) -> int:
 
             from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
 
-            idx = MinHashIndex(args.index)
+            idx = MinHashIndex(
+                args.index, scope_col=getattr(args, "scope_col", None)
+            )
+            # a scoped index stores its scope column in every bucket file —
+            # the read must not prune it away
+            doc_cols = ["doc_id", "text"] + (
+                [idx.scope_col] if idx.scope_col else []
+            )
             if args.cmd == "index-add":
-                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                docs = rd.read_parquet(args.docs, columns=doc_cols)
                 print(json.dumps(idx.add(docs, segment_id=args.segment)))
             elif args.cmd == "index-probe":
-                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                docs = rd.read_parquet(args.docs, columns=doc_cols)
                 pairs = idx.probe(docs, threshold=args.threshold)
                 pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "pairs": len(pairs)}))
             elif args.cmd == "index-ingest":
-                docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+                docs = rd.read_parquet(args.docs, columns=doc_cols)
                 pairs, rep = idx.probe_and_add(
                     docs, segment_id=args.segment, threshold=args.threshold
                 )

@@ -704,6 +704,32 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     return out
 
 
+def q_dedup_index_scoped(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """SCOPED incremental dedup: the persisted LSH index is created with
+    ``scope_col='lang'``, so a candidate pair must AGREE on the language
+    column — the per-slice dedup shape a multilingual training corpus
+    needs (cross-language LSH collisions are near-always false dups, and
+    post-filtering them on the driver would first materialize them).
+    The scope rides in every bucket file and the equality test runs
+    inside each bucket task BEFORE scoring.  Same build/probe split and
+    SQL-mirrored signature oracle as ``q_dedup_index_probe``, with the
+    pair set additionally restricted to equal ``lang``.  ORACLE
+    COUPLING: mid=250, num_perm=64/bands=16."""
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = fresh_tmp_root("/tmp/nyc_ray_q_dedup_index_scoped")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(_assert_minhash_sql_domain, batch_format="pyarrow")
+    mid = 250
+    idx = MinHashIndex(root, scope_col="lang")
+    idx.add(ds.filter(expr=f"doc_id < {mid}"), segment_id=0)
+    out = idx.probe(ds.filter(expr=f"doc_id >= {mid}"), threshold=threshold)
+    out["est_jaccard"] = np.round(out["est_jaccard"] * 64) / 64
+    return out
+
+
 def q_dedup_index_delete(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     """CDC deletes propagated into the persisted dedup index: after the
     first half of documents is indexed (segment 0), docs with

@@ -74,11 +74,14 @@ def _empty_pairs() -> pa.Table:
 
 
 def _band_rows(
-    t: pa.Table, *, num_perm: int, bands: int, num_buckets: int
+    t: pa.Table, *, num_perm: int, bands: int, num_buckets: int,
+    scope_col: str | None = None,
 ) -> pa.Table:
     """(doc_id, text) batch -> banded LSH rows with shuffle bucket.
     Same band hash as the batch pipeline (polynomial combine seeded by
-    band id), so index hits reproduce the batch join's candidates."""
+    band id), so index hits reproduce the batch join's candidates.
+    With ``scope_col`` the column rides along (tiled per band) so probes
+    can require pair-wise scope equality (per-language/domain dedup)."""
     mh = _cached_minhasher(num_perm)
     rows_per_band = num_perm // bands
     sig = np.stack([mh.signature(s) for s in t["text"].to_pylist()])
@@ -94,20 +97,38 @@ def _band_rows(
         doc_idx.append(doc)
         band_hash.append(bh.astype(np.int64))
     bh_all = np.concatenate(band_hash)
-    return pa.table(
-        {
-            "bucket": pa.array((bh_all.view(np.uint64) % num_buckets).astype(np.int32)),
-            "band": pa.array(np.concatenate(band_ids)),
-            "band_hash": pa.array(bh_all),
-            "doc_id": pa.array(np.concatenate(doc_idx)),
-            "sig": pa.array(list(np.tile(sig, (bands, 1)).astype(np.int64))),
-        }
-    )
+    cols = {
+        "bucket": pa.array((bh_all.view(np.uint64) % num_buckets).astype(np.int32)),
+        "band": pa.array(np.concatenate(band_ids)),
+        "band_hash": pa.array(bh_all),
+        "doc_id": pa.array(np.concatenate(doc_idx)),
+        "sig": pa.array(list(np.tile(sig, (bands, 1)).astype(np.int64))),
+    }
+    if scope_col is not None:
+        if scope_col not in t.column_names:
+            raise KeyError(
+                f"index declares scope_col={scope_col!r} but the batch "
+                f"has columns {t.column_names}"
+            )
+        # same band-major layout as doc_id (band 0's docs, band 1's, ...)
+        cols[scope_col] = pa.array(
+            np.tile(t[scope_col].to_numpy(zero_copy_only=False), bands)
+        )
+    return pa.table(cols)
 
 
 class MinHashIndex:
+    # the band-row layout owns these names; a scope column may not shadow them
+    _RESERVED = ("bucket", "band", "band_hash", "doc_id", "sig", "text")
+
     def __init__(
-        self, path: str, *, num_perm: int = 64, bands: int = 16, num_buckets: int = 64
+        self,
+        path: str,
+        *,
+        num_perm: int = 64,
+        bands: int = 16,
+        num_buckets: int = 64,
+        scope_col: str | None = None,
     ):
         self.path = path
         os.makedirs(path, exist_ok=True)
@@ -118,11 +139,25 @@ class MinHashIndex:
             self.num_perm = int(meta["num_perm"])
             self.bands = int(meta["bands"])
             self.num_buckets = int(meta["num_buckets"])
+            self.scope_col = meta.get("scope")
         else:
+            if scope_col in self._RESERVED:
+                raise ValueError(
+                    f"scope_col {scope_col!r} collides with a band-row column"
+                )
             self.num_perm, self.bands, self.num_buckets = num_perm, bands, num_buckets
+            self.scope_col = scope_col
             mf.atomic_write_json(
                 meta_path,
-                {"num_perm": num_perm, "bands": bands, "num_buckets": num_buckets},
+                {
+                    "num_perm": num_perm,
+                    "bands": bands,
+                    "num_buckets": num_buckets,
+                    # scoped dedup: candidate pairs must AGREE on this
+                    # column (per-language/domain dedup) — declared once,
+                    # stored in every bucket file, enforced in every probe
+                    "scope": scope_col,
+                },
             )
 
     # ---------------------------------------------------------------- ledger
@@ -296,8 +331,11 @@ class MinHashIndex:
     # ------------------------------------------------------------------- add
     def _band_rows_of(self, docs: rd.Dataset) -> rd.Dataset:
         num_perm, bands, nb = self.num_perm, self.bands, self.num_buckets
+        scope = self.scope_col
         return docs.map_batches(
-            lambda t: _band_rows(t, num_perm=num_perm, bands=bands, num_buckets=nb),
+            lambda t: _band_rows(
+                t, num_perm=num_perm, bands=bands, num_buckets=nb, scope_col=scope
+            ),
             batch_format="pyarrow",
         )
 
@@ -571,6 +609,7 @@ class MinHashIndex:
         eff = {d: _eff_seg(d) for d in run_dirs}
         run_segs = [eff[d] for d in run_dirs]
         tombs = self._tombstones_for(run_dirs, eff)
+        scope_name = self.scope_col
 
         def match_bucket(g: pa.Table) -> pa.Table:
             b = int(g["bucket"][0].as_py())
@@ -623,15 +662,31 @@ class MinHashIndex:
             side = np.concatenate(
                 [np.zeros(st.num_rows, np.int8), np.ones(g.num_rows, np.int8)]
             )
+            sc = (
+                np.concatenate(
+                    [
+                        st[scope_name].to_numpy(zero_copy_only=False),
+                        g[scope_name].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                if scope_name is not None
+                else None
+            )
             order = np.lexsort((ids, side, bh, band))
             band, bh, ids, sig, side = (
                 band[order], bh[order], ids[order], sig[order], side[order],
             )
+            if sc is not None:
+                sc = sc[order]
             sizes = _group_sizes_by_boundary(band, bh)
             ia, ib = _ragged_pair_indices(sizes)
             if not len(ia):
                 return _empty_pairs()
             cross = side[ia] != side[ib]
+            if sc is not None:
+                # scoped dedup: a candidate pair must AGREE on the scope
+                # column (e.g. same language) — enforced before scoring
+                cross &= sc[ia] == sc[ib]
             ia, ib = ia[cross], ib[cross]
             if not len(ia):
                 return _empty_pairs()

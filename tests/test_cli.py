@@ -177,6 +177,55 @@ def test_cli_dedup_index_lifecycle(tmp_path, capsys):
     assert main(["index-compact", "--index", idx]) == 0
 
 
+def test_cli_scoped_dedup_index(tmp_path):
+    """index-add --scope-col + index-probe: cross-scope exact dups are
+    suppressed, same-scope dups still hit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    texts = pq.read_table("/root/testdata/sf0.01/documents.parquet")[
+        "text"
+    ].to_pylist()[:20]
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": texts[:10],
+                "lang": pa.array(["en"] * 5 + ["fr"] * 5),
+            }
+        ),
+        d0,
+    )
+    # arrivals: exact dup of doc 0 in the SAME scope, exact dup of doc 1
+    # in a DIFFERENT scope
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": [texts[0], texts[1]],
+                "lang": pa.array(["en", "de"]),
+            }
+        ),
+        d1,
+    )
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "pairs.parquet")
+    assert main(["index-add", "--index", idx, "--docs", d0, "--segment", "0",
+                 "--scope-col", "lang"]) == 0
+    assert main(["index-probe", "--index", idx, "--docs", d1, "--out", out]) == 0
+    got = set(
+        zip(
+            pq.read_table(out)["probe_doc"].to_pylist(),
+            pq.read_table(out)["indexed_doc"].to_pylist(),
+        )
+    )
+    assert (100, 0) in got and (101, 1) not in got
+
+
 def test_cli_ann_index_lifecycle(tmp_path):
     """ann-add / ann-probe / ann-compact against the persisted IVF index:
     the CLI loop a training-data ingest job would script."""

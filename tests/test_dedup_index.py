@@ -496,3 +496,79 @@ def test_vanished_tombstone_file_raises_not_resurrects(tmp_path, corpus):
     os.remove(os.path.join(idx.path, "seg-000001", "tombstones.parquet"))
     with pytest.raises(FileNotFoundError, match="tombstone file vanished"):
         idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+
+
+# ------------------------------------------------------------- scoped dedup
+def _with_scope(t: pa.Table, scopes: list[str]) -> pa.Table:
+    return t.append_column("lang", pa.array(scopes, pa.string()))
+
+
+def test_scoped_probe_requires_scope_agreement(tmp_path, corpus):
+    """An index created with scope_col only reports pairs that AGREE on
+    the scope column: exact dups across scopes are suppressed, within-
+    scope hits are identical to the unscoped probe's."""
+    base, arrivals = corpus
+    # base docs alternate scopes; arrivals carry scopes chosen so the
+    # first 3 exact dups agree with their source and the last 2 disagree
+    base_sc = ["en" if i % 2 == 0 else "fr" for i in range(base.num_rows)]
+    arr_sc = []
+    for row, pid in enumerate(arrivals["doc_id"].to_pylist()):
+        if 1000 <= pid < 1003:
+            arr_sc.append(base_sc[pid - 1000])  # agree
+        elif 1003 <= pid < 1005:
+            arr_sc.append("de")  # disagree with every base doc
+        else:
+            arr_sc.append(base_sc[0])
+    idx = MinHashIndex(str(tmp_path / "scoped"), scope_col="lang")
+    idx.add(rd.from_arrow(_with_scope(base, base_sc)), segment_id=0)
+    pairs = idx.probe(rd.from_arrow(_with_scope(arrivals, arr_sc)), threshold=0.5)
+    found = {(int(a), int(b)) for a, b in zip(pairs["probe_doc"], pairs["indexed_doc"])}
+    for i in range(3):
+        assert (1000 + i, i) in found  # same scope: still a dup
+    for i in range(3, 5):
+        assert (1000 + i, i) not in found  # cross-scope: suppressed
+    # and nothing cross-scope leaked anywhere
+    sc_of = dict(zip(range(base.num_rows), base_sc))
+    sc_of.update(zip(arrivals["doc_id"].to_pylist(), arr_sc))
+    assert all(sc_of[a] == sc_of[b] for a, b in found)
+
+
+def test_scoped_survives_compact_reopen_and_probe_and_add(tmp_path, corpus):
+    """scope_col persists in meta.json; compaction folds bucket files by
+    whole-table concat so the scope column survives; probe_and_add's
+    fused path enforces the same agreement."""
+    base, arrivals = corpus
+    base_sc = ["en" if i % 3 == 0 else "fr" for i in range(base.num_rows)]
+    arr_sc = ["en"] * arrivals.num_rows
+    idx = MinHashIndex(str(tmp_path / "scoped2"), scope_col="lang")
+    idx.add(rd.from_arrow(_with_scope(base, base_sc)), segment_id=0)
+    before = idx.probe(rd.from_arrow(_with_scope(arrivals, arr_sc)), threshold=0.5)
+    idx.add(
+        rd.from_arrow(_with_scope(arrivals, arr_sc)).filter(lambda r: False),
+        segment_id=1,
+    )
+    idx.compact()
+    reopened = MinHashIndex(str(tmp_path / "scoped2"))
+    assert reopened.scope_col == "lang"
+    after = reopened.probe(rd.from_arrow(_with_scope(arrivals, arr_sc)), threshold=0.5)
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    cand, rep = reopened.probe_and_add(
+        rd.from_arrow(_with_scope(arrivals, arr_sc)), segment_id=5, threshold=0.5
+    )
+    assert not rep["skipped"]
+    assert cand.reset_index(drop=True).equals(before.reset_index(drop=True))
+    # only en-scoped base docs can ever be hit (arrivals are all en)
+    en_ids = {i for i, s in enumerate(base_sc) if s == "en"}
+    assert set(cand["indexed_doc"]).issubset(en_ids)
+
+
+def test_scoped_add_missing_scope_column_raises(tmp_path, corpus):
+    base, _ = corpus
+    idx = MinHashIndex(str(tmp_path / "scoped3"), scope_col="lang")
+    with pytest.raises(Exception, match="scope_col"):
+        idx.add(rd.from_arrow(base), segment_id=0)  # no lang column
+
+
+def test_scope_col_reserved_name_raises(tmp_path):
+    with pytest.raises(ValueError, match="collides"):
+        MinHashIndex(str(tmp_path / "bad"), scope_col="band_hash")
