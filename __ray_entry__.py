@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scoped dedup: candidate pairs must agree on the lang column
         # (per-language dedup) — same SQL mirror + lang-equality predicate
         "dedup_index_scoped": T.q_dedup_index_scoped,
+        # index-level time travel: probe as of segment 0 (later segments
+        # invisible) — same SQL mirror restricted to segment 0's docs
+        "dedup_index_asof": T.q_dedup_index_asof,
         # CDC delete/resurrect propagated into the persisted dedup
         # index: tombstone segment -> probe exclusion -> physical
         # removal at compact (SQL-mirrored, live-set-filtered oracle)
@@ -128,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predicate applied before scoring (top-k within a label slice);
         # all-cells probe == brute force over the slice
         "ann_index_filtered": A.q_ann_index_filtered,
+        # index-level time travel: exhaustive probe as of segment 0
+        # (odd-id segment 1 invisible) == brute force over even vec_ids
+        "ann_index_asof": A.q_ann_index_asof,
         # CDC delete/resurrect propagated into the persisted IVF index:
         # tombstone segment -> probe exclusion -> physical removal at
         # compact (filtered brute-force oracle over the live set)
@@ -588,6 +594,19 @@ def oracle_sql() -> dict[str, str]:
             s as (select qid, vec_id,
                          round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
                   from q, embeddings where vec_id != qid),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # time-travel witness: as_of_segment=0 hides the odd-id segment,
+        # so brute force over EVEN vec_ids is its oracle (ann.py
+        # q_ann_index_asof)
+        "ann_index_asof": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
+                  from q, embeddings where vec_id != qid and vec_id % 2 = 0),
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
@@ -2984,6 +3003,27 @@ def oracle_sql() -> dict[str, str]:
                          a.sig as sa, b.sig as sb
                   from sig a, sig b
                   where a.doc_id >= 250 and b.doc_id < 250),
+        scored as (select probe_doc, indexed_doc,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select probe_doc, indexed_doc, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by probe_doc, indexed_doc
+    """
+    # Time-travel probe over the persisted LSH index: as_of_segment=0
+    # hides segment 1 (docs 125..249), so the identical signature
+    # recompute with the indexed side restricted to doc_id < 125 is its
+    # oracle (text.py q_dedup_index_asof docstring).
+    sql["dedup_index_asof"] = _sig_ctes + """,
+        pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b
+                  where a.doc_id >= 250 and b.doc_id < 125),
         scored as (select probe_doc, indexed_doc,
                           len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
                           len(list_filter(range(16), g ->

@@ -903,6 +903,38 @@ def q_ann_index_pq_exhaustive(
     return df
 
 
+def q_ann_index_asof(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """TIME-TRAVEL probe of the persisted IVF index: the index is built
+    in two segments (even vec_ids = segment 0, odd = segment 1), and the
+    probe runs ``as_of_segment=0`` — segment 1's vectors are invisible,
+    exactly the lake's ``cdc_as_of`` semantics at the index level (a
+    reproducible historical read without replaying adds).  Probing all
+    cells makes it exact: the SQL oracle is brute-force top-k cosine
+    restricted to EVEN vec_ids.  The full-watermark consistency check
+    (``as_of`` = newest segment == unrestricted probe) and the
+    folded-history error path are pinned in pytest."""
+    idx = _build_ivf_index(
+        sf_dir,
+        fresh_tmp_root("/tmp/nyc_ray_q_ann_index_asof"),
+        ncells=ncells,
+        sample_rows=sample_rows,
+    )
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = idx.probe(
+        qids, _normalize_rows(qmat), k=k, nprobe=ncells, as_of_segment=0
+    )
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
+    return df
+
+
 def q_ann_index_filtered(
     sf_dir: str,
     *,

@@ -704,6 +704,31 @@ def q_dedup_index_probe(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     return out
 
 
+def q_dedup_index_asof(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """TIME-TRAVEL probe of the persisted LSH index: the corpus half is
+    indexed in TWO segments (doc_id < 125 = segment 0, 125..249 =
+    segment 1) and the arrivals probe ``as_of_segment=0`` — segment 1's
+    documents are invisible, the lake's ``cdc_as_of`` semantics at the
+    index level.  SQL-MIRRORED oracle: the ``q_dedup_index_probe``
+    signature recompute with the indexed side restricted to
+    ``doc_id < 125``.  The full-watermark consistency check and the
+    folded-history error path are pinned in pytest.  ORACLE COUPLING:
+    the segment boundary 125, mid=250, num_perm=64/bands=16."""
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = fresh_tmp_root("/tmp/nyc_ray_q_dedup_index_asof")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_assert_minhash_sql_domain, batch_format="pyarrow")
+    idx = MinHashIndex(root)
+    idx.add(ds.filter(expr="doc_id < 125"), segment_id=0)
+    idx.add(ds.filter(expr="doc_id >= 125 and doc_id < 250"), segment_id=1)
+    out = idx.probe(ds.filter(expr="doc_id >= 250"), threshold=threshold, as_of_segment=0)
+    out["est_jaccard"] = np.round(out["est_jaccard"] * 64) / 64
+    return out
+
+
 def q_dedup_index_scoped(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
     """SCOPED incremental dedup: the persisted LSH index is created with
     ``scope_col='lang'``, so a candidate pair must AGREE on the language

@@ -379,6 +379,30 @@ class IvfIndex:
         """See module-level :func:`_eff_seg` (shared with MinHashIndex)."""
         return _eff_seg(run_dir)
 
+    def _run_dirs_as_of(self, as_of_segment: int) -> list[str]:
+        """Run dirs for a TIME-TRAVEL probe: the index exactly as it
+        stood after ``as_of_segment`` committed (adds AND tombstones
+        with a later segment id are invisible) — the index-level analog
+        of the lake's ``as_of`` epoch read.  Raises once a ``compact()``
+        has folded PAST the requested watermark: the folded base merged
+        later segments irreversibly, so that history is gone (callers
+        that need post-fold replay persist sidecars via
+        ``probe_and_add(persist_hits=True)`` instead)."""
+        base = self._base()
+        through = base[1] if base else -1
+        if through > as_of_segment:
+            raise ValueError(
+                f"history folded: base generation {base[0]} merged through "
+                f"segment {through} > as_of_segment {as_of_segment}"
+            )
+        return (
+            [os.path.join(self.path, f"base-{base[0]:06d}")] if base else []
+        ) + [
+            os.path.join(self.path, f"seg-{s:06d}")
+            for s in self.segments()
+            if through < s <= as_of_segment
+        ]
+
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None
     ) -> list[tuple[int, np.ndarray]]:
@@ -584,6 +608,7 @@ class IvfIndex:
         k: int = 5,
         nprobe: int = 4,
         where: tuple[str, object] | None = None,
+        as_of_segment: int | None = None,
     ) -> tuple[pd.DataFrame, dict]:
         """Top-k cosine neighbours of each query among the INDEXED
         vectors, reading only each query's ``nprobe`` nearest cells.
@@ -601,16 +626,33 @@ class IvfIndex:
         BEFORE scoring, so top-k is over the matching slice (post-filter
         of an unfiltered top-k would under-fill instead).
 
+        ``as_of_segment=N`` probes the index AS IT STOOD after segment
+        ``N`` committed — later adds and later tombstones are invisible
+        (index-level time travel, the analog of the lake's ``as_of``
+        read).  Raises once compaction has folded past ``N``.
+
         Reader-vs-compactor: a concurrent ``compact()`` removes folded
         run dirs only AFTER the new base marker lands, so a probe that
         raced it re-lists once and reads a consistent newer view (the
         same one-retry idiom as the engine's pruned key readers)."""
+
+        def dirs() -> list[str] | None:
+            return (
+                None
+                if as_of_segment is None
+                else self._run_dirs_as_of(as_of_segment)
+            )
+
         try:
-            return self._probe_once(qids, qmat, k=k, nprobe=nprobe, where=where)
+            return self._probe_once(
+                qids, qmat, k=k, nprobe=nprobe, where=where, run_dirs=dirs()
+            )
         except Exception as e:
             if not mf.is_file_not_found(e):
                 raise
-            return self._probe_once(qids, qmat, k=k, nprobe=nprobe, where=where)
+            return self._probe_once(
+                qids, qmat, k=k, nprobe=nprobe, where=where, run_dirs=dirs()
+            )
 
     def probe_and_add(
         self,

@@ -197,6 +197,26 @@ class MinHashIndex:
         """See :func:`state.ann_index._eff_seg` (shared ledger layout)."""
         return _eff_seg(run_dir)
 
+    def _run_dirs_as_of(self, as_of_segment: int) -> list[str]:
+        """Run dirs for a TIME-TRAVEL probe — see
+        :meth:`state.ann_index.IvfIndex._run_dirs_as_of` (same ledger
+        semantics: later adds/tombstones invisible; raises once a
+        compact has folded past the watermark)."""
+        base = self._base()
+        through = base[1] if base else -1
+        if through > as_of_segment:
+            raise ValueError(
+                f"history folded: base generation {base[0]} merged through "
+                f"segment {through} > as_of_segment {as_of_segment}"
+            )
+        return (
+            [os.path.join(self.path, f"base-{base[0]:06d}")] if base else []
+        ) + [
+            os.path.join(self.path, f"seg-{s:06d}")
+            for s in self.segments()
+            if through < s <= as_of_segment
+        ]
+
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None
     ) -> list[tuple[int, np.ndarray]]:
@@ -388,10 +408,19 @@ class MinHashIndex:
         return {"segment": segment_id, "skipped": False, "docs": band_rows // self.bands}
 
     # ----------------------------------------------------------------- probe
-    def probe(self, docs: rd.Dataset, *, threshold: float = 0.5) -> pd.DataFrame:
+    def probe(
+        self,
+        docs: rd.Dataset,
+        *,
+        threshold: float = 0.5,
+        as_of_segment: int | None = None,
+    ) -> pd.DataFrame:
         """Near-dup candidates of the probe docs against EVERY committed
         segment: (probe_doc, indexed_doc, est_jaccard >= threshold).
         Reads only the bucket files the probe's band hashes touch.
+        ``as_of_segment=N`` probes the index as it stood after segment
+        ``N`` committed (later adds/tombstones invisible; raises once a
+        compact has folded past ``N``) — index-level time travel.
 
         Each bucket task enumerates fine-group pairs with the batch
         pipeline's ragged expansion and keeps cross-side ones; a
@@ -406,6 +435,8 @@ class MinHashIndex:
         :meth:`IvfIndex.probe`."""
 
         def _run_dirs() -> list[str]:
+            if as_of_segment is not None:
+                return self._run_dirs_as_of(as_of_segment)
             base_dir, live = self._read_runs()
             return ([base_dir] if base_dir else []) + [
                 os.path.join(self.path, f"seg-{s:06d}") for s in live

@@ -953,3 +953,53 @@ def test_add_without_declared_attr_column_raises(tmp_path):
     )
     with pytest.raises(Exception, match="attr_col"):
         idx.add(_ds(ids, mat), segment_id=0)
+
+
+# ------------------------------------------------------------ as-of probes
+def test_asof_probe_hides_later_segments(tmp_path):
+    """as_of_segment=N probes the index as it stood after segment N:
+    later adds are invisible; at the newest segment it equals the
+    unrestricted probe."""
+    ids, mat = _vectors(seed=71)
+    idx = _build(tmp_path, ids, mat)  # seg 0 = even ids, seg 1 = odd ids
+    qids, qmat = ids[:4], mat[:4]
+    asof0, stats = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=0)
+    assert stats["cells_probed"] == stats["cells_total"]
+    even = ids % 2 == 0
+    _assert_topk(asof0, _brute(ids[even], mat[even], qids, qmat))
+    asof1, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=1)
+    full, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    _assert_topk(asof1, full)
+
+
+def test_asof_probe_hides_later_tombstones(tmp_path):
+    """A tombstone committed AFTER the watermark is invisible too: the
+    historical read sees the vectors as alive (exactly the lake's as_of
+    semantics for deletes)."""
+    ids, mat = _vectors(seed=73)
+    idx = _build(tmp_path, ids, mat)  # segments 0, 1
+    idx.delete(ids[ids % 7 == 0], segment_id=2)
+    qids, qmat = ids[:4], mat[:4]
+    asof1, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=1)
+    _assert_topk(asof1, _brute(ids, mat, qids, qmat))  # deletes not yet visible
+    now, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells)
+    live = ids % 7 != 0
+    _assert_topk(now, _brute(ids[live], mat[live], qids, qmat))
+
+
+def test_asof_raises_once_history_folded(tmp_path):
+    """compact() merges segments irreversibly; an as_of below the fold
+    watermark raises instead of silently answering from the wrong
+    state.  At exactly the watermark the base IS the as_of view."""
+    import pytest
+
+    ids, mat = _vectors(seed=79)
+    idx = _build(tmp_path, ids, mat)
+    qids, qmat = ids[:3], mat[:3]
+    before, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=1)
+    rep = idx.compact()
+    assert not rep["skipped"]
+    with pytest.raises(ValueError, match="history folded"):
+        idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=0)
+    at_wm, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=1)
+    _assert_topk(at_wm, before)

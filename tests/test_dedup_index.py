@@ -572,3 +572,28 @@ def test_scoped_add_missing_scope_column_raises(tmp_path, corpus):
 def test_scope_col_reserved_name_raises(tmp_path):
     with pytest.raises(ValueError, match="collides"):
         MinHashIndex(str(tmp_path / "bad"), scope_col="band_hash")
+
+
+# ------------------------------------------------------------- as-of probes
+def test_asof_probe_hides_later_segments_and_raises_after_fold(tmp_path, corpus):
+    """as_of_segment=0 sees only segment 0's documents (equal to probing
+    an index holding only that segment); at the newest segment it equals
+    the unrestricted probe; below a fold watermark it raises."""
+    base, arrivals = corpus
+    half = base.num_rows // 2
+    idx = MinHashIndex(str(tmp_path / "asof"))
+    idx.add(rd.from_arrow(base.slice(0, half)), segment_id=0)
+    idx.add(rd.from_arrow(base.slice(half)), segment_id=1)
+    only0 = MinHashIndex(str(tmp_path / "only0"))
+    only0.add(rd.from_arrow(base.slice(0, half)), segment_id=0)
+    a0 = idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=0)
+    exp0 = only0.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert a0.reset_index(drop=True).equals(exp0.reset_index(drop=True))
+    a1 = idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=1)
+    full = idx.probe(rd.from_arrow(arrivals), threshold=0.5)
+    assert a1.reset_index(drop=True).equals(full.reset_index(drop=True))
+    assert idx.compact()["compacted"]
+    with pytest.raises(ValueError, match="history folded"):
+        idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=0)
+    at_wm = idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=1)
+    assert at_wm.reset_index(drop=True).equals(full.reset_index(drop=True))
