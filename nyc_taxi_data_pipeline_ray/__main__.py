@@ -264,6 +264,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--as-of", type=int, default=None, metavar="SEGMENT",
+        help="time-travel probe: the index as it stood after this segment "
+        "committed (later adds/tombstones invisible; errors once "
+        "compaction folded past it)",
+    )
 
     sp = sub.add_parser(
         "index-ingest",
@@ -322,6 +328,12 @@ def main(argv: list[str] | None = None) -> int:
         help="restrict candidates to rows whose stored attr column equals "
         "VALUE (filtered vector search; COL must be the index's attr_col; "
         "VALUE is parsed as int when it looks like one)",
+    )
+    sp.add_argument(
+        "--as-of", type=int, default=None, metavar="SEGMENT",
+        help="time-travel probe: the index as it stood after this segment "
+        "committed (later adds/tombstones invisible; errors once "
+        "compaction folded past it)",
     )
 
     sp = sub.add_parser(
@@ -407,7 +419,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(idx.add(docs, segment_id=args.segment)))
             elif args.cmd == "index-probe":
                 docs = rd.read_parquet(args.docs, columns=doc_cols)
-                pairs = idx.probe(docs, threshold=args.threshold)
+                pairs = idx.probe(
+                    docs, threshold=args.threshold, as_of_segment=args.as_of
+                )
                 pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "pairs": len(pairs)}))
             elif args.cmd == "index-ingest":
@@ -520,7 +534,12 @@ def main(argv: list[str] | None = None) -> int:
                         pass
                     where = (col, val)
                 df, stats = idx.probe(
-                    qids, qmat, k=args.k, nprobe=args.nprobe, where=where
+                    qids,
+                    qmat,
+                    k=args.k,
+                    nprobe=args.nprobe,
+                    where=where,
+                    as_of_segment=args.as_of,
                 )
                 pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
                 print(json.dumps({"out": args.out, "rows": len(df), **stats}))

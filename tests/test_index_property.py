@@ -462,3 +462,91 @@ def test_minhash_delete_any_schedule(tmp_path_factory, seed, n_ops):
     idx.compact()
     got2 = _sorted_pairs(idx.probe(rd.from_arrow(probe_tab), threshold=threshold))
     pd.testing.assert_frame_equal(got2, expected)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_ops=st.integers(min_value=3, max_value=6),
+)
+def test_ivf_asof_any_schedule(tmp_path_factory, seed, n_ops):
+    """Time-travel invariant under random add / delete / compact
+    schedules: for EVERY committed segment watermark s, probing
+    ``as_of_segment=s`` equals brute force over the live set the model
+    recorded right after s committed — unless a compact folded past s,
+    in which case the probe must raise."""
+    rng = np.random.default_rng(seed)
+    n, d, ncells, k = 120, 10, 6, 4
+    ids = np.arange(n, dtype=np.int64)
+    mat = rng.normal(size=(n, d))
+    cent = _kmeans_lite(_normalize_rows(mat[:60].astype(np.float64)), ncells)
+    tmp = str(tmp_path_factory.mktemp(f"ivfasof{seed % 100000}"))
+    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent)
+
+    alive: set[int] = set()
+    snap: dict[int, frozenset[int]] = {}
+    folded_through = -1
+    seg = 0
+    idx.add(_vec_ds(ids[:60], mat[:60]), segment_id=seg)
+    alive |= set(range(60))
+    snap[seg] = frozenset(alive)
+    seg += 1
+    for _ in range(n_ops):
+        op = rng.choice(["add", "delete", "compact"], p=[0.4, 0.4, 0.2])
+        if op == "add":
+            dead_pool = np.array(sorted(set(ids.tolist()) - alive), np.int64)
+            if not len(dead_pool):
+                continue
+            pick = rng.choice(
+                dead_pool, size=rng.integers(1, len(dead_pool) + 1), replace=False
+            )
+            idx.add(_vec_ds(pick, mat[pick]), segment_id=seg)
+            alive |= {int(i) for i in pick}
+            snap[seg] = frozenset(alive)
+            seg += 1
+        elif op == "delete":
+            if not alive:
+                continue
+            pool = np.array(sorted(alive), np.int64)
+            pick = rng.choice(pool, size=rng.integers(1, len(pool) + 1), replace=False)
+            idx.delete(pick, segment_id=seg)
+            alive -= {int(i) for i in pick}
+            snap[seg] = frozenset(alive)
+            seg += 1
+        else:
+            if not idx.compact().get("skipped"):
+                folded_through = max(snap)
+
+    qids, qmat = ids[:4], _normalize_rows(mat[:4].astype(np.float64))
+    mfull = _normalize_rows(mat.astype(np.float64))
+
+    def brute(live_set: frozenset[int]) -> pd.DataFrame:
+        rows = []
+        live_arr = np.array(sorted(live_set), np.int64)
+        for qid in qids:
+            cand = live_arr[live_arr != qid]
+            if not len(cand):
+                continue
+            s = mfull[cand] @ mfull[int(qid)]
+            order = cand[np.lexsort((cand, -np.round(s, 4)))][:k]
+            for j in order:
+                rows.append(
+                    (int(qid), int(j), round(float(mfull[j] @ mfull[int(qid)]), 4))
+                )
+        return _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
+
+    # probe at most 3 watermarks per example to bound Ray-job count:
+    # the newest, the oldest, and one random interior one
+    wms = sorted(snap)
+    check = sorted({wms[0], wms[-1], int(rng.choice(wms))})
+    for s in check:
+        if s < folded_through:
+            with pytest.raises(ValueError, match="history folded"):
+                idx.probe(qids, qmat, k=k, nprobe=ncells, as_of_segment=s)
+        else:
+            df, _ = idx.probe(qids, qmat, k=k, nprobe=ncells, as_of_segment=s)
+            _assert_topk_equal(_sorted_topk(df), brute(snap[s]))
