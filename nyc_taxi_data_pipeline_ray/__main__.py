@@ -280,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--segment", type=int, required=True)
     sp.add_argument("--out", required=True, help="parquet for the candidate pairs")
     sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--scope-col", default=None,
+        help="scoped dedup: candidate pairs must AGREE on this column (used "
+        "only when creating a new index — a cold-start ingest loop must "
+        "declare it on its FIRST verb or the index is frozen without one)",
+    )
 
     sp = sub.add_parser(
         "index-delete",
@@ -327,7 +333,8 @@ def main(argv: list[str] | None = None) -> int:
         metavar="COL=VALUE",
         help="restrict candidates to rows whose stored attr column equals "
         "VALUE (filtered vector search; COL must be the index's attr_col; "
-        "VALUE is parsed as int when it looks like one)",
+        "VALUE is parsed as int when it looks like one — quote it, e.g. "
+        "zone='42', to force a string match against a string column)",
     )
     sp.add_argument(
         "--as-of", type=int, default=None, metavar="SEGMENT",
@@ -349,6 +356,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--ncells", type=int, default=16,
         help="coarse-quantizer cells (used only when creating a new index)",
+    )
+    sp.add_argument(
+        "--attr-col", default=None,
+        help="filterable metadata column (used only when creating a new "
+        "index — a cold-start ingest loop must declare it on its FIRST "
+        "verb or the index is frozen without one)",
     )
     sp.add_argument(
         "--persist-hits", action="store_true",
@@ -528,10 +541,16 @@ def main(argv: list[str] | None = None) -> int:
                 if args.where:
                     col, _, raw = args.where.partition("=")
                     val: object = raw
-                    try:
-                        val = int(raw)
-                    except ValueError:
-                        pass
+                    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+                        # quoted VALUE: a string-typed attr whose values
+                        # look numeric (zone='42') would otherwise be
+                        # coerced to int and silently match nothing
+                        val = raw[1:-1]
+                    else:
+                        try:
+                            val = int(raw)
+                        except ValueError:
+                            pass
                     where = (col, val)
                 df, stats = idx.probe(
                     qids,

@@ -203,6 +203,34 @@ def _check_add_replay(manifest_path: str, segment_id: int) -> None:
         )
 
 
+def _ledger_run_dirs_as_of(
+    path: str,
+    base: tuple[int, int] | None,
+    segments: list[int],
+    as_of_segment: int,
+) -> list[str]:
+    """Run dirs for a TIME-TRAVEL probe over the shared segment/base
+    ledger layout: the index exactly as it stood after ``as_of_segment``
+    committed (adds AND tombstones with a later segment id are
+    invisible) — the index-level analog of the lake's ``as_of`` epoch
+    read.  Raises once a ``compact()`` has folded PAST the requested
+    watermark: the folded base merged later segments irreversibly, so
+    that history is gone (callers that need post-fold replay persist
+    sidecars via ``probe_and_add(persist_hits=True)`` instead).  Shared
+    by IvfIndex and MinHashIndex (same ledger layout)."""
+    through = base[1] if base else -1
+    if through > as_of_segment:
+        raise ValueError(
+            f"history folded: base generation {base[0]} merged through "
+            f"segment {through} > as_of_segment {as_of_segment}"
+        )
+    return ([os.path.join(path, f"base-{base[0]:06d}")] if base else []) + [
+        os.path.join(path, f"seg-{s:06d}")
+        for s in segments
+        if through < s <= as_of_segment
+    ]
+
+
 def _dead_mask(
     ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
 ) -> np.ndarray:
@@ -242,6 +270,9 @@ class IvfIndex:
     them on any sample, e.g. ``pipelines.ann._kmeans_lite``) and are
     frozen into ``meta.json``; reopening ignores the argument."""
 
+    # the cell-file layout owns these names; attr_col may not shadow them
+    _RESERVED = ("cell", "vec_id", "embedding", "codes")
+
     def __init__(
         self,
         path: str,
@@ -277,6 +308,13 @@ class IvfIndex:
                 np.asarray(pq_books, np.float64) if pq_books is not None else None
             )
             self.pq_refine = bool(pq_refine) and self.pq_books is not None
+            if attr_col in self._RESERVED:
+                # attr_col='cell' would let assign() overwrite the computed
+                # cell ids with user data (vectors land in files probes
+                # never read); 'codes'/'embedding' shadow the storage tiers
+                raise ValueError(
+                    f"attr_col {attr_col!r} collides with a cell-file column"
+                )
             self.attr_col = attr_col
             if self.pq_books is not None:
                 msub, _kc, dsub = self.pq_books.shape
@@ -380,28 +418,10 @@ class IvfIndex:
         return _eff_seg(run_dir)
 
     def _run_dirs_as_of(self, as_of_segment: int) -> list[str]:
-        """Run dirs for a TIME-TRAVEL probe: the index exactly as it
-        stood after ``as_of_segment`` committed (adds AND tombstones
-        with a later segment id are invisible) — the index-level analog
-        of the lake's ``as_of`` epoch read.  Raises once a ``compact()``
-        has folded PAST the requested watermark: the folded base merged
-        later segments irreversibly, so that history is gone (callers
-        that need post-fold replay persist sidecars via
-        ``probe_and_add(persist_hits=True)`` instead)."""
-        base = self._base()
-        through = base[1] if base else -1
-        if through > as_of_segment:
-            raise ValueError(
-                f"history folded: base generation {base[0]} merged through "
-                f"segment {through} > as_of_segment {as_of_segment}"
-            )
-        return (
-            [os.path.join(self.path, f"base-{base[0]:06d}")] if base else []
-        ) + [
-            os.path.join(self.path, f"seg-{s:06d}")
-            for s in self.segments()
-            if through < s <= as_of_segment
-        ]
+        """See module-level :func:`_ledger_run_dirs_as_of`."""
+        return _ledger_run_dirs_as_of(
+            self.path, self._base(), self.segments(), as_of_segment
+        )
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None
@@ -893,16 +913,15 @@ class IvfIndex:
                 qrows = np.nonzero((qcells_l == c).any(axis=1))[0]
                 if len(qrows) == 0:
                     continue
+                # both tiers prune to the columns this probe needs: the
+                # attr column is read only when a filter asks for it, so
+                # unfiltered probes never pay for it
+                wcols = [where_l[0]] if where_l is not None else []
                 if qtables_l is None:
-                    stored = pq.read_table(path)
+                    stored = pq.read_table(path, columns=["vec_id", "embedding"] + wcols)
                 else:
                     # PQ tier: the ADC pass touches only the code column
-                    # (plus the attr column when a filter needs it)
-                    stored = pq.read_table(
-                        path,
-                        columns=["vec_id", "codes"]
-                        + ([where_l[0]] if where_l is not None else []),
-                    )
+                    stored = pq.read_table(path, columns=["vec_id", "codes"] + wcols)
                 if stored.num_rows == 0:
                     continue
                 ids = stored["vec_id"].to_numpy(zero_copy_only=False)

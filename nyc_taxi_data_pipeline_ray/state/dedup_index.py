@@ -53,6 +53,7 @@ from nyc_taxi_data_pipeline_ray.state.ann_index import (
     _check_tombstone_replay,
     _dead_mask,
     _eff_seg,
+    _ledger_run_dirs_as_of,
     _ledger_vacuum,
     _tombstones_for,
 )
@@ -198,24 +199,12 @@ class MinHashIndex:
         return _eff_seg(run_dir)
 
     def _run_dirs_as_of(self, as_of_segment: int) -> list[str]:
-        """Run dirs for a TIME-TRAVEL probe — see
-        :meth:`state.ann_index.IvfIndex._run_dirs_as_of` (same ledger
-        semantics: later adds/tombstones invisible; raises once a
+        """See :func:`state.ann_index._ledger_run_dirs_as_of` (shared
+        ledger layout: later adds/tombstones invisible; raises once a
         compact has folded past the watermark)."""
-        base = self._base()
-        through = base[1] if base else -1
-        if through > as_of_segment:
-            raise ValueError(
-                f"history folded: base generation {base[0]} merged through "
-                f"segment {through} > as_of_segment {as_of_segment}"
-            )
-        return (
-            [os.path.join(self.path, f"base-{base[0]:06d}")] if base else []
-        ) + [
-            os.path.join(self.path, f"seg-{s:06d}")
-            for s in self.segments()
-            if through < s <= as_of_segment
-        ]
+        return _ledger_run_dirs_as_of(
+            self.path, self._base(), self.segments(), as_of_segment
+        )
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None

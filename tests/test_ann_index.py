@@ -1003,3 +1003,19 @@ def test_asof_raises_once_history_folded(tmp_path):
         idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=0)
     at_wm, _ = idx.probe(qids, qmat, k=5, nprobe=idx.ncells, as_of_segment=1)
     _assert_topk(at_wm, before)
+
+
+def test_attr_col_reserved_name_raises(tmp_path):
+    """attr_col='cell' would let assign() overwrite the computed cell
+    ids with user data — vectors would land in files probes never read."""
+    import pytest
+
+    ids, mat = _vectors(seed=83)
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    for bad in ("cell", "vec_id", "embedding", "codes"):
+        with pytest.raises(ValueError, match="collides"):
+            IvfIndex(
+                os.path.join(str(tmp_path), f"bad_{bad}"),
+                centroids=cent,
+                attr_col=bad,
+            )

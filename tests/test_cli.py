@@ -465,3 +465,50 @@ def test_cli_delete_verbs(tmp_path):
     assert main(["ann-probe", "--index", aidx, "--queries", q, "--out", aout,
                  "--k", "60", "--nprobe", "4"]) == 0
     assert set(pq.read_table(aout)["vec_id"].to_pylist()) == hit
+
+
+def test_cli_where_quoted_string_value(tmp_path):
+    """A string-typed attr whose values look numeric is matchable by
+    quoting the VALUE (unquoted it is coerced to int and would silently
+    match nothing); cold-start ann-ingest can declare --attr-col."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(31)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    ids = np.arange(60, dtype=np.int64)
+    v = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([r for r in mat]),
+                "zone": pa.array([str(40 + int(i) % 3) for i in ids]),
+            }
+        ),
+        v,
+    )
+    q = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(ids[:2]), "embedding": pa.array([r for r in mat[:2]])}
+        ),
+        q,
+    )
+    idx = str(tmp_path / "ivf")
+    out = str(tmp_path / "hits.parquet")
+    # cold-start creation through the fused ingest verb
+    assert main(["ann-ingest", "--index", idx, "--vectors", v, "--segment", "0",
+                 "--out", out, "--ncells", "4", "--attr-col", "zone"]) == 0
+    out2 = str(tmp_path / "topk.parquet")
+    assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out2,
+                 "--k", "3", "--nprobe", "4", "--where", "zone='41'"]) == 0
+    t = pq.read_table(out2).to_pandas()
+    assert len(t) == 6 and (t["vec_id"] % 3 == 1).all()
+    # unquoted numeric-looking value coerces to int and matches nothing
+    assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out2,
+                 "--k", "3", "--nprobe", "4", "--where", "zone=41"]) == 0
+    assert pq.read_table(out2).num_rows == 0
