@@ -302,6 +302,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "index-describe",
+        help="ledger/config snapshot of the dedup index (segments by "
+        "kind, fold watermark, on-disk footprint)",
+    )
+    sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
         "ann-add", help="index an embedding batch into the persisted IVF index"
     )
     sp.add_argument("--index", required=True)
@@ -379,6 +386,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--segment", type=int, required=True)
 
     sp = sub.add_parser(
+        "ann-describe",
+        help="ledger/config snapshot of the IVF index (segments by kind, "
+        "fold watermark, on-disk footprint, storage tier)",
+    )
+    sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
         "ann-compact", help="fold IVF-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
@@ -453,6 +467,8 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     )
                 )
+            elif args.cmd == "index-describe":
+                print(json.dumps(idx.describe()))
             else:
                 print(json.dumps(idx.compact()))
             return 0
@@ -571,6 +587,8 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     )
                 )
+            elif args.cmd == "ann-describe":
+                print(json.dumps(idx.describe()))
             else:
                 print(json.dumps(idx.compact()))
             return 0

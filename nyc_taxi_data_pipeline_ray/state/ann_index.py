@@ -231,6 +231,63 @@ def _ledger_run_dirs_as_of(
     ]
 
 
+def _ledger_describe(path: str, live_run_dirs: list[str]) -> dict:
+    """Operational snapshot of the shared segment/base ledger (the
+    index-level analog of the lake's ``describe`` verb): committed
+    segment counts by kind, the newest base generation/fold watermark,
+    live run-dir layout, on-disk data footprint, and persisted
+    admission sidecars.  ``rows_committed`` sums the ADD manifests'
+    logical counts (the ledger history — not the live count, which
+    tombstones and folds reduce)."""
+    adds = deletes = rows = tombs = 0
+    for name in sorted(os.listdir(path)):
+        if name.startswith("seg-") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as f:
+                man = json.load(f)
+            if "tombstones" in man:
+                deletes += 1
+                tombs += int(man["tombstones"])
+            else:
+                adds += 1
+                rows += int(man.get("vectors", man.get("docs", 0)))
+    base = None
+    for name in os.listdir(path):
+        if name.startswith("base-") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as f:
+                m = json.load(f)
+            if base is None or m["generation"] > base["generation"]:
+                base = {
+                    "generation": int(m["generation"]),
+                    "through_segment": int(m["through_segment"]),
+                }
+    files = bytes_ = 0
+    for d in live_run_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(d, f))
+    adm_dir = os.path.join(path, "_admissions")
+    sidecars = (
+        sum(1 for f in os.listdir(adm_dir) if f.endswith(".parquet"))
+        if os.path.isdir(adm_dir)
+        else 0
+    )
+    return {
+        "segments_committed": adds + deletes,
+        "add_segments": adds,
+        "delete_segments": deletes,
+        "rows_committed": rows,
+        "tombstones_committed": tombs,
+        "base": base,
+        "live_runs": len(live_run_dirs),
+        "data_files": files,
+        "data_bytes": bytes_,
+        "admission_sidecars": sidecars,
+    }
+
+
 def _dead_mask(
     ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
 ) -> np.ndarray:
@@ -422,6 +479,18 @@ class IvfIndex:
         return _ledger_run_dirs_as_of(
             self.path, self._base(), self.segments(), as_of_segment
         )
+
+    def describe(self) -> dict:
+        """Operational snapshot (see :func:`_ledger_describe`) plus this
+        index's frozen configuration."""
+        return {
+            **_ledger_describe(self.path, self._read_runs()),
+            "ncells": self.ncells,
+            "dim": int(self.centroids.shape[1]),
+            "pq": self.pq_books is not None,
+            "pq_refine": self.pq_refine,
+            "attr_col": self.attr_col,
+        }
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None

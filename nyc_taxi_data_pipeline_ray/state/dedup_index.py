@@ -53,6 +53,7 @@ from nyc_taxi_data_pipeline_ray.state.ann_index import (
     _check_tombstone_replay,
     _dead_mask,
     _eff_seg,
+    _ledger_describe,
     _ledger_run_dirs_as_of,
     _ledger_vacuum,
     _tombstones_for,
@@ -205,6 +206,22 @@ class MinHashIndex:
         return _ledger_run_dirs_as_of(
             self.path, self._base(), self.segments(), as_of_segment
         )
+
+    def describe(self) -> dict:
+        """Operational snapshot (see
+        :func:`state.ann_index._ledger_describe`) plus this index's
+        frozen configuration."""
+        base_dir, live = self._read_runs()
+        run_dirs = ([base_dir] if base_dir else []) + [
+            os.path.join(self.path, f"seg-{s:06d}") for s in live
+        ]
+        return {
+            **_ledger_describe(self.path, run_dirs),
+            "num_perm": self.num_perm,
+            "bands": self.bands,
+            "num_buckets": self.num_buckets,
+            "scope_col": self.scope_col,
+        }
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None

@@ -1019,3 +1019,25 @@ def test_attr_col_reserved_name_raises(tmp_path):
                 centroids=cent,
                 attr_col=bad,
             )
+
+
+def test_describe_reports_ledger_and_config(tmp_path):
+    """describe(): segment counts by kind, fold watermark, on-disk
+    footprint, and the frozen index configuration."""
+    ids, mat = _vectors(seed=89)
+    idx = _build(tmp_path, ids, mat)  # 2 add segments
+    idx.delete(ids[:5], segment_id=2)
+    d = idx.describe()
+    assert d["segments_committed"] == 3
+    assert d["add_segments"] == 2 and d["delete_segments"] == 1
+    assert d["rows_committed"] == len(ids) and d["tombstones_committed"] == 5
+    assert d["base"] is None and d["live_runs"] == 3
+    assert d["data_files"] > 0 and d["data_bytes"] > 0
+    assert d["ncells"] == 8 and d["dim"] == mat.shape[1]
+    assert d["pq"] is False and d["attr_col"] is None
+    idx.compact()
+    d2 = idx.describe()
+    # ledger history survives the fold; layout collapses to one base
+    assert d2["segments_committed"] == 3 and d2["rows_committed"] == len(ids)
+    assert d2["base"] == {"generation": 1, "through_segment": 2}
+    assert d2["live_runs"] == 1

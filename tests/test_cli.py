@@ -312,6 +312,51 @@ def test_cli_ann_filtered_probe(tmp_path):
     assert len(t) == 9 and (t["vec_id"] % 3 == 1).all()
 
 
+def test_cli_describe_verbs(tmp_path, capsys):
+    """index-describe / ann-describe: JSON ledger/config snapshots."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    texts = pq.read_table("/root/testdata/sf0.01/documents.parquet")[
+        "text"
+    ].to_pylist()[:10]
+    d0 = str(tmp_path / "d0.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()), "text": texts}), d0
+    )
+    lsh = str(tmp_path / "lsh")
+    assert main(["index-add", "--index", lsh, "--docs", d0, "--segment", "0"]) == 0
+    assert main(["index-describe", "--index", lsh]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["add_segments"] == 1 and rep["rows_committed"] == 10
+    assert rep["bands"] == 16
+
+    rng = np.random.default_rng(37)
+    mat = rng.normal(size=(40, 8)).astype(np.float32)
+    v = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array([r for r in mat]),
+            }
+        ),
+        v,
+    )
+    ivf = str(tmp_path / "ivf")
+    assert main(["ann-add", "--index", ivf, "--vectors", v, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-describe", "--index", ivf]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["add_segments"] == 1 and rep["rows_committed"] == 40
+    assert rep["ncells"] == 4 and rep["pq"] is False
+
+
 def test_cli_ann_ingest(tmp_path):
     """ann-ingest (fused probe+add): hits come from strictly-earlier
     segments only, and the epoch is committed in the same verb."""

@@ -597,3 +597,16 @@ def test_asof_probe_hides_later_segments_and_raises_after_fold(tmp_path, corpus)
         idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=0)
     at_wm = idx.probe(rd.from_arrow(arrivals), threshold=0.5, as_of_segment=1)
     assert at_wm.reset_index(drop=True).equals(full.reset_index(drop=True))
+
+
+def test_describe_reports_ledger_and_config(tmp_path, corpus):
+    base, _ = corpus
+    idx = MinHashIndex(str(tmp_path / "desc"), scope_col=None)
+    idx.add(rd.from_arrow(base), segment_id=0)
+    idx.delete(np.array([0, 1], np.int64), segment_id=1)
+    d = idx.describe()
+    assert d["segments_committed"] == 2
+    assert d["add_segments"] == 1 and d["delete_segments"] == 1
+    assert d["rows_committed"] == base.num_rows and d["tombstones_committed"] == 2
+    assert d["base"] is None and d["live_runs"] == 2
+    assert d["num_perm"] == 64 and d["bands"] == 16 and d["scope_col"] is None
