@@ -309,6 +309,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "index-fsck",
+        help="consistency check of the dedup-index ledger (missing run "
+        "dirs are fatal; crash leftovers are vacuumable warnings)",
+    )
+    sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
         "ann-add", help="index an embedding batch into the persisted IVF index"
     )
     sp.add_argument("--index", required=True)
@@ -393,6 +400,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "ann-fsck",
+        help="consistency check of the IVF-index ledger (missing run "
+        "dirs are fatal; crash leftovers are vacuumable warnings)",
+    )
+    sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
         "ann-compact", help="fold IVF-index segments into a new base"
     )
     sp.add_argument("--index", required=True)
@@ -469,6 +483,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.cmd == "index-describe":
                 print(json.dumps(idx.describe()))
+            elif args.cmd == "index-fsck":
+                rep = idx.fsck()
+                print(json.dumps(rep))
+                return 0 if rep["ok"] else 1
             else:
                 print(json.dumps(idx.compact()))
             return 0
@@ -589,6 +607,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.cmd == "ann-describe":
                 print(json.dumps(idx.describe()))
+            elif args.cmd == "ann-fsck":
+                rep = idx.fsck()
+                print(json.dumps(rep))
+                return 0 if rep["ok"] else 1
             else:
                 print(json.dumps(idx.compact()))
             return 0

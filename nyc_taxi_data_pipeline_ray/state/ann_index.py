@@ -288,6 +288,107 @@ def _ledger_describe(path: str, live_run_dirs: list[str]) -> dict:
     }
 
 
+def _ledger_fsck(path: str) -> dict:
+    """Consistency check of the shared segment/base ledger (the
+    index-level analog of the lake's ``fsck`` verb).  FATAL issues mean
+    probes would return wrong/failing answers: a committed segment above
+    the fold watermark whose run dir (or tombstone file) is gone, the
+    newest base marker without its dir, or an unreadable parquet footer
+    in a live run.  WARNINGS are crash leftovers the ledger makes
+    invisible to readers — uncommitted run dirs, stale base generations,
+    ``*.tmp`` files — all reclaimable via ``vacuum()``."""
+    issues: list[dict] = []
+
+    def issue(severity: str, kind: str, **kw) -> None:
+        issues.append({"severity": severity, "kind": kind, **kw})
+
+    manifests: dict[int, dict] = {}
+    bases: list[tuple[int, int]] = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.startswith("seg-") and name.endswith(".json"):
+            with open(full) as f:
+                manifests[int(name[4:-5])] = json.load(f)
+        elif name.startswith("base-") and name.endswith(".json"):
+            with open(full) as f:
+                m = json.load(f)
+            bases.append((int(m["generation"]), int(m["through_segment"])))
+        elif name.endswith(".tmp"):
+            issue("warning", "tmp_file", file=name)
+    newest = max(bases) if bases else None
+    through = newest[1] if newest else -1
+
+    for s, man in manifests.items():
+        if s <= through:
+            continue  # folded into the base; its dir is legitimately gone
+        d = os.path.join(path, f"seg-{s:06d}")
+        if not os.path.isdir(d):
+            issue("fatal", "missing_run_dir", segment=s)
+        elif "tombstones" in man and not os.path.exists(
+            os.path.join(d, "tombstones.parquet")
+        ):
+            issue("fatal", "missing_tombstone_file", segment=s)
+    live_dirs = []
+    if newest is not None:
+        bdir = os.path.join(path, f"base-{newest[0]:06d}")
+        if not os.path.isdir(bdir):
+            issue("fatal", "missing_base_dir", generation=newest[0])
+        else:
+            live_dirs.append(bdir)
+    live_dirs += [
+        os.path.join(path, f"seg-{s:06d}")
+        for s in manifests
+        if s > through and os.path.isdir(os.path.join(path, f"seg-{s:06d}"))
+    ]
+
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith("seg-") and int(name[4:]) not in manifests:
+            issue("warning", "uncommitted_run_dir", dir=name)
+        elif name.startswith("base-"):
+            gen = int(name[5:])
+            if newest is None or gen != newest[0]:
+                # crashed/folded compact leftovers — vacuum reclaims
+                issue("warning", "stale_base_dir", dir=name)
+
+    files_checked = 0
+    for d in live_dirs:
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                files_checked += 1
+                try:
+                    pq.read_schema(os.path.join(d, f))
+                except Exception as e:
+                    issue(
+                        "fatal", "unreadable_file",
+                        file=os.path.join(os.path.basename(d), f),
+                        error=str(e)[:200],
+                    )
+            elif f.endswith(".tmp"):
+                issue("warning", "tmp_file", file=os.path.join(os.path.basename(d), f))
+    adm = os.path.join(path, "_admissions")
+    if os.path.isdir(adm):
+        for f in sorted(os.listdir(adm)):
+            if f.endswith(".parquet"):
+                files_checked += 1
+                try:
+                    pq.read_schema(os.path.join(adm, f))
+                except Exception as e:
+                    issue(
+                        "fatal", "unreadable_file",
+                        file=os.path.join("_admissions", f),
+                        error=str(e)[:200],
+                    )
+    return {
+        "ok": not any(i["severity"] == "fatal" for i in issues),
+        "issues": issues,
+        "segments_checked": len(manifests),
+        "files_checked": files_checked,
+    }
+
+
 def _dead_mask(
     ids: np.ndarray, row_seg: int, tombs: list[tuple[int, np.ndarray]]
 ) -> np.ndarray:
@@ -491,6 +592,10 @@ class IvfIndex:
             "pq_refine": self.pq_refine,
             "attr_col": self.attr_col,
         }
+
+    def fsck(self) -> dict:
+        """Ledger consistency check — see :func:`_ledger_fsck`."""
+        return _ledger_fsck(self.path)
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None

@@ -54,6 +54,7 @@ from nyc_taxi_data_pipeline_ray.state.ann_index import (
     _dead_mask,
     _eff_seg,
     _ledger_describe,
+    _ledger_fsck,
     _ledger_run_dirs_as_of,
     _ledger_vacuum,
     _tombstones_for,
@@ -222,6 +223,11 @@ class MinHashIndex:
             "num_buckets": self.num_buckets,
             "scope_col": self.scope_col,
         }
+
+    def fsck(self) -> dict:
+        """Ledger consistency check — see
+        :func:`state.ann_index._ledger_fsck`."""
+        return _ledger_fsck(self.path)
 
     def _tombstones_for(
         self, run_dirs: list[str], eff: dict[str, int] | None = None

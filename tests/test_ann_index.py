@@ -1041,3 +1041,63 @@ def test_describe_reports_ledger_and_config(tmp_path):
     assert d2["segments_committed"] == 3 and d2["rows_committed"] == len(ids)
     assert d2["base"] == {"generation": 1, "through_segment": 2}
     assert d2["live_runs"] == 1
+
+
+def test_fsck_healthy_and_corruptions(tmp_path):
+    """fsck: a healthy index is ok; crash leftovers (orphan dir, tmp
+    file, stale base) are warnings; a committed segment whose run dir
+    vanished, or a truncated live parquet, is fatal."""
+    import shutil as _sh
+
+    ids, mat = _vectors(seed=97)
+    idx = _build(tmp_path, ids, mat)  # segments 0, 1
+    rep = idx.fsck()
+    assert rep["ok"] and rep["issues"] == [] and rep["segments_checked"] == 2
+    assert rep["files_checked"] > 0
+
+    # crash leftovers: orphan (uncommitted) run dir + a stray tmp file
+    os.makedirs(os.path.join(idx.path, "seg-000099"))
+    open(os.path.join(idx.path, "marker.json.tmp"), "w").close()
+    rep = idx.fsck()
+    assert rep["ok"]  # warnings only — readers never see either
+    kinds = {i["kind"] for i in rep["issues"]}
+    assert kinds == {"uncommitted_run_dir", "tmp_file"}
+    os.rmdir(os.path.join(idx.path, "seg-000099"))
+    os.remove(os.path.join(idx.path, "marker.json.tmp"))
+
+    # truncate a live cell file: fatal unreadable_file
+    d = os.path.join(idx.path, "seg-000000")
+    f = next(x for x in sorted(os.listdir(d)) if x.endswith(".parquet"))
+    victim = os.path.join(d, f)
+    orig = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(orig[: len(orig) // 2])
+    rep = idx.fsck()
+    assert not rep["ok"]
+    assert any(i["kind"] == "unreadable_file" for i in rep["issues"])
+    with open(victim, "wb") as fh:
+        fh.write(orig)
+    assert idx.fsck()["ok"]
+
+    # remove a committed segment's run dir entirely: fatal missing_run_dir
+    _sh.rmtree(os.path.join(idx.path, "seg-000001"))
+    rep = idx.fsck()
+    assert not rep["ok"]
+    assert any(
+        i["kind"] == "missing_run_dir" and i["segment"] == 1 for i in rep["issues"]
+    )
+
+
+def test_fsck_after_compact_and_delete(tmp_path):
+    """Folded segments legitimately have no run dir (not fatal); a
+    missing tombstone file for a live delete segment is fatal."""
+    ids, mat = _vectors(seed=101)
+    idx = _build(tmp_path, ids, mat)
+    idx.compact()
+    assert idx.fsck()["ok"]  # folded seg dirs gone, but below watermark
+    idx.delete(ids[:3], segment_id=2)
+    assert idx.fsck()["ok"]
+    os.remove(os.path.join(idx.path, "seg-000002", "tombstones.parquet"))
+    rep = idx.fsck()
+    assert not rep["ok"]
+    assert any(i["kind"] == "missing_tombstone_file" for i in rep["issues"])

@@ -557,3 +557,45 @@ def test_cli_where_quoted_string_value(tmp_path):
     assert main(["ann-probe", "--index", idx, "--queries", q, "--out", out2,
                  "--k", "3", "--nprobe", "4", "--where", "zone=41"]) == 0
     assert pq.read_table(out2).num_rows == 0
+
+
+def test_cli_fsck_verbs(tmp_path, capsys):
+    """index-fsck / ann-fsck: exit 0 when consistent, 1 on fatal issues."""
+    import json as _json
+    import shutil as _sh
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    rng = np.random.default_rng(41)
+    mat = rng.normal(size=(30, 8)).astype(np.float32)
+    v = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+                "embedding": pa.array([r for r in mat]),
+            }
+        ),
+        v,
+    )
+    ivf = str(tmp_path / "ivf")
+    assert main(["ann-add", "--index", ivf, "--vectors", v, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-fsck", "--index", ivf]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["issues"] == []
+    _sh.rmtree(str(tmp_path / "ivf" / "seg-000000"))
+    assert main(["ann-fsck", "--index", ivf]) == 1
+
+    texts = ["the quick brown fox jumps over the lazy dog %d" % i for i in range(8)]
+    d0 = str(tmp_path / "d0.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()), "text": texts}), d0
+    )
+    lsh = str(tmp_path / "lsh")
+    assert main(["index-add", "--index", lsh, "--docs", d0, "--segment", "0"]) == 0
+    assert main(["index-fsck", "--index", lsh]) == 0
