@@ -550,3 +550,187 @@ def test_ivf_asof_any_schedule(tmp_path_factory, seed, n_ops):
         else:
             df, _ = idx.probe(qids, qmat, k=k, nprobe=ncells, as_of_segment=s)
             _assert_topk_equal(_sorted_topk(df), brute(snap[s]))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_ops=st.integers(min_value=2, max_value=5),
+)
+def test_minhash_scoped_any_schedule(tmp_path_factory, seed, n_ops):
+    """Scoped dedup under random add / delete / compact schedules: the
+    probe must report exactly the oracle's candidate pairs restricted to
+    scope agreement, over exactly the live docs."""
+    rng = np.random.default_rng(seed)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pick = np.sort(rng.choice(t.num_rows, size=40, replace=False))
+    t = t.take(pick)
+    doc_ids = np.array(t["doc_id"].to_pylist(), np.int64)
+    scopes = rng.choice(["en", "fr", "de"], size=len(doc_ids))
+    t = t.append_column("lang", pa.array(scopes))
+    probe_scopes = rng.choice(["en", "fr", "de"], size=len(doc_ids))
+    probe_tab = pa.table(
+        {
+            "doc_id": pa.array(doc_ids + 10_000_000, pa.int64()),
+            "text": t["text"],
+            "lang": pa.array(probe_scopes),
+        }
+    )
+    scope_of = {int(d): s for d, s in zip(doc_ids, scopes)}
+    scope_of.update(
+        {int(d) + 10_000_000: s for d, s in zip(doc_ids, probe_scopes)}
+    )
+    threshold = 0.5
+
+    tmp = str(tmp_path_factory.mktemp(f"mhscope{seed % 100000}"))
+    idx = MinHashIndex(os.path.join(tmp, "idx"), scope_col="lang")
+    alive: set[int] = set()
+    seg = 0
+    first = doc_ids[: len(doc_ids) // 2]
+    idx.add(rd.from_arrow(t.filter(pa.array(np.isin(doc_ids, first)))), segment_id=seg)
+    alive |= {int(i) for i in first}
+    seg += 1
+    for _ in range(n_ops):
+        op = rng.choice(["add", "delete", "compact"], p=[0.4, 0.4, 0.2])
+        if op == "add":
+            dead_pool = np.array(sorted(set(int(i) for i in doc_ids) - alive), np.int64)
+            if not len(dead_pool):
+                continue
+            sel = rng.choice(
+                dead_pool, size=rng.integers(1, len(dead_pool) + 1), replace=False
+            )
+            idx.add(
+                rd.from_arrow(t.filter(pa.array(np.isin(doc_ids, sel)))),
+                segment_id=seg,
+            )
+            alive |= {int(i) for i in sel}
+            seg += 1
+        elif op == "delete":
+            if not alive:
+                continue
+            pool = np.array(sorted(alive), np.int64)
+            sel = rng.choice(pool, size=rng.integers(1, len(pool) + 1), replace=False)
+            idx.delete(sel, segment_id=seg)
+            alive -= {int(i) for i in sel}
+            seg += 1
+        else:
+            idx.compact()
+
+    both = pa.concat_tables(
+        [
+            t.filter(pa.array(np.isin(doc_ids, np.array(sorted(alive), np.int64)))),
+            probe_tab,
+        ]
+    ).drop_columns(["lang"])
+    epoch_of = {
+        int(d): (0 if int(d) < 10_000_000 else 1) for d in both["doc_id"].to_pylist()
+    }
+    expected = _minhash_oracle(both, epoch_of, threshold)
+    expected = _sorted_pairs(
+        expected[
+            expected.apply(
+                lambda r: scope_of[int(r["probe_doc"])]
+                == scope_of[int(r["indexed_doc"])],
+                axis=1,
+            )
+        ]
+        if len(expected)
+        else expected
+    )
+    got = _sorted_pairs(idx.probe(rd.from_arrow(probe_tab), threshold=threshold))
+    pd.testing.assert_frame_equal(got, expected)
+    idx.compact()
+    got2 = _sorted_pairs(idx.probe(rd.from_arrow(probe_tab), threshold=threshold))
+    pd.testing.assert_frame_equal(got2, expected)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_ops=st.integers(min_value=2, max_value=6),
+)
+def test_ivf_filtered_delete_any_schedule(tmp_path_factory, seed, n_ops):
+    """Filtered vector search under random add / delete / compact
+    schedules: the exhaustive filtered probe must equal brute force
+    over (live ids) ∩ (label slice), before and after a final fold."""
+    rng = np.random.default_rng(seed)
+    n, d, ncells, k = 100, 10, 6, 4
+    ids = np.arange(n, dtype=np.int64)
+    mat = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, size=n).astype(np.int32)
+    cent = _kmeans_lite(_normalize_rows(mat[:50].astype(np.float64)), ncells)
+    tmp = str(tmp_path_factory.mktemp(f"ivfflt{seed % 100000}"))
+    idx = IvfIndex(os.path.join(tmp, "idx"), centroids=cent, attr_col="label")
+
+    def vec_ds(sel):
+        tt = pa.table(
+            {
+                "vec_id": pa.array(sel, pa.int64()),
+                "embedding": pa.array([r.astype(np.float32) for r in mat[sel]]),
+                "label": pa.array(labels[sel]),
+            }
+        )
+        return rd.from_arrow(tt).repartition(2)
+
+    alive: set[int] = set()
+    seg = 0
+    idx.add(vec_ds(ids[:50]), segment_id=seg)
+    alive |= set(range(50))
+    seg += 1
+    for _ in range(n_ops):
+        op = rng.choice(["add", "delete", "compact"], p=[0.4, 0.4, 0.2])
+        if op == "add":
+            dead_pool = np.array(sorted(set(ids.tolist()) - alive), np.int64)
+            if not len(dead_pool):
+                continue
+            pick = rng.choice(
+                dead_pool, size=rng.integers(1, len(dead_pool) + 1), replace=False
+            )
+            idx.add(vec_ds(pick), segment_id=seg)
+            alive |= {int(i) for i in pick}
+            seg += 1
+        elif op == "delete":
+            if not alive:
+                continue
+            pool = np.array(sorted(alive), np.int64)
+            pick = rng.choice(pool, size=rng.integers(1, len(pool) + 1), replace=False)
+            idx.delete(pick, segment_id=seg)
+            alive -= {int(i) for i in pick}
+            seg += 1
+        else:
+            idx.compact()
+
+    want = int(rng.integers(0, 3))
+    qids, qmat = ids[:4], _normalize_rows(mat[:4].astype(np.float64))
+    mfull = _normalize_rows(mat.astype(np.float64))
+
+    def brute() -> pd.DataFrame:
+        rows = []
+        live_arr = np.array(
+            sorted(i for i in alive if labels[i] == want), np.int64
+        )
+        for qid in qids:
+            cand = live_arr[live_arr != qid]
+            if not len(cand):
+                continue
+            s = mfull[cand] @ mfull[int(qid)]
+            order = cand[np.lexsort((cand, -np.round(s, 4)))][:k]
+            for j in order:
+                rows.append(
+                    (int(qid), int(j), round(float(mfull[j] @ mfull[int(qid)]), 4))
+                )
+        return _sorted_topk(pd.DataFrame(rows, columns=TOPK_COLS))
+
+    df, _ = idx.probe(qids, qmat, k=k, nprobe=ncells, where=("label", want))
+    _assert_topk_equal(_sorted_topk(df), brute())
+    idx.compact()
+    df2, _ = idx.probe(qids, qmat, k=k, nprobe=ncells, where=("label", want))
+    _assert_topk_equal(_sorted_topk(df2), brute())
