@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index: tombstone segment -> probe exclusion -> physical
         # removal at compact (SQL-mirrored, live-set-filtered oracle)
         "dedup_index_delete": T.q_dedup_index_delete,
+        # index federation: a second shard index built separately, its
+        # live band rows merged in verbatim as one committed segment
+        # (SQL-mirrored oracle over A's docs + B's live view)
+        "dedup_index_merge": T.q_dedup_index_merge,
         # exactness witness: index-probe candidates reranked by exact
         # 5-gram Jaccard == the SQL cross-half all-pairs at J >= 0.8
         "dedup_index_rerank": T.q_dedup_index_rerank,
@@ -138,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tombstone segment -> probe exclusion -> physical removal at
         # compact (filtered brute-force oracle over the live set)
         "ann_index_delete": A.q_ann_index_delete,
+        # index federation: odd-id shard built in a separate index with
+        # a DIFFERENT quantizer, tombstoned subset excluded, merged via
+        # re-assignment; all-cells probe == filtered brute force
+        "ann_index_merge": A.q_ann_index_merge,
         # continuous-ingest semantic near-dedup over the persisted IVF
         # index: probe earlier segments -> add epoch segment -> broadcast
         # release decision (embedding analog of dedup_index_release)
@@ -620,6 +628,23 @@ def oracle_sql() -> dict[str, str]:
             s as (select qid, vec_id,
                          round(list_cosine_similarity(qe, cast(embedding as double[])), 4) as sim
                   from q, embeddings where vec_id != qid and label = 3),
+            r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
+                  from s)
+            select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
+        """,
+        # federation witness: merged index = even ids (shard A) union
+        # odd ids minus B's tombstoned % 5 subset, re-assigned against
+        # A's quantizer; exhaustive probe == brute force over that live
+        # union (ann.py q_ann_index_merge docstring)
+        "ann_index_merge": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qe
+                       from embeddings where vec_id < 5),
+            live as (select vec_id, cast(embedding as double[]) as emb
+                     from embeddings
+                     where vec_id % 2 = 0 or vec_id % 5 != 0),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(qe, emb), 4) as sim
+                  from q, live where vec_id != qid),
             r as (select *, row_number() over (partition by qid order by sim desc, vec_id) as rn
                   from s)
             select qid, vec_id, sim from r where rn <= 5 order by qid, sim desc, vec_id
@@ -3047,6 +3072,29 @@ def oracle_sql() -> dict[str, str]:
                   where da.doc_id = a.doc_id and db.doc_id = b.doc_id
                     and a.doc_id >= 250 and b.doc_id < 250
                     and da.lang = db.lang),
+        scored as (select probe_doc, indexed_doc,
+                          len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
+                          len(list_filter(range(16), g ->
+                                  sa[4 * g + 1] = sb[4 * g + 1]
+                              and sa[4 * g + 2] = sb[4 * g + 2]
+                              and sa[4 * g + 3] = sb[4 * g + 3]
+                              and sa[4 * g + 4] = sb[4 * g + 4])) > 0 as collide
+                   from pairs)
+        select probe_doc, indexed_doc, k / 64.0 as est_jaccard
+        from scored where collide and k >= 32
+        order by probe_doc, indexed_doc
+    """
+    # Federation over the persisted LSH index: the identical signature
+    # recompute with the index side = shard A's docs (< 125) plus shard
+    # B's live view (125..249 minus its % 5 tombstones) — the merged
+    # index must probe exactly like one built over that union (text.py
+    # q_dedup_index_merge docstring).
+    sql["dedup_index_merge"] = _sig_ctes + """,
+        pairs as (select a.doc_id as probe_doc, b.doc_id as indexed_doc,
+                         a.sig as sa, b.sig as sb
+                  from sig a, sig b
+                  where a.doc_id >= 250 and b.doc_id < 250
+                    and (b.doc_id < 125 or b.doc_id % 5 != 0)),
         scored as (select probe_doc, indexed_doc,
                           len(list_filter(range(64), j -> sa[j + 1] = sb[j + 1])) as k,
                           len(list_filter(range(16), g ->

@@ -316,6 +316,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "index-merge",
+        help="import another dedup index's LIVE band rows as one committed "
+        "segment (per-shard parallel build / replica federation; configs "
+        "must match)",
+    )
+    sp.add_argument("--index", required=True, help="target index")
+    sp.add_argument("--from", dest="from_", required=True, help="source index")
+    sp.add_argument("--segment", type=int, required=True)
+
+    sp = sub.add_parser(
         "ann-add", help="index an embedding batch into the persisted IVF index"
     )
     sp.add_argument("--index", required=True)
@@ -412,6 +422,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "ann-merge",
+        help="import another IVF index's LIVE vectors as one committed "
+        "segment, re-assigned against the target's quantizer (per-shard "
+        "parallel build / replica federation; both indexes must exist)",
+    )
+    sp.add_argument("--index", required=True, help="target index")
+    sp.add_argument("--from", dest="from_", required=True, help="source index")
+    sp.add_argument("--segment", type=int, required=True)
+
+    sp = sub.add_parser(
         "ann-replay",
         help="recover a committed epoch's persisted admission hits "
         "(_admissions/epoch-N.parquet) — works even after compaction "
@@ -487,6 +507,14 @@ def main(argv: list[str] | None = None) -> int:
                 rep = idx.fsck()
                 print(json.dumps(rep))
                 return 0 if rep["ok"] else 1
+            elif args.cmd == "index-merge":
+                # opening a MinHashIndex CREATES it when missing — a
+                # mistyped source path would silently merge nothing
+                if not os.path.exists(os.path.join(args.from_, "meta.json")):
+                    print(json.dumps({"error": f"no dedup index at {args.from_!r}"}))
+                    return 1
+                src = MinHashIndex(args.from_)
+                print(json.dumps(idx.merge_from(src, segment_id=args.segment)))
             else:
                 print(json.dumps(idx.compact()))
             return 0
@@ -611,6 +639,13 @@ def main(argv: list[str] | None = None) -> int:
                 rep = idx.fsck()
                 print(json.dumps(rep))
                 return 0 if rep["ok"] else 1
+            elif args.cmd == "ann-merge":
+                try:
+                    src = IvfIndex(args.from_)
+                except FileNotFoundError as e:
+                    print(json.dumps({"error": str(e)}))
+                    return 1
+                print(json.dumps(idx.merge_from(src, segment_id=args.segment)))
             else:
                 print(json.dumps(idx.compact()))
             return 0

@@ -1022,6 +1022,66 @@ def q_ann_index_delete(
     return df
 
 
+def q_ann_index_merge(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    num_queries: int = 5,
+    ncells: int = 16,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Exactness witness for INDEX FEDERATION (`IvfIndex.merge_from`):
+    even vec_ids are indexed in A and odd vec_ids in a SEPARATE index B
+    trained on a different quantizer (k-means seed 13 vs 7, so the two
+    cell layouts genuinely differ); odd ids divisible by 5 are then
+    tombstoned in B.  ``A.merge_from(B)`` imports only B's LIVE view and
+    re-assigns it against A's centroids as one committed segment — the
+    per-shard parallel build / replica-merge shape that avoids
+    re-reading a shard's corpus.  An all-cells probe of the merged A
+    equals brute-force top-k over ``even ids UNION live odd ids`` (the
+    filtered ``ann_bruteforce`` SQL oracle), and the merge replay must
+    be a no-op (exactly-once on segment_id)."""
+    from nyc_taxi_data_pipeline_ray.state.ann_index import IvfIndex
+
+    root = fresh_tmp_root("/tmp/nyc_ray_q_ann_index_merge")
+    _, sample_mat = _vectors_where_id_below(sf_dir, sample_rows)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(t["vec_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()),
+            )
+            return t.filter(keep)
+
+        return f
+
+    a = IvfIndex(
+        f"{root}/a", centroids=_kmeans_lite(_normalize_rows(sample_mat), ncells)
+    )
+    b = IvfIndex(
+        f"{root}/b",
+        centroids=_kmeans_lite(_normalize_rows(sample_mat), ncells, seed=13),
+    )
+    a.add(ds.map_batches(parity(0), batch_format="pyarrow"), segment_id=0)
+    b.add(ds.map_batches(parity(1), batch_format="pyarrow"), segment_id=0)
+    # tombstone part of the SOURCE: only its live view may merge
+    ids_all, _ = _vectors_where_id_below(sf_dir, np.iinfo(np.int64).max)
+    b.delete(ids_all[(ids_all % 2 == 1) & (ids_all % 5 == 0)], segment_id=1)
+    rep = a.merge_from(b, segment_id=1)
+    replay = a.merge_from(b, segment_id=1)
+    if replay != {"segment": 1, "skipped": True}:
+        raise RuntimeError(f"merge replay not idempotent: {rep} then {replay}")
+    qids, qmat = _vectors_where_id_below(sf_dir, num_queries)
+    df, stats = a.probe(qids, _normalize_rows(qmat), k=k, nprobe=ncells)
+    if stats["cells_probed"] != stats["cells_total"]:
+        raise RuntimeError(f"exhaustive witness probed a subset: {stats}")
+    return df
+
+
 def _fold_sem_dups(
     hits: pd.DataFrame, *, k: int, threshold: float, dup_map: dict[int, int]
 ) -> None:

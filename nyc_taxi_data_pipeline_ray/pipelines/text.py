@@ -810,6 +810,54 @@ def q_dedup_index_delete(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame
     return out
 
 
+def q_dedup_index_merge(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """INDEX FEDERATION for the persisted dedup index
+    (`MinHashIndex.merge_from`): docs < 125 are indexed in A and docs
+    125..249 in a SEPARATE index B (same frozen config), B tombstones
+    its ``doc_id % 5 == 0`` subset, then ``A.merge_from(B)`` imports
+    B's LIVE band rows verbatim as A's segment 1 — the per-shard
+    parallel build / replica-merge shape that avoids re-hashing a
+    shard's corpus.  The second half (docs >= 250) then probes the
+    merged A.  SQL-MIRRORED oracle: the ``q_dedup_index_probe``
+    signature recompute with the index side restricted to
+    ``doc_id < 125 OR doc_id % 5 != 0`` (A's own docs plus B's live
+    view).  The merge replay must be a no-op (exactly-once on
+    segment_id).  ORACLE COUPLING: the shard boundary 125, mid=250,
+    num_perm=64/bands=16, and the modulo constant are hardcoded in the
+    SQL."""
+
+    from nyc_taxi_data_pipeline_ray.state.dedup_index import MinHashIndex
+
+    root = fresh_tmp_root("/tmp/nyc_ray_q_dedup_index_merge")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_assert_minhash_sql_domain, batch_format="pyarrow")
+    a = MinHashIndex(f"{root}/a")
+    b = MinHashIndex(f"{root}/b")
+    a.add(ds.filter(expr="doc_id < 125"), segment_id=0)
+    b_docs = ds.filter(expr="doc_id >= 125 and doc_id < 250")
+    b.add(b_docs, segment_id=0)
+
+    def dead_ids(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % 5 == 0], pa.int64())})
+
+    dead = (
+        b_docs.map_batches(dead_ids, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    b.delete(dead, segment_id=1)
+    rep = a.merge_from(b, segment_id=1)
+    replay = a.merge_from(b, segment_id=1)
+    if replay != {"segment": 1, "skipped": True}:
+        raise RuntimeError(f"merge replay not idempotent: {rep} then {replay}")
+    out = a.probe(ds.filter(expr="doc_id >= 250"), threshold=threshold)
+    # exact dyadic k/64, as in q_dedup_index_probe
+    out["est_jaccard"] = np.round(out["est_jaccard"] * 64) / 64
+    return out
+
+
 def q_dedup_index_rerank(sf_dir: str, *, exact_threshold: float = 0.8) -> pd.DataFrame:
     """SQL exactness witness for the INCREMENTAL dedup index — the
     counterpart of :func:`q_minhash_rerank` for the persisted-segment

@@ -739,6 +739,107 @@ class IvfIndex:
         )
         return {"segment": segment_id, "skipped": False, "vectors": n}
 
+    # ----------------------------------------------------------------- merge
+    def _live_files(self) -> tuple[list[tuple[str, int]], list[tuple[int, np.ndarray]]]:
+        """(cell-file path, effective segment) descriptors of the
+        current live view, plus the tombstones that apply to it — the
+        read set :meth:`merge_from` imports from a source index."""
+        run_dirs = self._read_runs()
+        eff = {d: _eff_seg(d) for d in run_dirs}
+        tombs = self._tombstones_for(run_dirs, eff)
+        files = [
+            (os.path.join(d, f), eff[d])
+            for d in run_dirs
+            for f in sorted(os.listdir(d))
+            if f.startswith("cell=") and f.endswith(".parquet")
+        ]
+        return files, tombs
+
+    def _commit_empty(self, segment_id: int, manifest: dict) -> dict:
+        """Commit an empty segment (a merge of an empty source is a
+        no-op that must still consume ``segment_id`` exactly once)."""
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} was never committed and is at or "
+                f"below base generation {base[0]}'s fold watermark "
+                f"({base[1]}); adding it now would be invisible to readers"
+            )
+        seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        mf.atomic_write_json(self._manifest_path(segment_id), manifest)
+        return {"segment": segment_id, "skipped": False, **manifest}
+
+    def merge_from(self, other: "IvfIndex", segment_id: int) -> dict:
+        """Import OTHER's current LIVE vectors as one committed segment
+        of THIS index — index federation: after ``cdc_replicate`` (or a
+        per-shard parallel build) merge the source's index instead of
+        re-reading its corpus.  The source's tombstones are applied at
+        read time, and the imported rows enter THIS index's CDC order at
+        ``segment_id`` (their original add order in OTHER does not
+        survive — a later local ``delete`` kills them like any other row
+        of this segment).  Vectors are re-assigned against THIS index's
+        centroids through the normal :meth:`add` exchange, so the two
+        quantizers (and PQ tiers) may differ.
+
+        Requires the source to store exact vectors — raw tier, or PQ
+        with the refine column (codes alone cannot be re-quantized) —
+        and, when THIS index declares ``attr_col``, the source must
+        store that same column.  Idempotent on ``segment_id`` like
+        :meth:`add`.  Single-writer on BOTH indexes is assumed: a
+        concurrent ``compact()`` of OTHER mid-merge can surface as
+        FileNotFoundError — re-run the merge against the settled view.
+        """
+        if other.pq_books is not None and not other.pq_refine:
+            raise ValueError(
+                "source index stores PQ codes without a refine column: "
+                "exact vectors are unrecoverable and cannot be re-quantized"
+            )
+        if self.attr_col is not None and other.attr_col != self.attr_col:
+            raise ValueError(
+                f"this index declares attr_col={self.attr_col!r} but the "
+                f"source stores attr_col={other.attr_col!r}"
+            )
+        if segment_id in self.segments():
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
+            return {"segment": segment_id, "skipped": True}
+        files, tombs = other._live_files()
+        if not files:
+            return self._commit_empty(segment_id, {"segment": segment_id, "vectors": 0})
+        cols = ["vec_id", "embedding"] + ([self.attr_col] if self.attr_col else [])
+        full = pq.read_schema(files[0][0])
+        empty = pa.schema([full.field(c) for c in cols]).empty_table()
+
+        def read_live(t: pa.Table) -> pa.Table:
+            parts = []
+            for row in t.to_pylist():  # one row per (path, seg) descriptor
+                part = pq.read_table(row["path"], columns=cols)
+                if tombs:
+                    dead = _dead_mask(
+                        part["vec_id"].to_numpy(zero_copy_only=False),
+                        int(row["seg"]),
+                        tombs,
+                    )
+                    if dead.any():
+                        part = part.filter(pa.array(~dead))
+                if part.num_rows:
+                    parts.append(part)
+            return pa.concat_tables(parts) if parts else empty
+
+        work = pa.table(
+            {
+                "path": pa.array([p for p, _ in files]),
+                "seg": pa.array([s for _, s in files], pa.int64()),
+            }
+        )
+        ds = (
+            rd.from_arrow(work)
+            .repartition(min(len(files), 16))
+            .map_batches(read_live, batch_format="pyarrow", batch_size=None)
+        )
+        return self.add(ds, segment_id)
+
     # ------------------------------------------------------- admission hits
     def _hits_path(self, segment_id: int) -> str:
         return os.path.join(self.path, "_admissions", f"epoch-{segment_id:06d}.parquet")

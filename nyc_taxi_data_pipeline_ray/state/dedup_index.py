@@ -419,6 +419,110 @@ class MinHashIndex:
         )
         return {"segment": segment_id, "skipped": False, "docs": band_rows // self.bands}
 
+    # ----------------------------------------------------------------- merge
+    def merge_from(self, other: "MinHashIndex", segment_id: int) -> dict:
+        """Import OTHER's current LIVE band rows as one committed
+        segment of THIS index — index federation: after ``cdc_replicate``
+        (or a per-shard parallel build) merge the source's index instead
+        of re-hashing its corpus.  Band rows are config-specific, so the
+        two indexes must agree on (num_perm, bands, num_buckets,
+        scope_col); rows are imported VERBATIM — no signature recompute,
+        and bucket routing is identical by construction.  The source's
+        tombstones are applied at read time; the imported docs enter
+        THIS index's CDC order at ``segment_id`` (their original add
+        order in OTHER does not survive).  Idempotent on ``segment_id``
+        like :meth:`add`.  Single-writer on BOTH indexes is assumed: a
+        concurrent ``compact()`` of OTHER mid-merge can surface as
+        FileNotFoundError — re-run the merge against the settled view."""
+        ours = (self.num_perm, self.bands, self.num_buckets, self.scope_col)
+        theirs = (other.num_perm, other.bands, other.num_buckets, other.scope_col)
+        if ours != theirs:
+            raise ValueError(
+                f"index configs differ: this (num_perm, bands, num_buckets, "
+                f"scope_col) = {ours}, source = {theirs}; band rows are "
+                "only portable between identical configurations"
+            )
+        if segment_id in self.segments():
+            _check_add_replay(self._manifest_path(segment_id), segment_id)
+            return {"segment": segment_id, "skipped": True}
+        base_dir, live = other._read_runs()
+        run_dirs = ([base_dir] if base_dir else []) + [
+            os.path.join(other.path, f"seg-{s:06d}") for s in live
+        ]
+        eff = {d: _eff_seg(d) for d in run_dirs}
+        tombs = other._tombstones_for(run_dirs, eff)
+        files = [
+            (p, eff[d], b)
+            for d in run_dirs
+            for b in range(other.num_buckets)
+            for p in [os.path.join(d, f"bucket={b:02d}.parquet")]
+            if os.path.exists(p)
+        ]
+        if not files:
+            base = self._base()
+            if base is not None and base[1] >= segment_id:
+                raise ValueError(
+                    f"segment {segment_id} was never committed and is at or "
+                    f"below base generation {base[0]}'s fold watermark "
+                    f"({base[1]}); adding it now would be invisible to readers"
+                )
+            seg_dir = os.path.join(self.path, f"seg-{segment_id:06d}")
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            os.makedirs(seg_dir, exist_ok=True)
+            manifest = {"segment": segment_id, "band_rows": 0, "docs": 0}
+            mf.atomic_write_json(self._manifest_path(segment_id), manifest)
+            return {"segment": segment_id, "skipped": False, "docs": 0}
+        base = self._base()
+        if base is not None and base[1] >= segment_id:
+            raise ValueError(
+                f"segment {segment_id} was never committed and is at or "
+                f"below base generation {base[0]}'s fold watermark "
+                f"({base[1]}); adding it now would be invisible to readers"
+            )
+        # stored bucket files drop the 'bucket' column (it lives in the
+        # filename); restore it so _commit_rows can re-group
+        stored = pq.read_schema(files[0][0])
+        empty = pa.schema(
+            list(stored) + [pa.field("bucket", pa.int32())]
+        ).empty_table()
+
+        def read_live(t: pa.Table) -> pa.Table:
+            parts = []
+            for row in t.to_pylist():  # one row per (path, seg, bucket)
+                part = pq.read_table(row["path"])
+                if tombs:
+                    dead = _dead_mask(
+                        part["doc_id"].to_numpy(zero_copy_only=False),
+                        int(row["seg"]),
+                        tombs,
+                    )
+                    if dead.any():
+                        part = part.filter(pa.array(~dead))
+                if part.num_rows:
+                    parts.append(
+                        part.append_column(
+                            "bucket",
+                            pa.array(
+                                np.full(part.num_rows, int(row["bucket"]), np.int32)
+                            ),
+                        )
+                    )
+            return pa.concat_tables(parts) if parts else empty
+
+        work = pa.table(
+            {
+                "path": pa.array([p for p, _, _ in files]),
+                "seg": pa.array([s for _, s, _ in files], pa.int64()),
+                "bucket": pa.array([b for _, _, b in files], pa.int32()),
+            }
+        )
+        rows = (
+            rd.from_arrow(work)
+            .repartition(min(len(files), 16))
+            .map_batches(read_live, batch_format="pyarrow", batch_size=None)
+        )
+        return self._commit_rows(rows, segment_id)
+
     # ----------------------------------------------------------------- probe
     def probe(
         self,

@@ -1101,3 +1101,119 @@ def test_fsck_after_compact_and_delete(tmp_path):
     rep = idx.fsck()
     assert not rep["ok"]
     assert any(i["kind"] == "missing_tombstone_file" for i in rep["issues"])
+
+
+# --------------------------------------------------------------- merge_from
+def test_merge_from_equals_rebuild(tmp_path):
+    """A <- even ids, B <- odd ids with a DIFFERENT quantizer; after
+    A.merge_from(B) the exhaustive probe equals brute force over the
+    whole set (re-assignment against A's centroids is lossless), and a
+    replay of the merge segment is a no-op."""
+    ids, mat = _vectors()
+    even, odd = ids % 2 == 0, ids % 2 == 1
+    cent_a = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    cent_b = _kmeans_lite(_normalize_rows(mat[100:].astype(np.float64)), 6, seed=13)
+    a = IvfIndex(os.path.join(str(tmp_path), "a"), centroids=cent_a)
+    b = IvfIndex(os.path.join(str(tmp_path), "b"), centroids=cent_b)
+    a.add(_ds(ids[even], mat[even]), segment_id=0)
+    b.add(_ds(ids[odd], mat[odd]), segment_id=0)
+    rep = a.merge_from(b, segment_id=1)
+    assert rep["skipped"] is False and rep["vectors"] == int(odd.sum())
+    assert a.merge_from(b, segment_id=1) == {"segment": 1, "skipped": True}
+    qids, qmat = ids[:4], mat[:4]
+    got, stats = a.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=a.ncells
+    )
+    assert stats["cells_probed"] == stats["cells_total"]
+    _assert_topk(got, _brute(ids, mat, qids, qmat))
+
+
+def test_merge_from_applies_source_tombstones(tmp_path):
+    """Only the source's LIVE view merges: ids tombstoned in B before
+    the merge never appear in the merged index, while B's own view is
+    untouched by the merge."""
+    ids, mat = _vectors()
+    even, odd = ids % 2 == 0, ids % 2 == 1
+    cent = _kmeans_lite(_normalize_rows(mat[:100].astype(np.float64)), 8)
+    a = IvfIndex(os.path.join(str(tmp_path), "a"), centroids=cent)
+    b = IvfIndex(os.path.join(str(tmp_path), "b"), centroids=cent)
+    a.add(_ds(ids[even], mat[even]), segment_id=0)
+    b.add(_ds(ids[odd], mat[odd]), segment_id=0)
+    dead = ids[odd & (ids % 5 == 0)]
+    assert len(dead) > 0
+    b.delete(dead, segment_id=1)
+    a.merge_from(b, segment_id=1)
+    live = even | (odd & (ids % 5 != 0))
+    qids, qmat = ids[:4], mat[:4]
+    got, _ = a.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=a.ncells
+    )
+    _assert_topk(got, _brute(ids[live], mat[live], qids, qmat))
+
+
+def test_merge_from_pq_codes_only_source_raises(tmp_path):
+    """A PQ source WITHOUT the refine column cannot merge (exact
+    vectors are unrecoverable); with refine=True the merge works and
+    stays exact."""
+    import pytest
+
+    from nyc_taxi_data_pipeline_ray.pipelines.ann import _saturated_pq_books
+
+    ids, mat = _vectors(n=80, d=16)
+    even, odd = ids % 2 == 0, ids % 2 == 1
+    cent = _kmeans_lite(_normalize_rows(mat.astype(np.float64)), 4)
+    books = _saturated_pq_books(_normalize_rows(mat.astype(np.float64)), 4)
+    a = IvfIndex(os.path.join(str(tmp_path), "a"), centroids=cent)
+    a.add(_ds(ids[even], mat[even]), segment_id=0)
+    codes_only = IvfIndex(
+        os.path.join(str(tmp_path), "codes"), centroids=cent, pq_books=books
+    )
+    codes_only.add(_ds(ids[odd], mat[odd]), segment_id=0)
+    with pytest.raises(ValueError, match="refine"):
+        a.merge_from(codes_only, segment_id=1)
+    refined = IvfIndex(
+        os.path.join(str(tmp_path), "ref"),
+        centroids=cent,
+        pq_books=books,
+        pq_refine=True,
+    )
+    refined.add(_ds(ids[odd], mat[odd]), segment_id=0)
+    a.merge_from(refined, segment_id=1)
+    qids, qmat = ids[:3], mat[:3]
+    got, _ = a.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=a.ncells
+    )
+    _assert_topk(got, _brute(ids, mat, qids, qmat))
+
+
+def test_merge_from_attr_col_mismatch_raises(tmp_path):
+    import pytest
+
+    ids, mat = _vectors(n=40, d=8)
+    cent = _kmeans_lite(_normalize_rows(mat.astype(np.float64)), 2)
+    a = IvfIndex(
+        os.path.join(str(tmp_path), "a"), centroids=cent, attr_col="label"
+    )
+    b = IvfIndex(os.path.join(str(tmp_path), "b"), centroids=cent)
+    b.add(_ds(ids, mat), segment_id=0)
+    with pytest.raises(ValueError, match="attr_col"):
+        a.merge_from(b, segment_id=0)
+
+
+def test_merge_from_empty_source_commits_empty_segment(tmp_path):
+    """Merging an empty index is a no-op that still consumes the
+    segment id exactly once (the loop-shaped caller's epoch may be
+    empty); the target keeps probing correctly."""
+    ids, mat = _vectors(n=60, d=8)
+    cent = _kmeans_lite(_normalize_rows(mat.astype(np.float64)), 4)
+    a = IvfIndex(os.path.join(str(tmp_path), "a"), centroids=cent)
+    b = IvfIndex(os.path.join(str(tmp_path), "b"), centroids=cent)
+    a.add(_ds(ids, mat), segment_id=0)
+    rep = a.merge_from(b, segment_id=1)
+    assert rep == {"segment": 1, "skipped": False, "vectors": 0}
+    assert a.merge_from(b, segment_id=1) == {"segment": 1, "skipped": True}
+    qids, qmat = ids[:3], mat[:3]
+    got, _ = a.probe(
+        qids, _normalize_rows(qmat.astype(np.float64)), k=5, nprobe=a.ncells
+    )
+    _assert_topk(got, _brute(ids, mat, qids, qmat))

@@ -599,3 +599,92 @@ def test_cli_fsck_verbs(tmp_path, capsys):
     lsh = str(tmp_path / "lsh")
     assert main(["index-add", "--index", lsh, "--docs", d0, "--segment", "0"]) == 0
     assert main(["index-fsck", "--index", lsh]) == 0
+
+
+def test_cli_index_merge_federation(tmp_path, capsys):
+    """index-merge / ann-merge: a second shard index merges into the
+    target as one committed segment; a missing source path errors
+    instead of silently creating an empty index."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_ray.__main__ import main
+
+    texts = pq.read_table("/root/testdata/sf0.01/documents.parquet")[
+        "text"
+    ].to_pylist()[:40]
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    probe = str(tmp_path / "probe.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()), "text": texts[:20]}), d0
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(20, 40), pa.int64()), "text": texts[20:40]}
+        ),
+        d1,
+    )
+    # probe doc duplicates one doc from EACH shard
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([100, 101], pa.int64()), "text": [texts[0], texts[25]]}
+        ),
+        probe,
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert main(["index-add", "--index", a, "--docs", d0, "--segment", "0"]) == 0
+    assert main(["index-add", "--index", b, "--docs", d1, "--segment", "0"]) == 0
+    assert main(["index-merge", "--index", a, "--from", str(tmp_path / "nope"),
+                 "--segment", "1"]) == 1
+    assert main(["index-merge", "--index", a, "--from", b, "--segment", "1"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"segment": 1, "skipped": False, "docs": 20}
+    out = str(tmp_path / "pairs.parquet")
+    assert main(["index-probe", "--index", a, "--docs", probe, "--out", out]) == 0
+    t = pq.read_table(out)
+    found = set(zip(t["probe_doc"].to_pylist(), t["indexed_doc"].to_pylist()))
+    assert (100, 0) in found and (101, 25) in found
+
+    # --- IVF side: two shards of synthetic vectors, merged then probed
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    v0 = str(tmp_path / "v0.parquet")
+    v1 = str(tmp_path / "v1.parquet")
+    q = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(range(30), pa.int64()), "embedding": list(mat[:30])}
+        ),
+        v0,
+    )
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(range(30, 60), pa.int64()), "embedding": list(mat[30:])}
+        ),
+        v1,
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1000], pa.int64()), "embedding": [mat[45]]}), q
+    )
+    ia, ib = str(tmp_path / "ivf_a"), str(tmp_path / "ivf_b")
+    assert main(["ann-add", "--index", ia, "--vectors", v0, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-add", "--index", ib, "--vectors", v1, "--segment", "0",
+                 "--ncells", "4"]) == 0
+    assert main(["ann-merge", "--index", ia, "--from", str(tmp_path / "nope"),
+                 "--segment", "1"]) == 1
+    assert main(["ann-merge", "--index", ia, "--from", ib, "--segment", "1"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"segment": 1, "skipped": False, "vectors": 30}
+    topk = str(tmp_path / "topk.parquet")
+    assert main(["ann-probe", "--index", ia, "--queries", q, "--out", topk,
+                 "--k", "1", "--nprobe", "4"]) == 0
+    got = pq.read_table(topk)
+    # the query IS shard B's vector 45: after the merge it must be the
+    # exact top-1 at sim 1.0
+    assert got["vec_id"].to_pylist() == [45]
+    assert got["sim"].to_pylist() == [1.0]

@@ -610,3 +610,84 @@ def test_describe_reports_ledger_and_config(tmp_path, corpus):
     assert d["rows_committed"] == base.num_rows and d["tombstones_committed"] == 2
     assert d["base"] is None and d["live_runs"] == 2
     assert d["num_perm"] == 64 and d["bands"] == 16 and d["scope_col"] is None
+
+
+# --------------------------------------------------------------- merge_from
+def _probe_pairs(idx, arrivals, threshold=0.5):
+    pairs = idx.probe(rd.from_arrow(arrivals), threshold=threshold)
+    return {
+        (int(a), int(b), float(e))
+        for a, b, e in zip(
+            pairs["probe_doc"], pairs["indexed_doc"], pairs["est_jaccard"]
+        )
+    }
+
+
+def test_merge_from_equals_single_index(tmp_path, corpus):
+    """A <- first 20 base docs, B <- last 20 in a separate index; after
+    A.merge_from(B) probes equal an index built over all 40, and the
+    merge replay is a no-op."""
+    base, arrivals = corpus
+    first = base.filter(pa.compute.less(base["doc_id"], 20))
+    second = base.filter(pa.compute.greater_equal(base["doc_id"], 20))
+    a = MinHashIndex(str(tmp_path / "a"))
+    b = MinHashIndex(str(tmp_path / "b"))
+    a.add(rd.from_arrow(first), segment_id=0)
+    b.add(rd.from_arrow(second), segment_id=0)
+    rep = a.merge_from(b, segment_id=1)
+    assert rep["skipped"] is False and rep["docs"] == 20
+    assert a.merge_from(b, segment_id=1) == {"segment": 1, "skipped": True}
+    whole = MinHashIndex(str(tmp_path / "whole"))
+    whole.add(rd.from_arrow(base), segment_id=0)
+    assert _probe_pairs(a, arrivals) == _probe_pairs(whole, arrivals)
+
+
+def test_merge_from_applies_source_tombstones(tmp_path, corpus):
+    """Docs tombstoned in the source before the merge never reach the
+    target: probes equal a single index over the live union."""
+    base, arrivals = corpus
+    first = base.filter(pa.compute.less(base["doc_id"], 20))
+    second = base.filter(pa.compute.greater_equal(base["doc_id"], 20))
+    a = MinHashIndex(str(tmp_path / "a"))
+    b = MinHashIndex(str(tmp_path / "b"))
+    a.add(rd.from_arrow(first), segment_id=0)
+    b.add(rd.from_arrow(second), segment_id=0)
+    dead = np.arange(20, 30, dtype=np.int64)
+    b.delete(dead, segment_id=1)
+    a.merge_from(b, segment_id=1)
+    live = base.filter(
+        pa.compute.or_(
+            pa.compute.less(base["doc_id"], 20),
+            pa.compute.greater_equal(base["doc_id"], 30),
+        )
+    )
+    whole = MinHashIndex(str(tmp_path / "whole"))
+    whole.add(rd.from_arrow(live), segment_id=0)
+    assert _probe_pairs(a, arrivals) == _probe_pairs(whole, arrivals)
+
+
+def test_merge_from_config_mismatch_raises(tmp_path, corpus):
+    """Band rows are config-specific: differing (num_perm, bands,
+    num_buckets, scope_col) must refuse to merge."""
+    base, _ = corpus
+    a = MinHashIndex(str(tmp_path / "a"))
+    b = MinHashIndex(str(tmp_path / "b"), num_buckets=32)
+    b.add(rd.from_arrow(base), segment_id=0)
+    with pytest.raises(ValueError, match="config"):
+        a.merge_from(b, segment_id=0)
+    scoped = MinHashIndex(str(tmp_path / "scoped"), scope_col="lang")
+    with pytest.raises(ValueError, match="config"):
+        a.merge_from(scoped, segment_id=0)
+
+
+def test_merge_from_empty_source_commits_empty_segment(tmp_path, corpus):
+    base, arrivals = corpus
+    a = MinHashIndex(str(tmp_path / "a"))
+    b = MinHashIndex(str(tmp_path / "b"))
+    a.add(rd.from_arrow(base), segment_id=0)
+    rep = a.merge_from(b, segment_id=1)
+    assert rep == {"segment": 1, "skipped": False, "docs": 0}
+    assert a.merge_from(b, segment_id=1) == {"segment": 1, "skipped": True}
+    whole = MinHashIndex(str(tmp_path / "whole"))
+    whole.add(rd.from_arrow(base), segment_id=0)
+    assert _probe_pairs(a, arrivals) == _probe_pairs(whole, arrivals)
